@@ -1,0 +1,203 @@
+"""Model/config dataclasses for the radvlm-tpu framework.
+
+Configs mirror the reference's model contract (SURVEY.md §2.2):
+SigLIP-SO400M-p14-384 with the last encoder layer dropped (reference
+`finetuning/llava/model/multimodal_encoder/siglip_encoder.py:70-100,570`) fused with a
+Qwen2 decoder through an mlp2x_gelu projector
+(`finetuning/llava/model/multimodal_projector/builder.py:33-63`), anyres tiling with
+grid pinpoints "(1x1),...,(6x6)" and an `anyres_max_9` token cap
+(`finetuning/scripts/finetune_radio_7b.sh:53-61`).
+
+Everything here is a frozen dataclass so configs are hashable and can be passed as
+static arguments through `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+IGNORE_INDEX = -100
+IMAGE_TOKEN_INDEX = -200
+DEFAULT_IMAGE_TOKEN = "<image>"
+
+
+@dataclasses.dataclass(frozen=True)
+class SigLIPConfig:
+    """SigLIP vision tower config (SO400M defaults).
+
+    `num_layers` is the number of encoder layers actually run.  The reference drops the
+    last (27th) pretrained layer and the pooling head and returns the resulting hidden
+    states (`siglip_encoder.py:570-571,582`), so the flagship config uses 26.
+    """
+
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_layers: int = 26
+    num_heads: int = 16
+    image_size: int = 384
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-6
+    # gelu_pytorch_tanh in the reference; we use jax.nn.gelu(approximate=True).
+    hidden_act: str = "gelu_tanh"
+
+    @property
+    def patches_per_side(self) -> int:
+        return self.image_size // self.patch_size  # 27
+
+    @property
+    def tokens_per_tile(self) -> int:
+        return self.patches_per_side ** 2  # 729
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    """Qwen2 decoder config. Defaults = Qwen2-7B-Instruct (flagship LLM).
+
+    Architecture contract: RMSNorm(eps), rotary embeddings with `rope_theta`, grouped
+    query attention with QKV bias (o-proj without bias), SwiGLU MLP without bias,
+    optional tied input/output embeddings (true for 0.5B).
+    """
+
+    vocab_size: int = 152064
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 32768
+
+    @property
+    def q_per_kv(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+def qwen2_7b() -> Qwen2Config:
+    return Qwen2Config()
+
+
+def qwen2_0_5b() -> Qwen2Config:
+    return Qwen2Config(
+        vocab_size=151936,
+        hidden_size=896,
+        intermediate_size=4864,
+        num_layers=24,
+        num_heads=14,
+        num_kv_heads=2,
+        head_dim=64,
+        tie_word_embeddings=True,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectorConfig:
+    """Multimodal projector config.
+
+    `kind` mirrors the reference's builder vocabulary
+    (`multimodal_projector/builder.py:33-63`): "linear", "mlp{N}x_gelu", "identity",
+    "pooler". RadVLM uses mlp2x_gelu (`finetune_radio_7b.sh:54`).
+    """
+
+    kind: str = "mlp2x_gelu"
+    # Pooler settings (only used when kind == "pooler").
+    pooler_stride: int = 2
+
+    @property
+    def mlp_depth(self) -> int:
+        if self.kind.startswith("mlp") and self.kind.endswith("x_gelu"):
+            return int(self.kind[3:].split("x")[0])
+        if self.kind == "linear":
+            return 1
+        return 0
+
+
+@dataclasses.dataclass(frozen=True)
+class AnyResConfig:
+    """AnyRes tiling policy (reference `mm_utils.py:119-293`, `llava_arch.py:350-406`).
+
+    `grid_pinpoints` are (cols, rows) tile-grid candidates, multiplied by the tile
+    size.  `max_tiles` caps how many grid tiles a single image may produce (base tile
+    excluded); `anyres_max_tokens` is the reference's `anyres_max_N` post-merge token
+    budget applied via bilinear downscaling (`llava_arch.py:381-392`).
+    """
+
+    tile_size: int = 384
+    grid_range: Tuple[int, int] = (1, 6)  # expands to (1x1)..(6x6)
+    anyres_max: int = 9  # anyres_max_9
+    newline: bool = True  # spatial_unpad with image_newline rows
+
+    @property
+    def pinpoints(self) -> Tuple[Tuple[int, int], ...]:
+        lo, hi = self.grid_range
+        return tuple(
+            (i * self.tile_size, j * self.tile_size)
+            for i in range(lo, hi + 1)
+            for j in range(lo, hi + 1)
+        )
+
+    @property
+    def max_grid_tiles(self) -> int:
+        # Largest usable grid subject to the anyres_max budget. With anyres_max_9 the
+        # training data never exceeds ~10 tiles incl. base, but pinpoints themselves
+        # go to 36; the selected resolution can still be e.g. 6x6. Token capping then
+        # downscales post-merge. So the raw tile budget is hi*hi.
+        hi = self.grid_range[1]
+        return hi * hi
+
+
+@dataclasses.dataclass(frozen=True)
+class RadVLMConfig:
+    """Full VLM config: vision tower + projector + LLM + anyres policy."""
+
+    vision: SigLIPConfig = dataclasses.field(default_factory=SigLIPConfig)
+    text: Qwen2Config = dataclasses.field(default_factory=qwen2_7b)
+    projector: ProjectorConfig = dataclasses.field(default_factory=ProjectorConfig)
+    anyres: AnyResConfig = dataclasses.field(default_factory=AnyResConfig)
+    # "anyres_max_9" | "anyres" | "pad" | "square"
+    image_aspect_ratio: str = "anyres_max_9"
+
+    @property
+    def tokens_per_tile(self) -> int:
+        return self.vision.tokens_per_tile
+
+
+def radvlm_7b() -> RadVLMConfig:
+    return RadVLMConfig()
+
+
+def radvlm_0_5b() -> RadVLMConfig:
+    return RadVLMConfig(text=qwen2_0_5b())
+
+
+def tiny_test_config(vocab_size: int = 512) -> RadVLMConfig:
+    """A miniature config for unit tests (fast CPU forward, real code paths)."""
+    return RadVLMConfig(
+        vision=SigLIPConfig(
+            hidden_size=32,
+            intermediate_size=64,
+            num_layers=2,
+            num_heads=2,
+            image_size=56,
+            patch_size=14,
+        ),
+        text=Qwen2Config(
+            vocab_size=vocab_size,
+            hidden_size=48,
+            intermediate_size=96,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=12,
+            tie_word_embeddings=False,
+            max_position_embeddings=2048,
+        ),
+        anyres=AnyResConfig(tile_size=56, grid_range=(1, 6), anyres_max=9),
+    )

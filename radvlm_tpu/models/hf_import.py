@@ -1,0 +1,305 @@
+"""HF checkpoint import: safetensors / torch state-dicts -> radvlm_tpu param pytrees.
+
+TPU-native counterpart of the reference's converter
+(`radvlm/evaluation/convert_llava_onevision_weights_to_hf.py:49-59` key-remap table).
+Accepts either naming scheme:
+
+- original LLaVA-OneVision training layout:  `model.layers.*`,
+  `model.vision_tower.vision_tower.vision_model.*`, `model.mm_projector.{0,2}.*`,
+  `model.image_newline`, `lm_head.weight`;
+- converted HF `LlavaOnevisionForConditionalGeneration` layout:
+  `language_model.model.layers.*` (or `model.language_model.layers.*` in newer
+  transformers), `vision_tower.vision_model.*`, `multi_modal_projector.linear_{1,2}.*`,
+  `image_newline`.
+
+Outputs our layout: per-layer weights stacked along a leading layer axis (scan-ready),
+linear kernels transposed to [in, out], conv patch embedding reshaped to a
+patchify-matmul kernel.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from radvlm_tpu.config import ProjectorConfig, Qwen2Config, RadVLMConfig, SigLIPConfig
+
+
+def _to_np(x) -> np.ndarray:
+    """Torch tensor / numpy array -> numpy (bf16 -> ml_dtypes.bfloat16)."""
+    if isinstance(x, np.ndarray):
+        return x
+    try:
+        import torch
+
+        if isinstance(x, torch.Tensor):
+            x = x.detach().cpu()
+            if x.dtype == torch.bfloat16:
+                import ml_dtypes
+
+                return x.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            return x.numpy()
+    except ImportError:
+        pass
+    raise TypeError(f"unsupported tensor type {type(x)}")
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load every *.safetensors file under `path` into one flat numpy dict."""
+    from safetensors import safe_open
+
+    state: Dict[str, np.ndarray] = {}
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {path}")
+    for f in files:
+        with safe_open(f, framework="numpy") as sf:
+            for k in sf.keys():
+                state[k] = sf.get_tensor(k)
+    return state
+
+
+def normalize_keys(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Map either checkpoint layout onto canonical prefixes.
+
+    Canonical: `text.layers.N.*`, `text.embed_tokens.weight`, `text.norm.weight`,
+    `text.lm_head.weight`, `vision.*` (HF SigLIP names below vision_model),
+    `projector.fc{0,1}.*`, `image_newline`.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for k, v in state.items():
+        nk = k
+        # --- original LLaVA-OV training layout ---
+        nk = nk.replace("model.vision_tower.vision_tower.vision_model.", "vision.")
+        nk = nk.replace("model.mm_projector.0.", "projector.fc0.")
+        nk = nk.replace("model.mm_projector.2.", "projector.fc1.")
+        nk = nk.replace("model.image_newline", "image_newline")
+        # --- converted HF layout (two transformers generations) ---
+        nk = nk.replace("model.language_model.layers.", "text.layers.")
+        nk = nk.replace("model.language_model.embed_tokens.", "text.embed_tokens.")
+        nk = nk.replace("model.language_model.norm.", "text.norm.")
+        nk = nk.replace("language_model.model.", "text.")
+        nk = nk.replace("language_model.lm_head.", "text.lm_head.")
+        nk = nk.replace("model.vision_tower.vision_model.", "vision.")
+        nk = nk.replace("vision_tower.vision_model.", "vision.")
+        nk = nk.replace("multi_modal_projector.linear_1.", "projector.fc0.")
+        nk = nk.replace("multi_modal_projector.linear_2.", "projector.fc1.")
+        nk = re.sub(r"^model\.multi_modal_projector\.", "multi_modal_projector.", nk)
+        # --- plain Qwen2 / plain HF model ---
+        nk = re.sub(r"^model\.", "text.", nk)
+        nk = re.sub(r"^lm_head\.", "text.lm_head.", nk)
+        # strip leading vision_model. when importing a bare SigLIP tower
+        nk = re.sub(r"^vision_model\.", "vision.", nk)
+        out[nk] = _to_np(v)
+    return out
+
+
+def _lin(state, key, dtype):
+    """HF Linear weight [out, in] -> kernel [in, out]."""
+    return jnp.asarray(np.ascontiguousarray(state[key].T), dtype)
+
+
+def _vec(state, key, dtype):
+    return jnp.asarray(state[key], dtype)
+
+
+def import_qwen2(
+    state: Mapping[str, np.ndarray], cfg: Qwen2Config, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Canonical-key state dict -> stacked Qwen2 params."""
+    L = cfg.num_layers
+
+    def stack_lin(fmt):
+        return jnp.stack([_lin(state, fmt.format(i), dtype) for i in range(L)])
+
+    def stack_vec(fmt):
+        return jnp.stack([_vec(state, fmt.format(i), dtype) for i in range(L)])
+
+    p = "text.layers.{}."
+    params: Dict[str, Any] = {
+        "embed": {"embedding": _vec(state, "text.embed_tokens.weight", dtype)},
+        "layers": {
+            "ln1": stack_vec(p + "input_layernorm.weight"),
+            "ln2": stack_vec(p + "post_attention_layernorm.weight"),
+            "attn": {
+                "q": {
+                    "kernel": stack_lin(p + "self_attn.q_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.q_proj.bias"),
+                },
+                "k": {
+                    "kernel": stack_lin(p + "self_attn.k_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.k_proj.bias"),
+                },
+                "v": {
+                    "kernel": stack_lin(p + "self_attn.v_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.v_proj.bias"),
+                },
+                "o": {"kernel": stack_lin(p + "self_attn.o_proj.weight")},
+            },
+            "mlp": {
+                "gate": {"kernel": stack_lin(p + "mlp.gate_proj.weight")},
+                "up": {"kernel": stack_lin(p + "mlp.up_proj.weight")},
+                "down": {"kernel": stack_lin(p + "mlp.down_proj.weight")},
+            },
+        },
+        "norm": _vec(state, "text.norm.weight", dtype),
+    }
+    if not cfg.tie_word_embeddings and "text.lm_head.weight" in state:
+        params["lm_head"] = {"kernel": _lin(state, "text.lm_head.weight", dtype)}
+    return params
+
+
+def import_siglip(
+    state: Mapping[str, np.ndarray], cfg: SigLIPConfig, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Canonical-key state dict -> stacked SigLIP params.
+
+    Imports only the first `cfg.num_layers` encoder layers, implementing the
+    reference's drop-last-layer policy (`siglip_encoder.py:570-571`). The patch conv
+    kernel [D, 3, p, p] becomes a [(p*p*3), D] matmul kernel matching
+    `siglip.patchify`'s (ph, pw, C) flatten order.
+    """
+    L = cfg.num_layers
+    conv_w = state["vision.embeddings.patch_embedding.weight"]  # [D, C, p, p]
+    d = conv_w.shape[0]
+    kernel = np.transpose(conv_w, (2, 3, 1, 0)).reshape(-1, d)  # (ph, pw, C) flat
+
+    def stack_lin(fmt):
+        return jnp.stack([_lin(state, fmt.format(i), dtype) for i in range(L)])
+
+    def stack_vec(fmt):
+        return jnp.stack([_vec(state, fmt.format(i), dtype) for i in range(L)])
+
+    p = "vision.encoder.layers.{}."
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": jnp.asarray(np.ascontiguousarray(kernel), dtype),
+            "bias": _vec(state, "vision.embeddings.patch_embedding.bias", dtype),
+        },
+        "pos_embed": _vec(state, "vision.embeddings.position_embedding.weight", dtype),
+        "layers": {
+            "ln1": {
+                "scale": stack_vec(p + "layer_norm1.weight"),
+                "bias": stack_vec(p + "layer_norm1.bias"),
+            },
+            "ln2": {
+                "scale": stack_vec(p + "layer_norm2.weight"),
+                "bias": stack_vec(p + "layer_norm2.bias"),
+            },
+            "attn": {
+                "q": {
+                    "kernel": stack_lin(p + "self_attn.q_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.q_proj.bias"),
+                },
+                "k": {
+                    "kernel": stack_lin(p + "self_attn.k_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.k_proj.bias"),
+                },
+                "v": {
+                    "kernel": stack_lin(p + "self_attn.v_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.v_proj.bias"),
+                },
+                "o": {
+                    "kernel": stack_lin(p + "self_attn.out_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.out_proj.bias"),
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": stack_lin(p + "mlp.fc1.weight"),
+                    "bias": stack_vec(p + "mlp.fc1.bias"),
+                },
+                "fc2": {
+                    "kernel": stack_lin(p + "mlp.fc2.weight"),
+                    "bias": stack_vec(p + "mlp.fc2.bias"),
+                },
+            },
+        },
+        "post_ln": {
+            "scale": (
+                _vec(state, "vision.post_layernorm.weight", dtype)
+                if "vision.post_layernorm.weight" in state
+                else jnp.ones((d,), dtype)
+            ),
+            "bias": (
+                _vec(state, "vision.post_layernorm.bias", dtype)
+                if "vision.post_layernorm.bias" in state
+                else jnp.zeros((d,), dtype)
+            ),
+        },
+    }
+    return params
+
+
+def import_projector(
+    state: Mapping[str, np.ndarray], cfg: ProjectorConfig, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    for i in range(cfg.mlp_depth):
+        params[f"fc{i}"] = {
+            "kernel": _lin(state, f"projector.fc{i}.weight", dtype),
+            "bias": _vec(state, f"projector.fc{i}.bias", dtype),
+        }
+    return params
+
+
+def import_radvlm(
+    raw_state: Mapping[str, Any], cfg: RadVLMConfig, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Full VLM import from either checkpoint layout (see module docstring)."""
+    state = normalize_keys(raw_state)
+    params = {
+        "vision_tower": import_siglip(state, cfg.vision, dtype),
+        "projector": import_projector(state, cfg.projector, dtype),
+        "text": import_qwen2(state, cfg.text, dtype),
+    }
+    if "image_newline" in state:
+        params["image_newline"] = jnp.asarray(state["image_newline"], dtype)
+    else:
+        params["image_newline"] = jnp.zeros((cfg.text.hidden_size,), dtype)
+    return params
+
+
+def load_radvlm_checkpoint(path: str, cfg: RadVLMConfig, dtype=jnp.bfloat16):
+    """Load a safetensors checkpoint directory into a RadVLM param pytree."""
+    return import_radvlm(load_safetensors_dir(path), cfg, dtype)
+
+
+def config_from_hf_dir(path: str) -> RadVLMConfig:
+    """Build a RadVLMConfig from an HF config.json (both layouts)."""
+    with open(os.path.join(path, "config.json")) as f:
+        data = json.load(f)
+    text_cfg = data.get("text_config", data)
+    vis_cfg = data.get("vision_config", {})
+    text = Qwen2Config(
+        vocab_size=text_cfg.get("vocab_size", 152064),
+        hidden_size=text_cfg.get("hidden_size", 3584),
+        intermediate_size=text_cfg.get("intermediate_size", 18944),
+        num_layers=text_cfg.get("num_hidden_layers", 28),
+        num_heads=text_cfg.get("num_attention_heads", 28),
+        num_kv_heads=text_cfg.get("num_key_value_heads", 4),
+        head_dim=text_cfg.get(
+            "head_dim",
+            text_cfg.get("hidden_size", 3584) // text_cfg.get("num_attention_heads", 28),
+        ),
+        rope_theta=text_cfg.get("rope_theta", 1e6),
+        rms_norm_eps=text_cfg.get("rms_norm_eps", 1e-6),
+        tie_word_embeddings=text_cfg.get("tie_word_embeddings", False),
+        max_position_embeddings=text_cfg.get("max_position_embeddings", 32768),
+    )
+    vision = SigLIPConfig(
+        hidden_size=vis_cfg.get("hidden_size", 1152),
+        intermediate_size=vis_cfg.get("intermediate_size", 4304),
+        num_layers=vis_cfg.get("num_hidden_layers", 26),
+        num_heads=vis_cfg.get("num_attention_heads", 16),
+        image_size=vis_cfg.get("image_size", 384),
+        patch_size=vis_cfg.get("patch_size", 14),
+    )
+    return RadVLMConfig(vision=vision, text=text)

@@ -1,0 +1,207 @@
+"""Qwen2 decoder as pure-functional JAX (TPU-native rebuild of the reference LLM).
+
+The reference wraps HF's torch Qwen2 (`finetuning/llava/model/language_model/
+llava_qwen.py:46-145`). Here the decoder is a functional pytree-of-arrays model:
+
+- parameters are nested dicts; the per-layer blocks are *stacked* along a leading
+  layer axis and the forward pass runs `jax.lax.scan` over them (one compiled block
+  body, fast XLA compiles, natural pipeline-parallel unit);
+- attention dispatches through `radvlm_tpu.ops.attention.mha` (Pallas flash kernel on
+  TPU, XLA reference elsewhere) with segment-id masking for packed/padded batches;
+- KV caches are stacked [num_layers, B, S, Hkv, D] arrays carried through the scan,
+  enabling `lax.while_loop` decode without per-layer Python state.
+
+Numerics contract (tested against HF transformers in tests/test_qwen2_parity.py):
+RMSNorm in fp32, rotary "rotate_half" convention, GQA with QKV bias, SwiGLU MLP.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radvlm_tpu.config import Qwen2Config
+from radvlm_tpu.ops.attention import apply_rope, mha, rms_norm
+
+Params = Dict[str, Any]
+
+
+def _dense(key, shape, scale=0.02):
+    return jax.random.normal(key, shape, jnp.float32) * scale
+
+
+def init_params(cfg: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random-init parameters (layout identical to what the HF importer produces)."""
+    keys = jax.random.split(key, 16)
+    d, hd = cfg.hidden_size, cfg.head_dim
+    h, hkv = cfg.num_heads, cfg.num_kv_heads
+    L = cfg.num_layers
+
+    def stack(shape, k, scale=0.02):
+        return _dense(k, (L,) + shape, scale).astype(dtype)
+
+    params: Params = {
+        "embed": {"embedding": _dense(keys[0], (cfg.vocab_size, d)).astype(dtype)},
+        "layers": {
+            "ln1": jnp.ones((L, d), dtype),
+            "ln2": jnp.ones((L, d), dtype),
+            "attn": {
+                "q": {"kernel": stack((d, h * hd), keys[1]), "bias": jnp.zeros((L, h * hd), dtype)},
+                "k": {"kernel": stack((d, hkv * hd), keys[2]), "bias": jnp.zeros((L, hkv * hd), dtype)},
+                "v": {"kernel": stack((d, hkv * hd), keys[3]), "bias": jnp.zeros((L, hkv * hd), dtype)},
+                "o": {"kernel": stack((h * hd, d), keys[4])},
+            },
+            "mlp": {
+                "gate": {"kernel": stack((d, cfg.intermediate_size), keys[5])},
+                "up": {"kernel": stack((d, cfg.intermediate_size), keys[6])},
+                "down": {"kernel": stack((cfg.intermediate_size, d), keys[7])},
+            },
+        },
+        "norm": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": _dense(keys[8], (d, cfg.vocab_size)).astype(dtype)}
+    return params
+
+
+def _block(
+    cfg: Qwen2Config,
+    lp: Params,
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray],
+    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    cache_index: Optional[jnp.ndarray],
+    cache_segment_ids: Optional[jnp.ndarray],
+    attn_impl: str,
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """One decoder block. x:[B,S,D]. Returns (x_out, new_kv)."""
+    b, s, d = x.shape
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    res = x
+    y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+    q = (y @ lp["attn"]["q"]["kernel"] + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
+    k = (y @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]).reshape(b, s, hkv, hd)
+    v = (y @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]).reshape(b, s, hkv, hd)
+    q = apply_rope(q, positions, cfg.rope_theta)
+    k = apply_rope(k, positions, cfg.rope_theta)
+
+    if kv_cache is not None:
+        # Decode/append mode: write new K/V at cache_index, attend over full cache.
+        ck, cv = kv_cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        attn = mha(
+            q,
+            ck,
+            cv,
+            q_segment_ids=segment_ids,
+            kv_segment_ids=cache_segment_ids,
+            causal=True,
+            q_offset=cache_index,
+            impl="xla" if attn_impl == "auto" else attn_impl,
+        )
+        new_kv = (ck, cv)
+    else:
+        attn = mha(
+            q,
+            k,
+            v,
+            q_segment_ids=segment_ids,
+            kv_segment_ids=segment_ids,
+            causal=True,
+            impl=attn_impl,
+        )
+        new_kv = None
+    attn = attn.reshape(b, s, h * hd)
+    x = res + attn @ lp["attn"]["o"]["kernel"]
+
+    res = x
+    y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(y @ lp["mlp"]["gate"]["kernel"])
+    up = y @ lp["mlp"]["up"]["kernel"]
+    x = res + (gate * up) @ lp["mlp"]["down"]["kernel"]
+    return x, new_kv
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed"]["embedding"], input_ids, axis=0)
+
+
+def forward(
+    params: Params,
+    cfg: Qwen2Config,
+    *,
+    input_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    cache_segment_ids: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    return_hidden: bool = False,
+):
+    """Run the decoder stack.
+
+    input_embeds: [B, S, D] (callers embed tokens or splice image embeddings first —
+    mirrors the reference's `inputs_embeds` path, `llava_qwen.py:103-114`).
+    kv_cache: stacked (k, v) each [L, B, Smax, Hkv, D]; cache_index: scalar write
+    offset; cache_segment_ids: [B, Smax] segment ids of cache contents (callers keep
+    them updated).
+
+    Returns (logits_or_hidden [B,S,V|D], new_kv_cache or None).
+    """
+    x = input_embeds
+    layer_params = params["layers"]
+
+    def body(carry, xs):
+        x = carry
+        lp, kv = xs
+        x, new_kv = _block(
+            cfg, lp, x, positions, segment_ids, kv, cache_index, cache_segment_ids,
+            attn_impl,
+        )
+        return x, new_kv
+
+    if remat:
+        body = jax.checkpoint(body, policy=jax.checkpoint_policies.nothing_saveable)
+
+    if kv_cache is not None:
+        x, new_cache = jax.lax.scan(body, x, (layer_params, kv_cache))
+    else:
+        def body_nocache(carry, lp):
+            x = carry
+            x, _ = _block(
+                cfg, lp, x, positions, segment_ids, None, None, None, attn_impl
+            )
+            return x, None
+
+        if remat:
+            body_nocache = jax.checkpoint(
+                body_nocache, policy=jax.checkpoint_policies.nothing_saveable
+            )
+        x, _ = jax.lax.scan(body_nocache, x, layer_params)
+        new_cache = None
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x, new_cache
+    logits = unembed(params, cfg, x)
+    return logits, new_cache
+
+
+def unembed(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarray:
+    if cfg.tie_word_embeddings:
+        return hidden @ params["embed"]["embedding"].T
+    return hidden @ params["lm_head"]["kernel"]
+
+
+def init_kv_cache(
+    cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

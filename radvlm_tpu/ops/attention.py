@@ -1,0 +1,187 @@
+"""Attention ops: XLA reference implementation + dispatch to the Pallas flash kernel.
+
+TPU-native replacement for the reference's flash-attn-2 CUDA dependency
+(`finetuning/llava/train/train.py:166`, `llama_flash_attn_monkey_patch.py:8-13`).
+Padded/packed batches are handled with segment IDs instead of cu_seqlens varlen
+kernels (`modeling_llama.py:505-533`) — segment-id masking composes with XLA's static
+shapes and with the Pallas kernel's block masking.
+
+Layout convention everywhere: [batch, seq, heads, head_dim] ("BSHD").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def make_attention_mask(
+    q_segment_ids: jnp.ndarray,
+    kv_segment_ids: jnp.ndarray,
+    causal: bool,
+    q_offset: int | jnp.ndarray = 0,
+) -> jnp.ndarray:
+    """Boolean [B, 1, Sq, Sk] mask. True = attend.
+
+    Segment id 0 means padding; tokens only attend within their own segment.
+    `q_offset` shifts query positions (used at decode time when the query block sits
+    at position `cache_len` of the KV sequence).
+    """
+    seg_mask = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]) & (
+        q_segment_ids[:, :, None] != 0
+    )
+    if causal:
+        sq, sk = q_segment_ids.shape[1], kv_segment_ids.shape[1]
+        q_pos = jnp.arange(sq)[:, None] + q_offset
+        k_pos = jnp.arange(sk)[None, :]
+        seg_mask = seg_mask & (q_pos >= k_pos)[None, :, :]
+    return seg_mask[:, None, :, :]
+
+
+def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """[B, S, Hkv, D] -> [B, S, Hkv*n_rep, D] for grouped-query attention."""
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(
+        b, s, h * n_rep, d
+    )
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Plain XLA attention. q:[B,Sq,H,D] k,v:[B,Sk,Hkv,D] mask:[B,1,Sq,Sk] bool.
+
+    Softmax runs in fp32 regardless of input dtype (bf16-safe), output matches the
+    query dtype. GQA is handled by repeating KV heads.
+    """
+    b, sq, h, d = q.shape
+    hkv = k.shape[2]
+    if hkv != h:
+        k = repeat_kv(k, h // hkv)
+        v = repeat_kv(v, h // hkv)
+    if scale is None:
+        scale = d ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    q_offset: int | jnp.ndarray = 0,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention entry point used by all models.
+
+    impl: "auto" picks the Pallas flash kernel on TPU for long-enough sequences,
+    otherwise the XLA reference path. "xla" / "flash" force a path.
+    """
+    use_flash = False
+    if impl == "flash":
+        use_flash = True
+    elif impl == "auto":
+        try:
+            platform = q.devices().pop().platform if hasattr(q, "devices") else None
+        except Exception:
+            platform = None
+        if platform is None:
+            platform = jax.default_backend()
+        # Flash kernel needs block-aligned shapes; use it for prefill-sized problems.
+        use_flash = (
+            platform == "tpu"
+            and q.shape[1] >= 128
+            and q.shape[1] == k.shape[1]
+            and q.shape[3] >= 64
+        )
+    if use_flash:
+        from radvlm_tpu.ops import flash_attention as fa
+
+        return fa.flash_attention(
+            q,
+            k,
+            v,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            causal=causal,
+            scale=scale,
+        )
+    mask = None
+    if q_segment_ids is not None:
+        mask = make_attention_mask(q_segment_ids, kv_segment_ids, causal, q_offset)
+    elif causal:
+        b = q.shape[0]
+        ones_q = jnp.ones((b, q.shape[1]), jnp.int32)
+        ones_k = jnp.ones((b, k.shape[1]), jnp.int32)
+        mask = make_attention_mask(ones_q, ones_k, causal, q_offset)
+    return mha_reference(q, k, v, mask=mask, scale=scale)
+
+
+def apply_rope(
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    theta: float,
+) -> jnp.ndarray:
+    """Rotary position embedding, HF 'split-half' convention.
+
+    x: [B, S, H, D]; positions: [B, S] int32. Matches HF Qwen2/Llama rotate_half:
+    rotated = (x * cos) + (rotate_half(x) * sin) with cos/sin built from
+    inv_freq = theta^(-2i/D) repeated over both halves.
+    """
+    d = x.shape[-1]
+    half = d // 2
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / d)
+    )  # [half]
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, half]
+    cos = jnp.cos(freqs)[:, :, None, :]  # [B, S, 1, half]
+    sin = jnp.sin(freqs)[:, :, None, :]
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    out1 = x1 * cos - x2 * sin
+    out2 = x2 * cos + x1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm with fp32 statistics (HF-compatible)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def layer_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float
+) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
