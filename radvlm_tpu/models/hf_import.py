@@ -89,9 +89,10 @@ def normalize_keys(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
         nk = nk.replace("language_model.lm_head.", "text.lm_head.")
         nk = nk.replace("model.vision_tower.vision_model.", "vision.")
         nk = nk.replace("vision_tower.vision_model.", "vision.")
+        nk = nk.replace("model.multi_modal_projector.linear_1.", "projector.fc0.")
+        nk = nk.replace("model.multi_modal_projector.linear_2.", "projector.fc1.")
         nk = nk.replace("multi_modal_projector.linear_1.", "projector.fc0.")
         nk = nk.replace("multi_modal_projector.linear_2.", "projector.fc1.")
-        nk = re.sub(r"^model\.multi_modal_projector\.", "multi_modal_projector.", nk)
         # --- plain Qwen2 / plain HF model ---
         nk = re.sub(r"^model\.", "text.", nk)
         nk = re.sub(r"^lm_head\.", "text.lm_head.", nk)

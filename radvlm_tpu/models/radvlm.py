@@ -1,0 +1,163 @@
+"""RadVLM model: SigLIP tower + projector + Qwen2, fused the TPU way.
+
+Rebuild of the reference fusion core (`finetuning/llava/model/llava_arch.py`):
+`prepare_inputs_labels_for_multimodal` (`llava_arch.py:251-555`) does per-sample
+Python-loop embedding splicing at -200 sentinels with dynamic shapes. Here the same
+semantics are compiled to static-shape XLA:
+
+1. every tile in the batch runs through the vision tower + projector in ONE batched
+   call (MXU-friendly, no per-image loop)  — `encode_tiles`;
+2. the per-image anyres merge (unpad/newline/token-cap, `llava_arch.py:350-406`) is a
+   precomputed sparse gather (`models/anyres.py`) applied per-sample — `merge`;
+3. the embedding splice at image positions (`llava_arch.py:449-531`) is a
+   `jnp.where` over a host-precomputed index map (`img_src`), not a scatter loop.
+
+All host-side preparation lives in `models/multimodal.py`; everything in this module
+is jit-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radvlm_tpu.config import IGNORE_INDEX, RadVLMConfig
+from radvlm_tpu.models import projector as projector_lib
+from radvlm_tpu.models import qwen2, siglip
+from radvlm_tpu.models.anyres import apply_merge
+
+Params = Dict[str, Any]
+
+
+def init_params(cfg: RadVLMConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "vision_tower": siglip.init_params(cfg.vision, k1, dtype),
+        "projector": projector_lib.init_params(
+            cfg.projector, cfg.vision.hidden_size, cfg.text.hidden_size, k2, dtype
+        ),
+        "text": qwen2.init_params(cfg.text, k3, dtype),
+        "image_newline": (
+            jax.random.normal(k4, (cfg.text.hidden_size,), jnp.float32)
+            / (cfg.text.hidden_size ** 0.5)
+        ).astype(dtype),
+    }
+
+
+def encode_tiles(
+    params: Params,
+    cfg: RadVLMConfig,
+    tiles: jnp.ndarray,
+    *,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """[N, ts, ts, 3] -> [N, 729, D_text]: vision tower + projector, one batch.
+
+    Equivalent of `encode_images` (`llava_arch.py:192-196`).
+    """
+    feats = siglip.forward(
+        params["vision_tower"], cfg.vision, tiles, remat=remat, attn_impl=attn_impl
+    )
+    return projector_lib.forward(params["projector"], cfg.projector, feats)
+
+
+def merge_image_features(
+    params: Params,
+    tile_feats: jnp.ndarray,
+    merge_indices: jnp.ndarray,
+    merge_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-sample anyres merge. tile_feats: [B, T, tpt, D]; merge_*: [B, N, 4].
+    Returns [B, N, D] merged image-token embeddings."""
+    newline = params["image_newline"]
+    return jax.vmap(lambda f, i, w: apply_merge(f, newline, i, w))(
+        tile_feats, merge_indices, merge_weights
+    )
+
+
+def splice_embeds(
+    params: Params,
+    tokens: jnp.ndarray,
+    img_src: jnp.ndarray,
+    merged: jnp.ndarray,
+) -> jnp.ndarray:
+    """Text embedding + image-token substitution.
+
+    tokens: [B, L] (image positions hold 0); img_src: [B, L] (-1 for text, else row
+    into `merged`); merged: [B, N, D]. Static-shape equivalent of the reference's
+    per-sample splice at IMAGE_TOKEN_INDEX (`llava_arch.py:449-493`).
+    """
+    text_emb = qwen2.embed_tokens(params["text"], tokens)
+    safe = jnp.clip(img_src, 0, merged.shape[1] - 1)
+    img_emb = jnp.take_along_axis(merged, safe[..., None], axis=1)
+    return jnp.where((img_src >= 0)[..., None], img_emb.astype(text_emb.dtype), text_emb)
+
+
+def forward(
+    params: Params,
+    cfg: RadVLMConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    remat: bool = False,
+    attn_impl: str = "auto",
+    kv_cache=None,
+    cache_index=None,
+    cache_segment_ids=None,
+    return_hidden: bool = False,
+):
+    """Full multimodal forward.
+
+    batch keys: tiles [B,T,ts,ts,3], merge_indices/weights [B,N,4], tokens [B,L],
+    img_src [B,L], positions [B,L], segment_ids [B,L].
+    Returns (logits [B,L,V], kv_cache').
+    """
+    b, t = batch["tiles"].shape[:2]
+    flat_tiles = batch["tiles"].reshape((b * t,) + batch["tiles"].shape[2:])
+    tile_feats = encode_tiles(
+        params, cfg, flat_tiles, remat=remat, attn_impl=attn_impl
+    ).reshape(b, t, cfg.tokens_per_tile, -1)
+    merged = merge_image_features(
+        params, tile_feats, batch["merge_indices"], batch["merge_weights"]
+    )
+    embeds = splice_embeds(params, batch["tokens"], batch["img_src"], merged)
+    return qwen2.forward(
+        params["text"],
+        cfg.text,
+        input_embeds=embeds,
+        positions=batch["positions"],
+        segment_ids=batch["segment_ids"],
+        kv_cache=kv_cache,
+        cache_index=cache_index,
+        cache_segment_ids=cache_segment_ids,
+        attn_impl=attn_impl,
+        remat=remat,
+        return_hidden=return_hidden,
+    )
+
+
+def loss_fn(
+    params: Params,
+    cfg: RadVLMConfig,
+    batch: Dict[str, jnp.ndarray],
+    *,
+    remat: bool = True,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Next-token cross entropy with IGNORE_INDEX masking (train.py supervised
+    masking contract; labels already shifted-compatible: labels[i] supervises
+    logits[i-1] as in HF causal LM)."""
+    logits, _ = forward(params, cfg, batch, remat=remat, attn_impl=attn_impl)
+    labels = batch["labels"]  # [B, L], IGNORE_INDEX where unsupervised
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    mask = (shift_labels != IGNORE_INDEX) & (batch["segment_ids"][:, 1:] != 0)
+    safe_labels = jnp.where(mask, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(nll * mask)
+    count = jnp.maximum(jnp.sum(mask), 1)
+    loss = total / count
+    return loss, {"loss": loss, "tokens": count}
