@@ -1,0 +1,100 @@
+"""Sharded-training tests on the 8-device virtual CPU mesh.
+
+TPU-native counterpart of the reference's only multi-node validation method —
+running on the real cluster (SURVEY.md §4): the full pjit train step (FSDP + TP
+sharded params, optimizer state, grad accumulation, freezing) executes on
+8 virtual devices, exercising the same GSPMD partitioning a v5e-8 slice would see.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radvlm_tpu import config as cfglib
+from radvlm_tpu.config import IMAGE_TOKEN_INDEX
+from radvlm_tpu.models import multimodal, radvlm
+from radvlm_tpu.parallel import mesh as meshlib
+from radvlm_tpu.parallel import sharding as shardlib
+from radvlm_tpu.training import train_step as ts
+from radvlm_tpu.training.optimizer import TrainConfig, make_optimizer, param_labels
+
+
+def make_batch(cfg, rng, batch=4, text_len=16):
+    samples = []
+    for i in range(batch):
+        img = rng.integers(0, 255, size=(70 + 9 * i, 60 + 5 * i, 3), dtype=np.uint8)
+        ids = list(rng.integers(1, cfg.text.vocab_size, size=text_len))
+        ids = ids[:3] + [IMAGE_TOKEN_INDEX] + ids[3:]
+        labels = list(rng.integers(1, cfg.text.vocab_size, size=len(ids)))
+        samples.append(
+            multimodal.build_sample(ids, [img], cfg, labels=labels)
+        )
+    return multimodal.collate(samples, pad_to_multiple=8)
+
+
+def test_train_step_8dev_mesh(rng):
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    cfg = cfglib.tiny_test_config()
+    tcfg = TrainConfig(total_steps=10, grad_accum_steps=2, micro_batch_size=2)
+    mesh = meshlib.make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    state, step_fn, _ = ts.setup_training(
+        mesh, cfg, tcfg, params, remat=True, attn_impl="xla"
+    )
+
+    # Params actually sharded (not replicated) on the mesh.
+    qk = state.params["text"]["layers"]["attn"]["q"]["kernel"]
+    assert len(qk.sharding.device_set) == 8
+
+    losses = []
+    for _ in range(4):  # 2 optimizer steps at accum=2
+        batch = ts.put_batch(mesh, make_batch(cfg, rng))
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 4
+    assert all(np.isfinite(l) for l in losses)
+    # With MultiSteps(2), params change only after even micro-steps; loss finite and
+    # grad norm positive is the smoke contract here.
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_freeze_masks():
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(0))
+
+    # Projector-only tuning (reference stage-1 style, train.py:1613-1665).
+    tcfg = TrainConfig(mm_tunable_parts="mm_mlp_adapter", total_steps=4,
+                       grad_accum_steps=1)
+    labels = param_labels(params, tcfg)
+    assert labels["projector"]["fc0"]["kernel"] == "projector"
+    assert labels["image_newline"] == "projector"
+    assert labels["text"]["norm"] == "frozen"
+    assert labels["vision_tower"]["pos_embed"] == "frozen"
+
+    tx, _ = make_optimizer(params, tcfg)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # Frozen leaves get exactly zero update; tuned leaves move.
+    assert float(jnp.abs(updates["text"]["norm"]).max()) == 0.0
+    assert float(jnp.abs(updates["projector"]["fc0"]["kernel"]).max()) > 0.0
+
+
+def test_per_module_lr_groups():
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(1))
+    tcfg = TrainConfig(
+        learning_rate=1e-5, vision_tower_lr=2e-6, warmup_ratio=0.0,
+        total_steps=100, grad_accum_steps=1, lr_schedule="constant",
+    )
+    tx, _ = make_optimizer(params, tcfg)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # AdamW first step: update = -lr * sign-ish(g); ratio of magnitudes ≈ lr ratio.
+    llm_u = float(jnp.abs(updates["text"]["layers"]["mlp"]["gate"]["kernel"]).mean())
+    vis_u = float(jnp.abs(updates["vision_tower"]["layers"]["mlp"]["fc1"]["kernel"]).mean())
+    assert llm_u == pytest.approx(1e-5, rel=0.05)
+    assert vis_u == pytest.approx(2e-6, rel=0.05)
