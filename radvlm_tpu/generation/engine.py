@@ -1,0 +1,206 @@
+"""Autoregressive generation engine (TPU-native decode loop).
+
+Rebuild of the reference's generation path (`finetuning/llava/model/language_model/
+llava_qwen.py:116-135` -> HF `generate` with KV cache): here prefill and decode are
+two jitted functions over a preallocated static-shape KV cache, and the full decode
+loop runs on-device inside `jax.lax.while_loop` (no per-token host round trip).
+
+Batching convention: prompts are LEFT-padded (multimodal.collate(left_pad=True)),
+so every row's last prompt token sits at index L-1 and decode writes at uniform
+cache index L+step while rotary positions stay per-sample (lengths[i]+step).
+
+Sampling: greedy / temperature / top-k / top-p, all compiled (sort-based top-p).
+Stop handling: eos-id set checked in-loop; stop *strings* are trimmed host-side by
+callers (the reference's KeywordsStoppingCriteria, `mm_utils.py:372-395`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radvlm_tpu.config import RadVLMConfig
+from radvlm_tpu.models import qwen2, radvlm
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 256
+    eos_token_ids: Tuple[int, ...] = ()
+    pad_token_id: int = 0
+    temperature: float = 0.0  # 0 -> greedy
+    top_k: int = 0  # 0 -> disabled
+    top_p: float = 1.0  # 1 -> disabled
+
+
+def sample_token(
+    logits: jnp.ndarray, gen: GenerationConfig, rng: jax.Array
+) -> jnp.ndarray:
+    """logits [B, V] -> token ids [B]."""
+    if gen.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / gen.temperature
+    if gen.top_k > 0:
+        kth = jax.lax.top_k(logits, gen.top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if gen.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep the smallest set of tokens with cumulative prob >= top_p.
+        keep = cum - probs < gen.top_p
+        threshold = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def prefill(
+    params: Params,
+    cfg: RadVLMConfig,
+    batch: Dict[str, jnp.ndarray],
+    max_len: int,
+    *,
+    attn_impl: str = "auto",
+    cache_dtype=jnp.bfloat16,
+):
+    """Encode images + run the prompt through the decoder, filling the KV cache.
+
+    batch: left-padded collate() output with padded length L <= max_len.
+    Returns (cache, cache_segment_ids [B, max_len], last_logits [B, V]).
+    """
+    b, l = batch["tokens"].shape
+    cache = qwen2.init_kv_cache(cfg.text, b, max_len, cache_dtype)
+    seg = batch["segment_ids"]
+    cache_seg = jnp.concatenate(
+        [seg, jnp.zeros((b, max_len - l), seg.dtype)], axis=1
+    )
+    logits, cache = radvlm.forward(
+        params,
+        cfg,
+        batch,
+        attn_impl=attn_impl,
+        kv_cache=cache,
+        cache_index=0,
+        cache_segment_ids=cache_seg,
+    )
+    return cache, cache_seg, logits[:, l - 1]
+
+
+def decode_step(
+    params: Params,
+    cfg: RadVLMConfig,
+    cache,
+    cache_seg: jnp.ndarray,
+    tok: jnp.ndarray,
+    positions: jnp.ndarray,
+    write_idx,
+    *,
+    attn_impl: str = "xla",
+):
+    """One decode step. tok [B], positions [B] (rope positions), write_idx scalar.
+
+    Returns (cache, cache_seg, logits [B, V]).
+    """
+    b = tok.shape[0]
+    cache_seg = jax.lax.dynamic_update_slice(
+        cache_seg, jnp.ones((b, 1), cache_seg.dtype), (0, write_idx)
+    )
+    embeds = qwen2.embed_tokens(params["text"], tok[:, None])
+    logits, cache = qwen2.forward(
+        params["text"],
+        cfg.text,
+        input_embeds=embeds,
+        positions=positions[:, None],
+        segment_ids=jnp.ones((b, 1), jnp.int32),
+        kv_cache=cache,
+        cache_index=write_idx,
+        cache_segment_ids=cache_seg,
+        attn_impl=attn_impl,
+    )
+    return cache, cache_seg, logits[:, 0]
+
+
+def _generate_impl(
+    params: Params,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    *,
+    cfg: RadVLMConfig,
+    gen: GenerationConfig,
+    attn_impl: str,
+) -> Dict[str, jnp.ndarray]:
+    b, l = batch["tokens"].shape
+    max_len = l + gen.max_new_tokens
+    cache, cache_seg, last_logits = prefill(
+        params, cfg, batch, max_len, attn_impl=attn_impl
+    )
+    lengths = batch["lengths"]  # [B] true prompt lengths
+
+    eos = jnp.asarray(
+        gen.eos_token_ids if gen.eos_token_ids else (-1,), jnp.int32
+    )
+
+    rng0, rng = jax.random.split(rng)
+    tok0 = sample_token(last_logits, gen, rng0)
+    out = jnp.full((b, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
+    out = out.at[:, 0].set(tok0)
+    done0 = jnp.any(tok0[:, None] == eos[None, :], axis=-1)
+    num0 = jnp.ones((b,), jnp.int32)  # tok0 already emitted
+
+    def cond(carry):
+        step, done, *_ = carry
+        return (step < gen.max_new_tokens) & ~jnp.all(done)
+
+    def body(carry):
+        step, done, num, tok, cache, cache_seg, out, rng = carry
+        # `tok` was emitted at output slot step-1; its rope position is
+        # lengths + (step-1) and its cache slot is l + (step-1).
+        positions = lengths + step - 1
+        write_idx = l + step - 1
+        cache, cache_seg, logits = decode_step(
+            params, cfg, cache, cache_seg, tok, positions, write_idx,
+            attn_impl="xla" if attn_impl == "auto" else attn_impl,
+        )
+        rng, sub = jax.random.split(rng)
+        nxt = sample_token(logits, gen, sub)
+        nxt = jnp.where(done, gen.pad_token_id, nxt)
+        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step))
+        num = num + (~done).astype(jnp.int32)
+        done = done | jnp.any(nxt[:, None] == eos[None, :], axis=-1)
+        return step + 1, done, num, nxt, cache, cache_seg, out, rng
+
+    _, done, num, tok, cache, cache_seg, out, rng = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), done0, num0, tok0, cache, cache_seg, out, rng)
+    )
+    return {"tokens": out, "num_tokens": num}
+
+
+def make_generate_fn(
+    cfg: RadVLMConfig, gen: GenerationConfig, *, attn_impl: str = "auto"
+):
+    """Jitted generate(params, batch, rng) -> {tokens [B, max_new], num_tokens [B]}.
+
+    One compilation per (batch, prompt-length) bucket; callers should pad prompts to
+    a small set of bucket lengths (collate pad_to_multiple).
+    """
+    return jax.jit(
+        functools.partial(_generate_impl, cfg=cfg, gen=gen, attn_impl=attn_impl)
+    )
+
+
+def trim_at_stop_strings(text: str, stop_strings: Sequence[str]) -> str:
+    """Host-side stop-string trim (KeywordsStoppingCriteria semantics)."""
+    cut = len(text)
+    for s in stop_strings:
+        i = text.find(s)
+        if i >= 0:
+            cut = min(cut, i)
+    return text[:cut]
