@@ -84,7 +84,10 @@ def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
     """
     b, h, w, c = pixels.shape
     gh, gw = h // patch, w // patch
-    x = pixels.reshape(b, gh, patch, gw, patch, c)
+    # Conv2d(stride=patch, kernel=patch) semantics: trailing pixels that don't fill
+    # a full patch are dropped (384 % 14 == 6 for SO400M-p14-384 -> 27x27 patches).
+    x = pixels[:, : gh * patch, : gw * patch, :]
+    x = x.reshape(b, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, p, p, C]
     return x.reshape(b, gh * gw, patch * patch * c)
 

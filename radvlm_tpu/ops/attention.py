@@ -111,12 +111,15 @@ def mha(
             platform = None
         if platform is None:
             platform = jax.default_backend()
-        # Flash kernel needs block-aligned shapes; use it for prefill-sized problems.
+        # Flash kernel needs lane-aligned head_dim and block-aligned sequence
+        # lengths; use it for prefill-sized problems (decode q_len==1 and the
+        # 729-token / head_dim-72 SigLIP tower stay on the fused-XLA path).
         use_flash = (
             platform == "tpu"
             and q.shape[1] >= 128
+            and q.shape[1] % 128 == 0
             and q.shape[1] == k.shape[1]
-            and q.shape[3] >= 64
+            and q.shape[3] % 128 == 0
         )
     if use_flash:
         from radvlm_tpu.ops import flash_attention as fa

@@ -1,0 +1,117 @@
+"""Flash-attention kernel parity vs the XLA reference implementation.
+
+Runs the Pallas kernel in interpreter mode on CPU (the TPU-native answer to
+"unit-test a CUDA kernel without a GPU"); the same code path compiles on real TPU.
+Covers: non-causal, causal, segment-id masking (padding + packing), GQA, and the
+custom-VJP backward against jax.grad of the reference.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radvlm_tpu.ops.attention import make_attention_mask, mha_reference
+from radvlm_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(rng, shape, dtype=jnp.float32):
+    return jnp.asarray(rng.normal(size=shape), dtype)
+
+
+def _ref(q, k, v, qseg=None, kseg=None, causal=False):
+    mask = None
+    if qseg is not None:
+        mask = make_attention_mask(qseg, kseg, causal)
+    elif causal:
+        b = q.shape[0]
+        ones_q = jnp.ones((b, q.shape[1]), jnp.int32)
+        ones_k = jnp.ones((b, k.shape[1]), jnp.int32)
+        mask = make_attention_mask(ones_q, ones_k, causal)
+    return mha_reference(q, k, v, mask=mask)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("gqa", [1, 2])
+def test_forward_parity(rng, causal, gqa):
+    b, s, h, d = 2, 256, 4, 64
+    q = _rand(rng, (b, s, h, d))
+    k = _rand(rng, (b, s, h // gqa, d))
+    v = _rand(rng, (b, s, h // gqa, d))
+    out = flash_attention(
+        q, k, v, causal=causal, block_q=128, block_k=128, interpret=True
+    )
+    ref = _ref(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_segment_ids_padding_and_packing(rng):
+    b, s, h, d = 2, 256, 2, 64
+    q = _rand(rng, (b, s, h, d))
+    k = _rand(rng, (b, s, h, d))
+    v = _rand(rng, (b, s, h, d))
+    # Row 0: two packed segments + tail padding; row 1: one segment + padding.
+    seg = np.zeros((b, s), np.int32)
+    seg[0, :100] = 1
+    seg[0, 100:200] = 2
+    seg[1, :173] = 1
+    seg = jnp.asarray(seg)
+    out = flash_attention(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+        block_q=128, block_k=128, interpret=True,
+    )
+    ref = _ref(q, k, v, qseg=seg, kseg=seg, causal=True)
+    valid = np.asarray(seg)[:, :, None, None] != 0
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("gqa", [1, 2])
+def test_backward_parity(rng, gqa):
+    b, s, h, d = 1, 256, 2, 64
+    q = _rand(rng, (b, s, h, d))
+    k = _rand(rng, (b, s, h // gqa, d))
+    v = _rand(rng, (b, s, h // gqa, d))
+    seg = np.zeros((b, s), np.int32)
+    seg[0, :200] = 1
+    seg = jnp.asarray(seg)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+            block_q=128, block_k=128, interpret=True,
+        )
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    def loss_ref(q, k, v):
+        o = _ref(q, k, v, qseg=seg, kseg=seg, causal=True)
+        # Zero out padding rows: the flash kernel emits 0 there, the reference
+        # emits an arbitrary masked-softmax value; grads through padding rows are
+        # irrelevant (loss masks them in real training).
+        o = o * (seg != 0)[:, :, None, None]
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=3e-5, rtol=3e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_bf16_forward(rng):
+    b, s, h, d = 1, 256, 2, 128
+    q = _rand(rng, (b, s, h, d), jnp.bfloat16)
+    k = _rand(rng, (b, s, h, d), jnp.bfloat16)
+    v = _rand(rng, (b, s, h, d), jnp.bfloat16)
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128,
+                          interpret=True)
+    ref = _ref(q, k, v, causal=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
