@@ -1,0 +1,109 @@
+"""Benchmark: CXR report-generation throughput (images/sec/chip) + p50 latency.
+
+Measures the BASELINE.json headline metric on whatever accelerator is attached:
+anyres-tiled CXR images -> SigLIP encode -> projector -> Qwen2 prefill -> 128-token
+greedy decode (the reference's report-generation inference path,
+`radvlm/evaluation/evaluate_instructions.py:119-192`), end to end including host
+preprocessing.
+
+Model width: RADVLM_BENCH_SIZE=0.5b (default; fits one v5e chip in bf16 alongside
+the KV cache) or 7b (needs a multi-chip mesh). Weights are random-init — throughput
+is weight-value-independent.
+
+The reference publishes no throughput numbers (BASELINE.md): vs_baseline is computed
+against PROVISIONAL_BASELINE_IMGS_PER_SEC, a declared stand-in for the PyTorch
+reference's A100 throughput, to be replaced by a measured figure when comparison
+hardware is available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+PROVISIONAL_BASELINE_IMGS_PER_SEC = 1.0  # A100 reference stand-in (see docstring)
+
+BATCH = int(os.environ.get("RADVLM_BENCH_BATCH", "8"))
+BATCHES = int(os.environ.get("RADVLM_BENCH_BATCHES", "4"))
+NEW_TOKENS = int(os.environ.get("RADVLM_BENCH_NEW_TOKENS", "128"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from radvlm_tpu import config as cfglib
+    from radvlm_tpu.config import IMAGE_TOKEN_INDEX
+    from radvlm_tpu.generation.engine import GenerationConfig, make_generate_fn
+    from radvlm_tpu.models import multimodal, radvlm
+
+    size = os.environ.get("RADVLM_BENCH_SIZE", "0.5b")
+    cfg = cfglib.radvlm_7b() if size == "7b" else cfglib.radvlm_0_5b()
+    params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+
+    def make_host_batch():
+        samples = []
+        for _ in range(BATCH):
+            # Synthetic CXR-shaped images (portrait, ~512px, like MIMIC JPEGs
+            # after the reference's preprocessing).
+            h = int(rng.integers(480, 560))
+            w = int(rng.integers(400, 520))
+            img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            # ~40-token report-generation prompt with one image sentinel.
+            ids = list(rng.integers(100, 50000, size=40))
+            ids = [IMAGE_TOKEN_INDEX] + ids
+            samples.append(multimodal.build_sample(ids, [img], cfg))
+        return multimodal.collate(samples, pad_to_multiple=512, left_pad=True)
+
+    gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_ids=())
+    gen_fn = make_generate_fn(cfg, gen)
+
+    # Warmup / compile.
+    hb = make_host_batch()
+    batch = {k: jnp.asarray(v) for k, v in hb.items()}
+    t0 = time.perf_counter()
+    out = gen_fn(params, batch, jax.random.key(1))
+    int(out["num_tokens"][0])  # force full completion (axon-safe sync)
+    compile_s = time.perf_counter() - t0
+
+    # Timed runs, host preprocessing included (it is part of the serving path).
+    lat = []
+    t_start = time.perf_counter()
+    for i in range(BATCHES):
+        t0 = time.perf_counter()
+        hb = make_host_batch()
+        batch = {k: jnp.asarray(v) for k, v in hb.items()}
+        out = gen_fn(params, batch, jax.random.key(2 + i))
+        int(out["num_tokens"][0])
+        lat.append(time.perf_counter() - t0)
+    total = time.perf_counter() - t_start
+
+    n_imgs = BATCH * BATCHES
+    n_chips = jax.device_count()
+    imgs_per_sec_chip = n_imgs / total / n_chips
+    p50_latency = float(np.percentile(lat, 50))
+    tokens_per_sec = n_imgs * NEW_TOKENS / total
+
+    print(json.dumps({
+        "metric": "cxr_report_images_per_sec_per_chip",
+        "value": round(imgs_per_sec_chip, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec_chip / PROVISIONAL_BASELINE_IMGS_PER_SEC, 4),
+        "p50_batch_latency_s": round(p50_latency, 3),
+        "decode_tokens_per_sec": round(tokens_per_sec, 1),
+        "model": f"radvlm-{size}",
+        "batch": BATCH,
+        "new_tokens": NEW_TOKENS,
+        "n_chips": n_chips,
+        "device": str(jax.devices()[0].device_kind),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

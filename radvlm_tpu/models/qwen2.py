@@ -101,8 +101,9 @@ def _block(
             q_segment_ids=segment_ids,
             kv_segment_ids=cache_segment_ids,
             causal=True,
-            q_offset=cache_index,
-            impl="xla" if attn_impl == "auto" else attn_impl,
+            q_offset=0 if isinstance(cache_index, int) and cache_index == 0
+            else cache_index,
+            impl=attn_impl,
         )
         new_kv = (ck, cv)
     else:

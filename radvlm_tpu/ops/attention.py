@@ -114,12 +114,19 @@ def mha(
         # Flash kernel needs lane-aligned head_dim and block-aligned sequence
         # lengths; use it for prefill-sized problems (decode q_len==1 and the
         # 729-token / head_dim-72 SigLIP tower stay on the fused-XLA path).
+        # Covers plain prefill (Sq == Sk) and prefill into a longer preallocated
+        # KV cache (Sq < Sk with q_offset 0: future cache slots are masked by the
+        # causal mask + kv segment ids). Decode (q_len 1) stays on the XLA path.
+        is_static_zero_offset = isinstance(q_offset, int) and q_offset == 0
         use_flash = (
             platform == "tpu"
             and q.shape[1] >= 128
             and q.shape[1] % 128 == 0
-            and q.shape[1] == k.shape[1]
-            and q.shape[3] % 128 == 0
+            and k.shape[1] % 128 == 0
+            and k.shape[1] >= q.shape[1]
+            and q.shape[3] % 64 == 0
+            and is_static_zero_offset
+            and (k.shape[1] == q.shape[1] or (causal and q_segment_ids is not None))
         )
     if use_flash:
         from radvlm_tpu.ops import flash_attention as fa

@@ -103,6 +103,29 @@ def test_backward_parity(rng, gqa):
         )
 
 
+def test_prefill_into_longer_cache(rng):
+    """Sq < Sk: prompt prefill writing into a preallocated decode cache — future
+    cache slots are zeros with segment id 0 and must not affect the output."""
+    b, sq, sk, h, d = 2, 256, 384, 2, 64
+    q = _rand(rng, (b, sq, h, d))
+    k = jnp.zeros((b, sk, h, d)).at[:, :sq].set(_rand(rng, (b, sq, h, d)))
+    v = jnp.zeros((b, sk, h, d)).at[:, :sq].set(_rand(rng, (b, sq, h, d)))
+    qseg = np.zeros((b, sq), np.int32)
+    qseg[0, :200] = 1
+    qseg[1, :] = 1
+    kseg = np.concatenate([qseg, np.zeros((b, sk - sq), np.int32)], axis=1)
+    qseg, kseg = jnp.asarray(qseg), jnp.asarray(kseg)
+    out = flash_attention(
+        q, k, v, q_segment_ids=qseg, kv_segment_ids=kseg, causal=True,
+        block_q=128, block_k=128, interpret=True,
+    )
+    ref = _ref(q, k, v, qseg=qseg, kseg=kseg, causal=True)
+    valid = np.asarray(qseg)[:, :, None, None] != 0
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5, rtol=2e-5
+    )
+
+
 def test_bf16_forward(rng):
     b, s, h, d = 1, 256, 2, 128
     q = _rand(rng, (b, s, h, d), jnp.bfloat16)
