@@ -1,0 +1,147 @@
+"""Chat templating / supervised masking / exporter tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from radvlm_tpu.config import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from radvlm_tpu.data import export
+from radvlm_tpu.data.chat import (
+    QWEN_CHATML,
+    llava_turns,
+    render_generation_prompt,
+    tokenize_chat_supervised,
+)
+
+
+def fake_tokenize(s):
+    # Deterministic, loss-free byte tokenizer (ids offset to dodge specials).
+    return [256 + b for b in s.encode()]
+
+
+def fake_detokenize(ids):
+    return bytes(i - 256 for i in ids).decode()
+
+
+def test_chatml_render():
+    txt = render_generation_prompt(
+        [("user", "<image>\nDescribe this X-ray.")],
+    )
+    assert txt == (
+        "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+        "<|im_start|>user\n<image>\nDescribe this X-ray.<|im_end|>\n"
+        "<|im_start|>assistant\n"
+    )
+
+
+def test_supervised_masking_roundtrip():
+    turns = [
+        ("user", "<image>\nWhat do you see?"),
+        ("assistant", "Cardiomegaly."),
+        ("user", "Where?"),
+        ("assistant", "At [0.30, 0.40, 0.70, 0.80]."),
+    ]
+    ids, labels = tokenize_chat_supervised(fake_tokenize, turns)
+    assert len(ids) == len(labels)
+    assert ids.count(IMAGE_TOKEN_INDEX) == 1
+    # Image sentinel is never supervised.
+    assert labels[ids.index(IMAGE_TOKEN_INDEX)] == IGNORE_INDEX
+    # The supervised tokens decode to exactly the assistant contents + <|im_end|>\n.
+    sup = [t for t, l in zip(ids, labels) if l != IGNORE_INDEX]
+    text = fake_detokenize(sup)
+    assert text == (
+        "Cardiomegaly.<|im_end|>\n"
+        "At [0.30, 0.40, 0.70, 0.80].<|im_end|>\n"
+    )
+    # Prompt regions (system/user/assistant-prefix) are all masked.
+    unsup = [t for t, l in zip(ids, labels) if l == IGNORE_INDEX and t >= 0]
+    assert "What do you see?" in fake_detokenize(unsup)
+    # And supervised labels equal their token ids.
+    assert all(l == t for t, l in zip(ids, labels) if l != IGNORE_INDEX)
+
+
+def test_llava_turns():
+    conv = [
+        {"from": "human", "value": "<image>\nQ1"},
+        {"from": "gpt", "value": "A1"},
+    ]
+    assert llava_turns(conv) == [("user", "<image>\nQ1"), ("assistant", "A1")]
+
+
+def test_llava_cell_and_export(tmp_path):
+    class FakeDS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return {
+                "img_path": f"/data/mimic/files/img{i}.jpg",
+                "instr": {"question": f"Q{i}", "answer": f"A{i}"},
+            }
+
+    entries = [export.MixtureEntry(FakeDS(), "mimic", repeats=2, max_samples=2)]
+    cells = export.export_dataset(entries, data_root="/data")
+    assert len(cells) == 4  # 2 samples x 2 repeats
+    c = cells[0]
+    assert c["image"] == "mimic/files/img0.jpg"
+    assert c["conversations"][0]["value"] == "<image>\nQ0"
+    assert c["conversations"][1] == {"from": "gpt", "value": "A0"}
+    assert cells[2]["id"] == "mimic_0_rep1"
+
+    out = tmp_path / "out" / "all_train.json"
+    export.write_json(cells, str(out))
+    assert len(json.load(open(out))) == 4
+
+
+def test_conversation_cell_passthrough():
+    sample = {
+        "img_path": "/x/i.jpg",
+        "conversation": [
+            {"from": "human", "value": "hi"},
+            {"from": "gpt", "value": "hello"},
+        ],
+    }
+    c = export.llava_cell(sample, "c0")
+    assert c["conversations"][0]["value"] == "<image>\nhi"
+    assert c["conversations"][1]["value"] == "hello"
+
+
+def test_grpo_rec_cell():
+    sample = {
+        "img_path": "/x/i.jpg",
+        "instr": {"question": "Locate X", "answer": "ans"},
+        "boxes": [[0.1234, 0.2, 0.3, 0.4]],
+    }
+    c = export.grpo_rec_cell(sample, "g0")
+    assert json.loads(c["solution"]) == {"bbox": [[0.12, 0.2, 0.3, 0.4]]}
+
+
+def test_sampling_strategies():
+    items = list(range(10))
+    assert export.apply_sampling_strategy(items, "first:3") == [0, 1, 2]
+    assert export.apply_sampling_strategy(items, "end:2") == [8, 9]
+    assert export.apply_sampling_strategy(items, "first:50%") == [0, 1, 2, 3, 4]
+    r = export.apply_sampling_strategy(items, "random:4")
+    assert len(r) == 4 and r == sorted(r)
+    assert export.apply_sampling_strategy(items, None) == items
+
+
+def test_yaml_mixture(tmp_path):
+    a = [{"id": f"a{i}"} for i in range(4)]
+    b = [{"id": f"b{i}"} for i in range(4)]
+    (tmp_path / "a.json").write_text(json.dumps(a))
+    (tmp_path / "b.json").write_text(json.dumps(b))
+    recipe = tmp_path / "mix.yaml"
+    recipe.write_text(
+        "datasets:\n"
+        f"  - json_path: {tmp_path}/a.json\n"
+        "    sampling_strategy: first:2\n"
+        f"  - json_path: {tmp_path}/b.json\n"
+        "    sampling_strategy: all\n"
+    )
+    cells = export.load_mixture(str(recipe))
+    assert [c["id"] for c in cells] == ["a0", "a1", "b0", "b1", "b2", "b3"]
+    # brace glob
+    cells2 = export.load_mixture(f"{tmp_path}/{{a,b}}.json")
+    assert len(cells2) == 8
