@@ -66,38 +66,108 @@ def init_params(cfg: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
     return params
 
 
+def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray):
+    b, s, _ = y.shape
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = (y @ lp["attn"]["q"]["kernel"] + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
+    k = (y @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]).reshape(b, s, hkv, hd)
+    v = (y @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]).reshape(b, s, hkv, hd)
+    q = apply_rope(q, positions, cfg.rope_theta)
+    k = apply_rope(k, positions, cfg.rope_theta)
+    return q, k, v
+
+
+def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray, attn: jnp.ndarray):
+    b, s = attn.shape[:2]
+    x = res + attn.reshape(b, s, -1) @ lp["attn"]["o"]["kernel"]
+    res = x
+    y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+    gate = jax.nn.silu(y @ lp["mlp"]["gate"]["kernel"])
+    up = y @ lp["mlp"]["up"]["kernel"]
+    return res + (gate * up) @ lp["mlp"]["down"]["kernel"]
+
+
 def _block(
     cfg: Qwen2Config,
     lp: Params,
     x: jnp.ndarray,
     positions: jnp.ndarray,
     segment_ids: Optional[jnp.ndarray],
-    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
-    cache_index: Optional[jnp.ndarray],
-    cache_segment_ids: Optional[jnp.ndarray],
     attn_impl: str,
-) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
-    """One decoder block. x:[B,S,D]. Returns (x_out, new_kv)."""
-    b, s, d = x.shape
-    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-
+) -> jnp.ndarray:
+    """One decoder block, no cache. x:[B,S,D]."""
     res = x
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-    q = (y @ lp["attn"]["q"]["kernel"] + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
-    k = (y @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]).reshape(b, s, hkv, hd)
-    v = (y @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]).reshape(b, s, hkv, hd)
-    q = apply_rope(q, positions, cfg.rope_theta)
-    k = apply_rope(k, positions, cfg.rope_theta)
+    q, k, v = _qkv(cfg, lp, y, positions)
+    attn = mha(
+        q, k, v,
+        q_segment_ids=segment_ids,
+        kv_segment_ids=segment_ids,
+        causal=True,
+        impl=attn_impl,
+    )
+    return _finish_block(cfg, lp, res, attn)
 
-    if kv_cache is not None:
-        # Decode/append mode: write new K/V at cache_index, attend over full cache.
-        ck, cv = kv_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+
+def _block_cached(
+    cfg: Qwen2Config,
+    lp: Params,
+    layer_idx: jnp.ndarray,
+    x: jnp.ndarray,
+    ck_all: jnp.ndarray,  # [L, B, Smax, Hkv*D] — full stacked cache (carry)
+    cv_all: jnp.ndarray,
+    positions: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray],
+    cache_index,
+    cache_segment_ids: jnp.ndarray,
+    attn_impl: str,
+):
+    """One decoder block writing/reading the stacked KV cache in place.
+
+    The cache rides in the scan *carry* and only the new tokens' [B,s,Hkv*D]
+    slice is written per layer — a per-step decode touches O(s) cache bytes for
+    writes instead of restacking the whole [L,...] cache (which the naive
+    scan-over-(params, cache) formulation does, costing a full read+write of the
+    cache every decode step). Layout [.., S, Hkv*D]: heads fold into the minor
+    dim so cache writes are reshape-free and the decode kernel's DMAs are fully
+    contiguous (see ops/decode_attention.py).
+    """
+    res = x
+    y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+    q, k, v = _qkv(cfg, lp, y, positions)
+    b, s = x.shape[:2]
+    hkv, hd = cfg.num_kv_heads, cfg.head_dim
+    k_flat = k.reshape(b, s, hkv * hd).astype(ck_all.dtype)[None]
+    v_flat = v.reshape(b, s, hkv * hd).astype(cv_all.dtype)[None]
+    ck_all = jax.lax.dynamic_update_slice(
+        ck_all, k_flat, (layer_idx, 0, cache_index, 0)
+    )
+    cv_all = jax.lax.dynamic_update_slice(
+        cv_all, v_flat, (layer_idx, 0, cache_index, 0)
+    )
+    smax = ck_all.shape[2]
+    if (
+        s == 1
+        and attn_impl in ("auto", "flash")
+        and smax % 128 == 0
+        and cfg.head_dim % 64 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        # Decode hot path: Pallas kernel indexes the stacked cache directly via
+        # scalar-prefetched layer index — zero slice materialization.
+        from radvlm_tpu.ops.decode_attention import decode_attention_stacked
+
+        attn = decode_attention_stacked(
+            q[:, 0], ck_all, cv_all, cache_segment_ids, layer_idx,
+            num_kv_heads=hkv,
+        )[:, None]
+    else:
+        ck_i = jax.lax.dynamic_index_in_dim(ck_all, layer_idx, 0, keepdims=False)
+        cv_i = jax.lax.dynamic_index_in_dim(cv_all, layer_idx, 0, keepdims=False)
         attn = mha(
             q,
-            ck,
-            cv,
+            ck_i.reshape(b, smax, hkv, hd),
+            cv_i.reshape(b, smax, hkv, hd),
             q_segment_ids=segment_ids,
             kv_segment_ids=cache_segment_ids,
             causal=True,
@@ -105,27 +175,7 @@ def _block(
             else cache_index,
             impl=attn_impl,
         )
-        new_kv = (ck, cv)
-    else:
-        attn = mha(
-            q,
-            k,
-            v,
-            q_segment_ids=segment_ids,
-            kv_segment_ids=segment_ids,
-            causal=True,
-            impl=attn_impl,
-        )
-        new_kv = None
-    attn = attn.reshape(b, s, h * hd)
-    x = res + attn @ lp["attn"]["o"]["kernel"]
-
-    res = x
-    y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(y @ lp["mlp"]["gate"]["kernel"])
-    up = y @ lp["mlp"]["up"]["kernel"]
-    x = res + (gate * up) @ lp["mlp"]["down"]["kernel"]
-    return x, new_kv
+    return _finish_block(cfg, lp, res, attn), ck_all, cv_all
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -159,27 +209,30 @@ def forward(
     x = input_embeds
     layer_params = params["layers"]
 
-    def body(carry, xs):
-        x = carry
-        lp, kv = xs
-        x, new_kv = _block(
-            cfg, lp, x, positions, segment_ids, kv, cache_index, cache_segment_ids,
-            attn_impl,
-        )
-        return x, new_kv
-
-    if remat:
-        body = jax.checkpoint(body, policy=jax.checkpoint_policies.nothing_saveable)
-
     if kv_cache is not None:
-        x, new_cache = jax.lax.scan(body, x, (layer_params, kv_cache))
+        def body_cached(carry, xs):
+            x, ck_all, cv_all = carry
+            lp, i = xs
+            x, ck_all, cv_all = _block_cached(
+                cfg, lp, i, x, ck_all, cv_all, positions, segment_ids,
+                cache_index, cache_segment_ids, attn_impl,
+            )
+            return (x, ck_all, cv_all), None
+
+        if remat:
+            body_cached = jax.checkpoint(
+                body_cached, policy=jax.checkpoint_policies.nothing_saveable
+            )
+        ck_all, cv_all = kv_cache
+        (x, ck_all, cv_all), _ = jax.lax.scan(
+            body_cached,
+            (x, ck_all, cv_all),
+            (layer_params, jnp.arange(cfg.num_layers)),
+        )
+        new_cache = (ck_all, cv_all)
     else:
         def body_nocache(carry, lp):
-            x = carry
-            x, _ = _block(
-                cfg, lp, x, positions, segment_ids, None, None, None, attn_impl
-            )
-            return x, None
+            return _block(cfg, lp, carry, positions, segment_ids, attn_impl), None
 
         if remat:
             body_nocache = jax.checkpoint(
@@ -204,5 +257,8 @@ def unembed(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarra
 def init_kv_cache(
     cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    """Stacked KV cache, layout [L, B, Smax, Hkv*D]: kv heads folded into the
+    minor dim so writes are reshape-free and the Pallas decode kernel's DMAs are
+    fully contiguous lane-aligned tiles."""
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads * cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

@@ -98,9 +98,14 @@ def mha(
 ) -> jnp.ndarray:
     """Multi-head attention entry point used by all models.
 
-    impl: "auto" picks the Pallas flash kernel on TPU for long-enough sequences,
-    otherwise the XLA reference path. "xla" / "flash" force a path.
+    q: [B, Sq, H, D]; k/v: [B, Sk, Hkv, D]. (The decode hot path does not come
+    through here — `models/qwen2._block_cached` calls the Pallas decode kernel on
+    the stacked cache directly.)
+
+    impl: "auto" picks a Pallas kernel on TPU where profitable, otherwise the XLA
+    reference path. "xla" / "flash" force a path.
     """
+    sk = k.shape[1]
     use_flash = False
     if impl == "flash":
         use_flash = True
@@ -112,21 +117,21 @@ def mha(
         if platform is None:
             platform = jax.default_backend()
         # Flash kernel needs lane-aligned head_dim and block-aligned sequence
-        # lengths; use it for prefill-sized problems (decode q_len==1 and the
-        # 729-token / head_dim-72 SigLIP tower stay on the fused-XLA path).
-        # Covers plain prefill (Sq == Sk) and prefill into a longer preallocated
-        # KV cache (Sq < Sk with q_offset 0: future cache slots are masked by the
-        # causal mask + kv segment ids). Decode (q_len 1) stays on the XLA path.
+        # lengths; use it for prefill-sized problems (the 729-token/head_dim-72
+        # SigLIP tower stays on the fused-XLA path). Covers plain prefill
+        # (Sq == Sk) and prefill into a longer preallocated KV cache (Sq < Sk
+        # with q_offset 0: future cache slots are masked by the causal mask +
+        # kv segment ids).
         is_static_zero_offset = isinstance(q_offset, int) and q_offset == 0
         use_flash = (
             platform == "tpu"
             and q.shape[1] >= 128
             and q.shape[1] % 128 == 0
-            and k.shape[1] % 128 == 0
-            and k.shape[1] >= q.shape[1]
+            and sk % 128 == 0
+            and sk >= q.shape[1]
             and q.shape[3] % 64 == 0
             and is_static_zero_offset
-            and (k.shape[1] == q.shape[1] or (causal and q_segment_ids is not None))
+            and (sk == q.shape[1] or (causal and q_segment_ids is not None))
         )
     if use_flash:
         from radvlm_tpu.ops import flash_attention as fa

@@ -1,0 +1,182 @@
+"""Pallas TPU decode attention: single-query GQA attention over the KV cache.
+
+The autoregressive decode step is pure HBM bandwidth: it must read the KV cache
+exactly once. The XLA path (`ops/attention.mha_reference`) materializes
+`repeat_kv` (Hq/Hkv x the cache traffic) plus a boolean mask and measured
+superlinear cost growth with context length on v5e. This kernel instead:
+
+- operates on the framework KV-cache layout [L, B, S, Hkv*D]: all kv heads fold
+  into the minor dimension, so every (block_k, Hkv*D) tile is a fully contiguous,
+  lane-aligned DMA (a [.., Hkv, S, 64] layout measured 86 GB/s vs 139 GB/s here);
+- takes the FULL stacked cache plus a scalar-prefetched layer index that feeds the
+  BlockSpec index map — the per-layer [B, S, Hkv*D] slice is never materialized;
+- fuses all kv heads per program (grid = (batch, kv blocks)): one DMA serves every
+  head group, with per-head [g, D] x [D, block] dots on the MXU and a shared
+  online-softmax over the stacked [H, block] score rows;
+- masks via kv segment ids only: a decode query attends every written cache slot
+  (unwritten slots carry segment id 0) — the engine's cache_segment_ids contract.
+
+Measured on v5e (0.5B geometry, batch 8, 4224 ctx): 24-layer decode attention
+2.98 ms vs 9.8 ms for the per-(head,block) variant and ~6x worse for XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+SUBLANES = 8
+
+
+def _fused_heads_kernel(
+    lidx_ref,  # scalar prefetch: [1] int32 layer index (consumed by index maps)
+    q_ref,  # [1, H, D]
+    k_ref,  # [1, 1, bk, Hkv*D] block of the stacked cache
+    v_ref,
+    kseg_ref,  # [1, SUBLANES, bk]
+    o_ref,  # [1, H, D]
+    m_scr,  # [H, 128] f32
+    l_scr,  # [H, 128] f32
+    acc_scr,  # [H, D] f32
+    *,
+    scale: float,
+    hkv: int,
+    g: int,
+    d: int,
+):
+    del lidx_ref
+    ik, nk = pl.program_id(1), pl.num_programs(1)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [H, D]
+    k = k_ref[0, 0]  # [bk, Hkv*D]
+    v = v_ref[0, 0]
+    ks = kseg_ref[0, :1, :]  # [1, bk]
+
+    s = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                q[h * g:(h + 1) * g, :],
+                k[:, h * d:(h + 1) * d],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(hkv)
+        ],
+        axis=0,
+    ) * scale  # [H, bk]
+    s = jnp.where(ks != 0, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                p[h * g:(h + 1) * g, :].astype(v.dtype),
+                v[:, h * d:(h + 1) * d],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(hkv)
+        ],
+        axis=0,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / safe).astype(o_ref.dtype)
+
+
+def _pick_block(s: int, pref: int) -> int:
+    """Largest multiple-of-128 divisor of s that is <= pref (s itself if none)."""
+    best = s
+    for m in range(s // 128, 0, -1):
+        bk = m * 128
+        if s % bk == 0:
+            if bk <= pref:
+                return bk
+            best = bk
+    return best
+
+
+def decode_attention_stacked(
+    q: jnp.ndarray,  # [B, H, D]
+    ck_all: jnp.ndarray,  # [L, B, S, Hkv*D] — FULL stacked cache
+    cv_all: jnp.ndarray,
+    kv_segment_ids: jnp.ndarray,  # [B, S]
+    layer_idx,  # scalar int32
+    *,
+    num_kv_heads: int,
+    scale: Optional[float] = None,
+    block_k: int = 1536,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused single-token GQA attention over one layer of the stacked cache."""
+    b, h, d = q.shape
+    s = ck_all.shape[2]
+    hkv = num_kv_heads
+    g = h // hkv
+    if scale is None:
+        scale = d ** -0.5
+    bk = _pick_block(s, block_k)
+    nk = s // bk
+
+    kseg = jax.lax.broadcast_in_dim(
+        kv_segment_ids.astype(jnp.int32), (b, SUBLANES, s), (0, 2)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nk),
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda ib, ik, l: (ib, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, bk, hkv * d), lambda ib, ik, l: (l[0], ib, ik, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, hkv * d), lambda ib, ik, l: (l[0], ib, ik, 0)
+            ),
+            pl.BlockSpec((1, SUBLANES, bk), lambda ib, ik, l: (ib, 0, ik)),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), lambda ib, ik, l: (ib, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fused_heads_kernel, scale=float(scale), hkv=hkv, g=g, d=d
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * h * s * d),
+            bytes_accessed=int(
+                2 * ck_all.size // ck_all.shape[0] * ck_all.dtype.itemsize
+            ),
+            transcendentals=int(b * h * s),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([layer_idx], jnp.int32).reshape(1), q, ck_all, cv_all, kseg)

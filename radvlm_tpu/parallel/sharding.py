@@ -98,5 +98,5 @@ def batch_shardings(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def kv_cache_pspec() -> P:
-    """KV cache [L, B, S, Hkv, D]: batch over data+fsdp, heads over tensor."""
-    return P(None, ("data", "fsdp"), None, "tensor", None)
+    """KV cache [L, B, S, Hkv*D]: batch over data+fsdp, heads over tensor."""
+    return P(None, ("data", "fsdp"), None, "tensor")

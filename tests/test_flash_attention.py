@@ -126,6 +126,36 @@ def test_prefill_into_longer_cache(rng):
     )
 
 
+def test_decode_attention_stacked(rng):
+    """Fused-heads decode kernel over the stacked [L,B,S,Hkv*D] cache vs the XLA
+    reference, including partially-written cache (segment id 0 tail)."""
+    from radvlm_tpu.ops.decode_attention import decode_attention_stacked
+
+    L, B, S, H, HKV, D = 3, 2, 256, 4, 2, 64
+    q = _rand(rng, (B, H, D))
+    ck = _rand(rng, (L, B, S, HKV * D))
+    cv = _rand(rng, (L, B, S, HKV * D))
+    seg = np.zeros((B, S), np.int32)
+    seg[0, :100] = 1
+    seg[1, :256] = 1
+    seg = jnp.asarray(seg)
+    for li in range(L):
+        out = decode_attention_stacked(
+            q, ck, cv, seg, jnp.int32(li), num_kv_heads=HKV,
+            block_k=128, interpret=True,
+        )
+        k = ck[li].reshape(B, S, HKV, D)
+        v = cv[li].reshape(B, S, HKV, D)
+        ref = mha_reference(
+            q[:, None], k, v,
+            mask=make_attention_mask(jnp.ones((B, 1), jnp.int32), seg, False),
+        )[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"layer {li}",
+        )
+
+
 def test_bf16_forward(rng):
     b, s, h, d = 1, 256, 2, 128
     q = _rand(rng, (b, s, h, d), jnp.bfloat16)
