@@ -1,0 +1,275 @@
+"""Evaluation harness: batched VLM inference over task datasets + metrics.
+
+Rebuild of `radvlm/evaluation/evaluate_instructions.py`: the reference runs 1
+sample/GPU-process with accelerate `PartialState` + `DistributedSampler` +
+`gather_object` (`:231-266`); here a single process drives the whole chip with
+*batched* KV-cached generation (length-bucketed, left-padded prompts -> one
+compiled graph per bucket), and multi-host runs shard the dataset by
+`jax.process_index()` and gather with `multihost_utils.process_allgather`.
+
+Task -> dataset wiring matches `evaluate_instructions.py:47-116`; prompting uses
+the qwen chatml template the reference's LLaVA-OV path uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from radvlm_tpu.config import RadVLMConfig
+from radvlm_tpu.data.chat import QWEN_CHATML, ChatTemplate, render_generation_prompt
+from radvlm_tpu.data.datasets import CHEXPERT_PATHOLOGIES
+from radvlm_tpu.eval import metrics as metrics_lib
+from radvlm_tpu.generation.engine import (
+    GenerationConfig,
+    make_generate_fn,
+    trim_at_stop_strings,
+)
+from radvlm_tpu.models import multimodal
+
+
+class Tokenizer:
+    """Protocol: encode/decode + special ids. Production impl wraps an HF
+    tokenizer (`load_hf_tokenizer`); tests inject fakes."""
+
+    def encode(self, text: str) -> List[int]:
+        raise NotImplementedError
+
+    def decode(self, ids: Sequence[int]) -> str:
+        raise NotImplementedError
+
+    eos_token_ids: Tuple[int, ...] = ()
+    pad_token_id: int = 0
+
+
+class HFTokenizer(Tokenizer):
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(path)
+        eos = [self.tok.eos_token_id]
+        im_end = self.tok.convert_tokens_to_ids("<|im_end|>")
+        if im_end is not None and im_end != self.tok.unk_token_id:
+            eos.append(im_end)
+        self.eos_token_ids = tuple(i for i in dict.fromkeys(eos) if i is not None)
+        self.pad_token_id = self.tok.pad_token_id or 0
+
+    def encode(self, text: str) -> List[int]:
+        return self.tok.encode(text, add_special_tokens=False)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self.tok.decode(ids, skip_special_tokens=True)
+
+
+@dataclasses.dataclass
+class VLMRunner:
+    """Bundles params + config + tokenizer and runs batched generation.
+
+    Caches one compiled generate fn per (batch, prompt-bucket) shape.
+    """
+
+    params: Any
+    cfg: RadVLMConfig
+    tokenizer: Tokenizer
+    template: ChatTemplate = QWEN_CHATML
+    max_new_tokens: int = 512
+    batch_size: int = 8
+    pad_to_multiple: int = 512
+    attn_impl: str = "auto"
+
+    def __post_init__(self):
+        self._gen_fns: Dict[Tuple[int, int], Callable] = {}
+        self._rng_seed = 0
+
+    def _gen_fn(self, gen: GenerationConfig):
+        import jax
+
+        key = (gen.max_new_tokens,)
+        if key not in self._gen_fns:
+            self._gen_fns[key] = make_generate_fn(
+                self.cfg, gen, attn_impl=self.attn_impl
+            )
+        return self._gen_fns[key]
+
+    def build_prompt(
+        self, question: str, history: Sequence[Tuple[str, str]] = ()
+    ) -> str:
+        turns = list(history) + [("user", question)]
+        return render_generation_prompt(turns, template=self.template)
+
+    def generate_batch(
+        self,
+        prompts: Sequence[str],
+        images_per_prompt: Sequence[Sequence[np.ndarray]],
+        *,
+        max_new_tokens: Optional[int] = None,
+    ) -> List[str]:
+        """prompts contain <image> markers; returns decoded, stop-trimmed text."""
+        import jax
+        import jax.numpy as jnp
+
+        gen = GenerationConfig(
+            max_new_tokens=max_new_tokens or self.max_new_tokens,
+            eos_token_ids=self.tokenizer.eos_token_ids,
+            pad_token_id=self.tokenizer.pad_token_id,
+        )
+        samples = [
+            multimodal.build_sample(
+                multimodal.tokenize_with_images(self.tokenizer.encode, p),
+                imgs,
+                self.cfg,
+            )
+            for p, imgs in zip(prompts, images_per_prompt)
+        ]
+        # Pad the batch up to batch_size so every call hits the same compiled
+        # shape (duplicate the last sample as filler).
+        n_real = len(samples)
+        while len(samples) < self.batch_size:
+            samples.append(samples[-1])
+        batch = multimodal.collate(
+            samples, pad_to_multiple=self.pad_to_multiple, left_pad=True
+        )
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        self._rng_seed += 1
+        out = self._gen_fn(gen)(self.params, batch, jax.random.key(self._rng_seed))
+        toks = np.asarray(out["tokens"])
+        nums = np.asarray(out["num_tokens"])
+        texts = []
+        for i in range(n_real):
+            ids = [t for t in toks[i, : nums[i]] if t not in gen.eos_token_ids]
+            text = self.tokenizer.decode(ids)
+            texts.append(trim_at_stop_strings(text, self.template.stop_strings))
+        return texts
+
+
+# ---------------------------------------------------------------------------
+# Task registry (mirrors evaluate_instructions.py:47-116)
+# ---------------------------------------------------------------------------
+
+
+def build_task_dataset(task: str, data_dir: str, **overrides):
+    """task name -> configured dataset adapter over $DATA_DIR layout."""
+    from radvlm_tpu.data import datasets as ds
+
+    d = data_dir
+    if task == "report_generation":
+        return ds.MIMICCXRDataset(
+            os.path.join(d, "MIMIC-CXR-JPG"), split="test", only_frontal=True,
+            filtered_reports_dir=overrides.get("filtered_reports_dir"),
+            flag_img=True, flag_lab=False, **_rest(overrides, "filtered_reports_dir"),
+        )
+    if task == "abnormality_classification":
+        return ds.MIMICCXRDataset(
+            os.path.join(d, "MIMIC-CXR-JPG"), split="test", only_frontal=True,
+            classif=True, **overrides,
+        )
+    if task == "abnormality_grounding":
+        return ds.VinDrCXRSingleLabelDataset(
+            os.path.join(d, "VinDr-CXR"), split="test", **overrides
+        )
+    if task == "abnormality_detection":
+        return ds.VinDrCXRDataset(
+            os.path.join(d, "VinDr-CXR"), split="test", **overrides
+        )
+    if task == "anatomical_grounding":
+        return ds.ChestImaGenomeDataset(
+            root=os.path.join(d, "MIMIC-CXR-JPG"),
+            chestima_root=os.path.join(d, "CHEST_IMA"),
+            split="test", pick_one_region=True, **overrides,
+        )
+    if task == "phrase_grounding":
+        return ds.MSCXRDataset(
+            root=os.path.join(d, "MIMIC-CXR-JPG"), split="test",
+            sentences_bbox_dir=os.path.join(d, "MS-CXR", "sentences_and_BBox_mscxr"),
+            **overrides,
+        )
+    raise ValueError(f"unknown task {task!r}")
+
+
+def _rest(d, *drop):
+    return {k: v for k, v in d.items() if k not in drop}
+
+
+METRIC_TASK_ALIAS = {
+    "anatomical_grounding": "region_grounding",
+}
+
+GT_FIELDS = {
+    "report_generation": ("txt",),
+    "abnormality_classification": ("labels",),
+    "abnormality_grounding": ("boxes", "label"),
+    "abnormality_detection": ("boxes", "labels"),
+    "anatomical_grounding": ("boxes", "label"),
+    "phrase_grounding": ("boxes", "label"),
+}
+
+
+def run_task(
+    runner: VLMRunner,
+    dataset,
+    task: str,
+    *,
+    max_samples: Optional[int] = None,
+    output_dir: Optional[str] = None,
+    model_name: str = "radvlm",
+    with_clinical: bool = True,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> Tuple[List[Dict], Dict[str, float]]:
+    """Run inference over `dataset` and compute task metrics.
+
+    Multi-host: each process takes indices i with i % num_processes ==
+    process_index (the DistributedSampler contract) and results are allgathered.
+    """
+    import jax
+
+    n = len(dataset)
+    if max_samples is not None:
+        n = min(n, max_samples)
+    pidx, pcount = jax.process_index(), jax.process_count()
+    my_indices = list(range(pidx, n, pcount))
+
+    results: List[Dict] = []
+    bs = runner.batch_size
+    for start in range(0, len(my_indices), bs):
+        chunk = my_indices[start:start + bs]
+        samples = [dataset[i] for i in chunk]
+        prompts = [
+            runner.build_prompt("<image>\n" + s["instr"]["question"])
+            for s in samples
+        ]
+        images = [[s["img"]] for s in samples]
+        outputs = runner.generate_batch(prompts, images)
+        for s, out in zip(samples, outputs):
+            cell = {"output": out, "instr": s["instr"]}
+            for f in GT_FIELDS[task]:
+                cell[f] = s.get(f)
+            results.append(cell)
+        if progress:
+            progress(min(start + bs, len(my_indices)), len(my_indices))
+
+    if pcount > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(results)
+        results = [r for proc in gathered for r in proc]
+
+    metric_task = METRIC_TASK_ALIAS.get(task, task)
+    metrics = metrics_lib.evaluate_results(
+        metric_task,
+        results,
+        labels=[p.lower() for p in CHEXPERT_PATHOLOGIES],
+        with_clinical=with_clinical,
+    )
+
+    if output_dir and jax.process_index() == 0:
+        os.makedirs(output_dir, exist_ok=True)
+        base = os.path.join(output_dir, f"{model_name}_{task}")
+        with open(base + "_outputs.json", "w") as f:
+            json.dump(results, f)
+        with open(base + "_metrics.json", "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f, indent=2)
+    return results, metrics
