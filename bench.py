@@ -46,6 +46,11 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    # Fixed padded shapes so every batch hits ONE compiled graph (variable image
+    # sizes still flow through the anyres tiler; collate pads to these buckets).
+    PAD_TILES = 6
+    PAD_LEN = 4096
+
     def make_host_batch():
         samples = []
         for _ in range(BATCH):
@@ -58,7 +63,10 @@ def main():
             ids = list(rng.integers(100, 50000, size=40))
             ids = [IMAGE_TOKEN_INDEX] + ids
             samples.append(multimodal.build_sample(ids, [img], cfg))
-        return multimodal.collate(samples, pad_to_multiple=512, left_pad=True)
+        return multimodal.collate(
+            samples, pad_len=PAD_LEN, pad_tiles=PAD_TILES,
+            pad_to_multiple=512, left_pad=True,
+        )
 
     gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_ids=())
     gen_fn = make_generate_fn(cfg, gen)

@@ -1,0 +1,258 @@
+"""Training data pipeline: LLaVA-json dataset -> bucketed, prefetched batches.
+
+Rebuild of the reference's `LazySupervisedDataset` + `DataCollatorForSupervised
+Dataset` + `LengthGroupedSampler` stack (`finetuning/llava/train/train.py:955-1293`,
+`llava_trainer.py:51-237`), redesigned for XLA's static shapes:
+
+- samples are length-estimated up front (text tokens + anyres image-token budget —
+  the reference's `modality_lengths`) and grouped into LENGTH BUCKETS; each batch
+  is drawn from one bucket and padded to the bucket's fixed (seq, tiles) shape, so
+  the whole epoch compiles a handful of graphs instead of one per shape;
+- batches are assembled by a background thread pool (the reference uses 4 torch
+  DataLoader workers per rank) with a bounded prefetch queue;
+- the retry ladder for corrupt samples (`train.py:1101-1132`) becomes an explicit
+  skip-with-log (deterministic, no hidden resampling);
+- multi-host: each process keeps indices i % process_count == process_index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from radvlm_tpu.config import RadVLMConfig
+from radvlm_tpu.data.chat import QWEN_CHATML, ChatTemplate, llava_turns, tokenize_chat_supervised
+from radvlm_tpu.data.datasets import load_image
+from radvlm_tpu.models import multimodal
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class LlavaJsonDataset:
+    """LLaVA-json training cells + image root -> MMSamples.
+
+    cells: list of {"image": rel path (optional), "conversations": [...]}.
+    """
+
+    cells: List[Dict[str, Any]]
+    image_root: str
+    cfg: RadVLMConfig
+    tokenize_fn: Callable[[str], List[int]]
+    template: ChatTemplate = QWEN_CHATML
+    max_len: Optional[int] = None
+
+    def __len__(self) -> int:
+        return len(self.cells)
+
+    def estimated_length(self, i: int) -> int:
+        """Cheap length estimate for bucketing (reference `modality_lengths`,
+        `train.py:1040-1058`): ~chars/4 text tokens + a fixed image budget."""
+        cell = self.cells[i]
+        text_chars = sum(len(c["value"]) for c in cell["conversations"])
+        img_tokens = (
+            self.cfg.tokens_per_tile * 5 if cell.get("image") else 0
+        )
+        return text_chars // 4 + img_tokens + 64
+
+    def __getitem__(self, i: int) -> multimodal.MMSample:
+        cell = self.cells[i]
+        turns = llava_turns(cell["conversations"])
+        ids, labels = tokenize_chat_supervised(
+            self.tokenize_fn, turns, template=self.template
+        )
+        if self.max_len is not None and len(ids) > self.max_len:
+            ids, labels = ids[: self.max_len], labels[: self.max_len]
+        images = []
+        if cell.get("image"):
+            paths = cell["image"]
+            if isinstance(paths, str):
+                paths = [paths]
+            images = [load_image(os.path.join(self.image_root, p)) for p in paths]
+        n_sentinels = sum(1 for t in ids if t < 0)
+        images = images[:n_sentinels]
+        return multimodal.build_sample(ids, images, self.cfg, labels=labels)
+
+
+@dataclasses.dataclass(frozen=True)
+class Bucket:
+    max_len: int  # padded sequence length
+    max_tiles: int
+
+
+DEFAULT_BUCKETS = (
+    Bucket(1024, 1),
+    Bucket(2048, 5),
+    Bucket(4096, 6),
+    Bucket(6144, 10),
+    Bucket(8192, 10),
+)
+
+
+def assign_buckets(
+    lengths: Sequence[int], buckets: Sequence[Bucket]
+) -> List[int]:
+    """Index of the smallest bucket whose max_len fits each length (longest
+    bucket absorbs overflow — samples get truncated at collate)."""
+    out = []
+    for l in lengths:
+        for bi, b in enumerate(buckets):
+            if l <= b.max_len:
+                out.append(bi)
+                break
+        else:
+            out.append(len(buckets) - 1)
+    return out
+
+
+def bucketed_batches(
+    lengths: Sequence[int],
+    batch_size: int,
+    *,
+    buckets: Sequence[Bucket] = DEFAULT_BUCKETS,
+    seed: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
+    drop_remainder: bool = True,
+) -> List[Tuple[int, List[int]]]:
+    """Deterministic epoch plan: [(bucket_idx, sample_indices)].
+
+    Within a bucket, order is shuffled; batch order across buckets is shuffled
+    too (the reference's LengthGroupedSampler megabatch shuffle,
+    `llava_trainer.py:196-237`). Each process keeps every process_count-th batch.
+    """
+    rng = np.random.default_rng(seed)
+    assignment = assign_buckets(lengths, buckets)
+    per_bucket: Dict[int, List[int]] = {}
+    for i, b in enumerate(assignment):
+        per_bucket.setdefault(b, []).append(i)
+    batches: List[Tuple[int, List[int]]] = []
+    for b, idxs in sorted(per_bucket.items()):
+        idxs = list(rng.permutation(idxs))
+        end = len(idxs) - (len(idxs) % batch_size) if drop_remainder else len(idxs)
+        for s in range(0, end, batch_size):
+            batches.append((b, [int(x) for x in idxs[s:s + batch_size]]))
+    order = rng.permutation(len(batches))
+    batches = [batches[i] for i in order]
+    return batches[process_index::process_count]
+
+
+class PrefetchLoader:
+    """Background-assembled batch stream with fixed bucket shapes."""
+
+    def __init__(
+        self,
+        dataset: LlavaJsonDataset,
+        batch_size: int,
+        *,
+        buckets: Sequence[Bucket] = DEFAULT_BUCKETS,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.buckets = list(buckets)
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self._lengths = [
+            dataset.estimated_length(i) for i in range(len(dataset))
+        ]
+
+    def epoch_plan(self, epoch: int) -> List[Tuple[int, List[int]]]:
+        return bucketed_batches(
+            self._lengths,
+            self.batch_size,
+            buckets=self.buckets,
+            seed=self.seed + epoch,
+            process_index=self.process_index,
+            process_count=self.process_count,
+        )
+
+    def _build(self, plan_entry: Tuple[int, List[int]]) -> Dict[str, np.ndarray]:
+        b, idxs = plan_entry
+        bucket = self.buckets[b]
+        samples = []
+        for i in idxs:
+            try:
+                s = self.dataset[i]
+            except Exception as e:  # corrupt image / bad cell: skip, log
+                log.warning("skipping sample %d: %s", i, e)
+                continue
+            samples.append(s)
+        if not samples:
+            raise RuntimeError(f"entire batch failed to load: {idxs}")
+        while len(samples) < len(idxs):  # keep the batch shape static
+            samples.append(samples[-1])
+        batch = multimodal.collate(
+            samples,
+            pad_len=bucket.max_len,
+            pad_tiles=bucket.max_tiles,
+            pad_to_multiple=128,
+        )
+        # Hard-clip overflow (longest-bucket absorbs) to the bucket shape.
+        if batch["tokens"].shape[1] > bucket.max_len:
+            for key in ("tokens", "img_src", "labels", "segment_ids", "positions"):
+                batch[key] = batch[key][:, : bucket.max_len]
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.epoch(0)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        plan = self.epoch_plan(epoch)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            # Sliding window of outstanding builds (bounds memory: completed
+            # batches only live in `q`, at most `prefetch` + window of them).
+            window = self.num_workers + 2
+            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                pending = []
+                it = iter(plan)
+                for p in it:
+                    pending.append(ex.submit(self._build, p))
+                    if len(pending) < window:
+                        continue
+                    fut = pending.pop(0)
+                    if stop.is_set():
+                        return
+                    try:
+                        q.put(fut.result())
+                    except Exception as e:
+                        q.put(e)
+                for fut in pending:
+                    if stop.is_set():
+                        return
+                    try:
+                        q.put(fut.result())
+                    except Exception as e:
+                        q.put(e)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

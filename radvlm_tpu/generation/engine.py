@@ -103,7 +103,7 @@ def decode_step(
     positions: jnp.ndarray,
     write_idx,
     *,
-    attn_impl: str = "xla",
+    attn_impl: str = "auto",
 ):
     """One decode step. tok [B], positions [B] (rope positions), write_idx scalar.
 
@@ -138,7 +138,11 @@ def _generate_impl(
     attn_impl: str,
 ) -> Dict[str, jnp.ndarray]:
     b, l = batch["tokens"].shape
+    # Cache length rounded to a 128 multiple: the Pallas flash-prefill and
+    # decode kernels require lane-aligned Smax (extra tail slots are never
+    # attendable — their segment ids stay 0).
     max_len = l + gen.max_new_tokens
+    max_len = ((max_len + 127) // 128) * 128
     cache, cache_seg, last_logits = prefill(
         params, cfg, batch, max_len, attn_impl=attn_impl
     )
@@ -167,7 +171,7 @@ def _generate_impl(
         write_idx = l + step - 1
         cache, cache_seg, logits = decode_step(
             params, cfg, cache, cache_seg, tok, positions, write_idx,
-            attn_impl="xla" if attn_impl == "auto" else attn_impl,
+            attn_impl=attn_impl,
         )
         rng, sub = jax.random.split(rng)
         nxt = sample_token(logits, gen, sub)

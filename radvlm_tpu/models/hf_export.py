@@ -1,0 +1,151 @@
+"""HF checkpoint export: radvlm_tpu param pytrees -> HF-layout safetensors.
+
+Reverse of `models/hf_import.py`, covering the reference converter's role
+(`radvlm/evaluation/convert_llava_onevision_weights_to_hf.py`): after training
+here, weights export to the converted HF `LlavaOnevisionForConditionalGeneration`
+layout (`language_model.model.*`, `vision_tower.vision_model.*`,
+`multi_modal_projector.linear_{1,2}.*`, `image_newline`) so HF transformers can
+load and verify them. Round-trip (export -> import) is tested bit-exact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from radvlm_tpu.config import RadVLMConfig
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def _lin(kernel) -> np.ndarray:
+    """Our [in, out] kernel -> HF Linear weight [out, in]."""
+    return np.ascontiguousarray(_np(kernel).T)
+
+
+def export_qwen2(params: Mapping[str, Any], prefix: str = "language_model.model.") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    out[prefix + "embed_tokens.weight"] = _np(params["embed"]["embedding"])
+    lp = params["layers"]
+    L = lp["ln1"].shape[0]
+    for i in range(L):
+        p = f"{prefix}layers.{i}."
+        out[p + "input_layernorm.weight"] = _np(lp["ln1"][i])
+        out[p + "post_attention_layernorm.weight"] = _np(lp["ln2"][i])
+        for name in ("q", "k", "v"):
+            out[p + f"self_attn.{name}_proj.weight"] = _lin(lp["attn"][name]["kernel"][i])
+            out[p + f"self_attn.{name}_proj.bias"] = _np(lp["attn"][name]["bias"][i])
+        out[p + "self_attn.o_proj.weight"] = _lin(lp["attn"]["o"]["kernel"][i])
+        out[p + "mlp.gate_proj.weight"] = _lin(lp["mlp"]["gate"]["kernel"][i])
+        out[p + "mlp.up_proj.weight"] = _lin(lp["mlp"]["up"]["kernel"][i])
+        out[p + "mlp.down_proj.weight"] = _lin(lp["mlp"]["down"]["kernel"][i])
+    out[prefix + "norm.weight"] = _np(params["norm"])
+    if "lm_head" in params:
+        head_prefix = prefix.replace(".model.", ".")
+        out[head_prefix + "lm_head.weight"] = _lin(params["lm_head"]["kernel"])
+    return out
+
+
+def export_siglip(
+    params: Mapping[str, Any],
+    cfg: RadVLMConfig,
+    prefix: str = "vision_tower.vision_model.",
+) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    vis = cfg.vision
+    p_sz = vis.patch_size
+    kernel = _np(params["patch_embed"]["kernel"])  # [(p*p*3), D]
+    d = kernel.shape[1]
+    conv = kernel.reshape(p_sz, p_sz, 3, d).transpose(3, 2, 0, 1)  # [D, C, p, p]
+    out[prefix + "embeddings.patch_embedding.weight"] = np.ascontiguousarray(conv)
+    out[prefix + "embeddings.patch_embedding.bias"] = _np(params["patch_embed"]["bias"])
+    out[prefix + "embeddings.position_embedding.weight"] = _np(params["pos_embed"])
+    lp = params["layers"]
+    L = lp["ln1"]["scale"].shape[0]
+    for i in range(L):
+        p = f"{prefix}encoder.layers.{i}."
+        out[p + "layer_norm1.weight"] = _np(lp["ln1"]["scale"][i])
+        out[p + "layer_norm1.bias"] = _np(lp["ln1"]["bias"][i])
+        out[p + "layer_norm2.weight"] = _np(lp["ln2"]["scale"][i])
+        out[p + "layer_norm2.bias"] = _np(lp["ln2"]["bias"][i])
+        for name, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                         ("o", "out_proj")):
+            out[p + f"self_attn.{hf}.weight"] = _lin(lp["attn"][name]["kernel"][i])
+            out[p + f"self_attn.{hf}.bias"] = _np(lp["attn"][name]["bias"][i])
+        out[p + "mlp.fc1.weight"] = _lin(lp["mlp"]["fc1"]["kernel"][i])
+        out[p + "mlp.fc1.bias"] = _np(lp["mlp"]["fc1"]["bias"][i])
+        out[p + "mlp.fc2.weight"] = _lin(lp["mlp"]["fc2"]["kernel"][i])
+        out[p + "mlp.fc2.bias"] = _np(lp["mlp"]["fc2"]["bias"][i])
+    out[prefix + "post_layernorm.weight"] = _np(params["post_ln"]["scale"])
+    out[prefix + "post_layernorm.bias"] = _np(params["post_ln"]["bias"])
+    return out
+
+
+def export_radvlm(params: Mapping[str, Any], cfg: RadVLMConfig) -> Dict[str, np.ndarray]:
+    state = {}
+    state.update(export_qwen2(params["text"]))
+    state.update(export_siglip(params["vision_tower"], cfg))
+    for i in range(cfg.projector.mlp_depth):
+        state[f"multi_modal_projector.linear_{i + 1}.weight"] = _lin(
+            params["projector"][f"fc{i}"]["kernel"]
+        )
+        state[f"multi_modal_projector.linear_{i + 1}.bias"] = _np(
+            params["projector"][f"fc{i}"]["bias"]
+        )
+    state["image_newline"] = _np(params["image_newline"])
+    return state
+
+
+def save_safetensors(state: Dict[str, np.ndarray], path: str) -> None:
+    """Write one model.safetensors (+ config stub) into `path`."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    # safetensors.numpy rejects ml_dtypes bfloat16 arrays in some versions;
+    # upcast those to float32 for portability.
+    clean = {}
+    for k, v in state.items():
+        if v.dtype.kind not in "fiu":
+            v = v.astype(np.float32)
+        elif v.dtype.itemsize == 2 and v.dtype.kind == "f" and v.dtype.name == "bfloat16":
+            v = v.astype(np.float32)
+        clean[k] = v
+    save_file(clean, os.path.join(path, "model.safetensors"))
+
+
+def save_radvlm_hf(params, cfg: RadVLMConfig, path: str) -> None:
+    state = export_radvlm(params, cfg)
+    save_safetensors(state, path)
+    config = {
+        "architectures": ["LlavaOnevisionForConditionalGeneration"],
+        "model_type": "llava_onevision",
+        "text_config": {
+            "vocab_size": cfg.text.vocab_size,
+            "hidden_size": cfg.text.hidden_size,
+            "intermediate_size": cfg.text.intermediate_size,
+            "num_hidden_layers": cfg.text.num_layers,
+            "num_attention_heads": cfg.text.num_heads,
+            "num_key_value_heads": cfg.text.num_kv_heads,
+            "head_dim": cfg.text.head_dim,
+            "rope_theta": cfg.text.rope_theta,
+            "rms_norm_eps": cfg.text.rms_norm_eps,
+            "tie_word_embeddings": cfg.text.tie_word_embeddings,
+            "max_position_embeddings": cfg.text.max_position_embeddings,
+        },
+        "vision_config": {
+            "hidden_size": cfg.vision.hidden_size,
+            "intermediate_size": cfg.vision.intermediate_size,
+            "num_hidden_layers": cfg.vision.num_layers,
+            "num_attention_heads": cfg.vision.num_heads,
+            "image_size": cfg.vision.image_size,
+            "patch_size": cfg.vision.patch_size,
+        },
+        "image_grid_pinpoints": [list(p) for p in cfg.anyres.pinpoints],
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)

@@ -149,7 +149,7 @@ def build_sample(
     tiles_arr = (
         np.concatenate(tiles_list, axis=0)
         if tiles_list
-        else np.zeros((1, anyres.tile_size, anyres.tile_size, 3), np.float32)
+        else np.zeros((1, anyres.tile_size, anyres.tile_size, 3), np.uint8)
     )
     return MMSample(
         tokens=np.asarray(out_tokens, np.int32),
@@ -193,7 +193,7 @@ def collate(
     labels = np.full((b, L), IGNORE_INDEX, np.int32)
     segment_ids = np.zeros((b, L), np.int32)
     positions = np.zeros((b, L), np.int32)
-    tiles = np.zeros((b, T, ts, ts, 3), np.float32)
+    tiles = np.zeros((b, T, ts, ts, 3), samples[0].tiles.dtype)
     merge_indices = np.zeros((b, N, 4), np.int32)
     merge_weights = np.zeros((b, N, 4), np.float32)
     lengths = np.zeros((b,), np.int32)

@@ -56,8 +56,13 @@ def encode_tiles(
 ) -> jnp.ndarray:
     """[N, ts, ts, 3] -> [N, 729, D_text]: vision tower + projector, one batch.
 
-    Equivalent of `encode_images` (`llava_arch.py:192-196`).
+    Equivalent of `encode_images` (`llava_arch.py:192-196`). Accepts uint8 tiles
+    (normalized on device — keeps host->HBM traffic 4x smaller) or pre-normalized
+    float tiles.
     """
+    from radvlm_tpu.ops.image_ops import normalize_tiles_device
+
+    tiles = normalize_tiles_device(tiles)
     feats = siglip.forward(
         params["vision_tower"], cfg.vision, tiles, remat=remat, attn_impl=attn_impl
     )

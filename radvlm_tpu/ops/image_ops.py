@@ -71,11 +71,15 @@ def resize_and_pad_host(
 
 
 def preprocess_anyres_host(
-    img_np: np.ndarray, cfg: AnyResConfig
+    img_np: np.ndarray, cfg: AnyResConfig, *, normalize: bool = False
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Full-fidelity host path. img_np: uint8 [H, W, 3].
 
-    Returns (tiles [T, ts, ts, 3] float32 normalized, image_size (w, h)).
+    Returns (tiles [T, ts, ts, 3], image_size (w, h)). By default tiles stay
+    uint8 — 4x less host->HBM transfer — and `normalize_tiles_device` (applied in
+    the model entry) performs the exact (x/255 - 0.5)/0.5 on device; padding is
+    black in both orders so the results are identical. normalize=True gives the
+    f32 host-normalized tiles (golden-reference path for parity tests).
     """
     if img_np.ndim == 2:
         img_np = np.stack([img_np] * 3, axis=-1)
@@ -83,22 +87,33 @@ def preprocess_anyres_host(
     ts = cfg.tile_size
     best_w, best_h = select_best_resolution((ow, oh), cfg.pinpoints)
     padded = resize_and_pad_host(img_np, (best_w, best_h))
-    tiles = [normalize_pixels(_resize_pil(img_np, (ts, ts)))]  # base tile first
+    post = normalize_pixels if normalize else (lambda x: x)
+    tiles = [post(_resize_pil(img_np, (ts, ts)))]  # base tile first
     for r in range(0, best_h, ts):
         for c in range(0, best_w, ts):
-            tiles.append(normalize_pixels(padded[r : r + ts, c : c + ts]))
+            tiles.append(post(padded[r : r + ts, c : c + ts]))
     return np.stack(tiles), (ow, oh)
 
 
 def preprocess_single_host(
-    img_np: np.ndarray, cfg: AnyResConfig
+    img_np: np.ndarray, cfg: AnyResConfig, *, normalize: bool = False
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Base-resolution-only path (square resize, 1 tile)."""
     if img_np.ndim == 2:
         img_np = np.stack([img_np] * 3, axis=-1)
     oh, ow = img_np.shape[:2]
     ts = cfg.tile_size
-    return normalize_pixels(_resize_pil(img_np, (ts, ts)))[None], (ow, oh)
+    post = normalize_pixels if normalize else (lambda x: x)
+    return post(_resize_pil(img_np, (ts, ts)))[None], (ow, oh)
+
+
+def normalize_tiles_device(tiles: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Device-side (x/255 - mean)/std for integer tiles; float tiles pass through
+    (already normalized on host)."""
+    if jnp.issubdtype(tiles.dtype, jnp.integer):
+        x = tiles.astype(dtype) / 255.0
+        return (x - SIGLIP_MEAN) / SIGLIP_STD
+    return tiles
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,151 @@
+"""SFT training driver: data -> sharded step -> checkpoints -> logs.
+
+Rebuild of the reference's `train()` orchestration
+(`finetuning/llava/train/train.py:1449-1725` + HF Trainer loop): builds the mesh,
+loads/initializes params (HF import or random), freezes per mm_tunable_parts,
+streams bucketed batches from the PrefetchLoader, runs the pjit train step, and
+checkpoints with orbax (auto-resume from the latest step like the reference's
+checkpoint-* glob).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from radvlm_tpu.config import RadVLMConfig
+from radvlm_tpu.data.export import load_mixture
+from radvlm_tpu.data.loader import Bucket, DEFAULT_BUCKETS, LlavaJsonDataset, PrefetchLoader
+from radvlm_tpu.parallel import mesh as meshlib
+from radvlm_tpu.training import checkpoint as ckpt_lib
+from radvlm_tpu.training import train_step as ts
+from radvlm_tpu.training.optimizer import TrainConfig
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class RunConfig:
+    model: RadVLMConfig
+    train: TrainConfig
+    data_path: str  # llava json / brace glob / yaml mixture
+    image_root: str
+    mesh_shape: Optional[Dict[str, int]] = None
+    micro_batch_size: int = 8  # per step (global across batch axes)
+    max_steps: Optional[int] = None
+    num_epochs: int = 1
+    log_every: int = 10
+    checkpoint_dir: Optional[str] = None
+    save_steps: int = 200
+    max_to_keep: int = 1
+    resume: bool = True
+    seed: int = 0
+    buckets: tuple = DEFAULT_BUCKETS
+    remat: bool = True
+    attn_impl: str = "auto"
+    loader_workers: int = 8
+
+
+def train(
+    run: RunConfig,
+    tokenize_fn: Callable[[str], List[int]],
+    *,
+    init_params: Optional[Any] = None,
+    hf_checkpoint: Optional[str] = None,
+    metrics_callback: Optional[Callable[[int, Dict[str, float]], None]] = None,
+):
+    """Run SFT. Returns the final TrainState."""
+    import jax
+    import jax.numpy as jnp
+
+    mesh = meshlib.make_mesh(run.mesh_shape)
+    log.info("mesh: %s", dict(mesh.shape))
+
+    # --- params ---
+    if init_params is not None:
+        params = init_params
+    elif hf_checkpoint:
+        from radvlm_tpu.models.hf_import import load_radvlm_checkpoint
+
+        params = load_radvlm_checkpoint(hf_checkpoint, run.model, dtype=jnp.float32)
+    else:
+        from radvlm_tpu.models import radvlm
+
+        params = radvlm.init_params(run.model, jax.random.key(run.seed))
+
+    state, step_fn, tx = ts.setup_training(
+        mesh, run.model, run.train, params,
+        remat=run.remat, attn_impl=run.attn_impl,
+    )
+    del params
+
+    # --- resume ---
+    manager = None
+    if run.checkpoint_dir:
+        manager = ckpt_lib.make_manager(
+            run.checkpoint_dir,
+            max_to_keep=run.max_to_keep,
+            save_interval_steps=run.save_steps,
+        )
+        last = ckpt_lib.latest_step(manager)
+        if run.resume and last is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                state,
+            )
+            state = ckpt_lib.restore_state(manager, last, abstract)
+            log.info("resumed from step %d", last)
+
+    # --- data ---
+    cells = load_mixture(run.data_path)
+    dataset = LlavaJsonDataset(
+        cells=cells,
+        image_root=run.image_root,
+        cfg=run.model,
+        tokenize_fn=tokenize_fn,
+        max_len=run.buckets[-1].max_len,
+    )
+    loader = PrefetchLoader(
+        dataset,
+        run.micro_batch_size,
+        buckets=run.buckets,
+        seed=run.seed,
+        num_workers=run.loader_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    # --- loop ---
+    step = int(state.step)
+    t_last = time.perf_counter()
+    tokens_seen = 0
+    for epoch in range(run.num_epochs):
+        for host_batch in loader.epoch(epoch):
+            if run.max_steps is not None and step >= run.max_steps:
+                break
+            batch = ts.put_batch(mesh, host_batch)
+            state, metrics = step_fn(state, batch)
+            step += 1
+            tokens_seen += int(host_batch["segment_ids"].sum())
+            if step % run.log_every == 0:
+                now = time.perf_counter()
+                m = {k: float(v) for k, v in metrics.items()}
+                m["tokens_per_sec"] = tokens_seen / max(now - t_last, 1e-9)
+                tokens_seen = 0
+                t_last = now
+                log.info("step %d: %s", step, m)
+                if metrics_callback:
+                    metrics_callback(step, m)
+            if manager:
+                ckpt_lib.save_state(manager, step, state)
+        if run.max_steps is not None and step >= run.max_steps:
+            break
+
+    if manager:
+        ckpt_lib.save_state(manager, step, state)
+        ckpt_lib.wait_until_finished(manager)
+    return state

@@ -45,7 +45,20 @@ def init_train_state(
     state is born sharded — no host-side 2x-memory spike, the ZeRO-3 property)."""
     params = shardlib.shard_params(mesh, params)
     opt_state = jax.jit(tx.init)(params)
-    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+    # Leaves that inherited param shardings are fine; scalars (schedule counts,
+    # MultiSteps counters) come out single-device — pin them replicated on the
+    # mesh so the restored-from-checkpoint state composes with the step fn.
+    rep = NamedSharding(mesh, P())
+
+    def _on_mesh(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape:
+            return x
+        return jax.device_put(x, rep)
+
+    opt_state = jax.tree.map(_on_mesh, opt_state)
+    step = jax.device_put(jnp.zeros((), jnp.int32), rep)
+    return TrainState(step=step, params=params, opt_state=opt_state)
 
 
 def make_train_step(

@@ -102,7 +102,12 @@ def test_vlm_logits_match_hf(hf_model, img_hw):
     # --- HF pipeline: feed the same tiles (base-first order) as pixel_values ---
     n_img = sample.num_image_tokens
     hf_ids = [5, 6, 7] + [IMAGE_TOKEN_ID] * n_img + [9, 10, 11, 12]
-    pixel_values = torch.tensor(sample.tiles).permute(0, 3, 1, 2)[None]
+    # Our tiles stay uint8 (normalized on device); HF expects normalized floats.
+    from radvlm_tpu.ops.image_ops import normalize_pixels
+
+    pixel_values = torch.tensor(
+        normalize_pixels(sample.tiles)
+    ).permute(0, 3, 1, 2)[None]
     image_sizes = torch.tensor([[img_hw[0], img_hw[1]]])  # (height, width)
     with torch.no_grad():
         out = hf_model(

@@ -1,0 +1,139 @@
+"""End-to-end training driver test: llava-json on disk -> sharded steps ->
+orbax checkpoint -> resume. Plus loader bucketing and HF export round-trip."""
+
+import json
+import logging
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radvlm_tpu import config as cfglib
+from radvlm_tpu.data.loader import (
+    Bucket,
+    LlavaJsonDataset,
+    PrefetchLoader,
+    assign_buckets,
+    bucketed_batches,
+)
+from radvlm_tpu.training.loop import RunConfig, train
+from radvlm_tpu.training.optimizer import TrainConfig
+
+
+def fake_tokenize(s):
+    return [2 + (b % 200) for b in s.encode()][:64]
+
+
+@pytest.fixture
+def llava_data(tmp_path):
+    from PIL import Image
+
+    img_root = tmp_path / "images"
+    img_root.mkdir()
+    rng = np.random.default_rng(0)
+    cells = []
+    for i in range(8):
+        name = f"img{i}.png"
+        Image.fromarray(
+            rng.integers(0, 255, size=(60 + i, 56, 3), dtype=np.uint8)
+        ).save(img_root / name)
+        cells.append({
+            "id": f"c{i}",
+            "image": name,
+            "conversations": [
+                {"from": "human", "value": f"<image>\nDescribe scan {i}."},
+                {"from": "gpt", "value": f"Finding number {i} is present."},
+            ],
+        })
+    data_path = tmp_path / "train.json"
+    data_path.write_text(json.dumps(cells))
+    return str(data_path), str(img_root)
+
+
+def test_bucketing():
+    lengths = [100, 900, 1500, 5000]
+    buckets = (Bucket(512, 2), Bucket(1024, 4), Bucket(2048, 6))
+    assert assign_buckets(lengths, buckets) == [0, 1, 2, 2]
+    plan = bucketed_batches(
+        [100] * 7, batch_size=2, buckets=buckets, drop_remainder=True
+    )
+    assert len(plan) == 3  # 7 -> 3 full batches
+    assert all(b == 0 for b, _ in plan)
+    # multi-process split covers disjoint batches
+    p0 = bucketed_batches([100] * 8, 2, buckets=buckets, process_index=0, process_count=2)
+    p1 = bucketed_batches([100] * 8, 2, buckets=buckets, process_index=1, process_count=2)
+    seen = [tuple(i) for _, i in p0 + p1]
+    assert len(seen) == 4 and len(set(seen)) == 4
+
+
+def test_loader_shapes(llava_data):
+    data_path, img_root = llava_data
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    ds = LlavaJsonDataset(
+        cells=json.load(open(data_path)), image_root=img_root, cfg=cfg,
+        tokenize_fn=fake_tokenize,
+    )
+    buckets = (Bucket(512, 6),)
+    loader = PrefetchLoader(ds, 4, buckets=buckets, num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["tokens"].shape == (4, 512)
+        assert b["tiles"].shape[1] == 6
+        # supervised labels exist (assistant turns)
+        assert (b["labels"] != -100).sum() > 0
+
+
+def test_train_and_resume(llava_data, tmp_path):
+    data_path, img_root = llava_data
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    run = RunConfig(
+        model=cfg,
+        train=TrainConfig(total_steps=6, grad_accum_steps=1, warmup_ratio=0.0),
+        data_path=data_path,
+        image_root=img_root,
+        mesh_shape={"data": 2, "fsdp": 2, "tensor": 2},
+        micro_batch_size=4,
+        max_steps=2,
+        log_every=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        save_steps=1,
+        buckets=(Bucket(512, 6),),
+        attn_impl="xla",
+        loader_workers=2,
+    )
+    seen = {}
+    state = train(run, fake_tokenize,
+                  metrics_callback=lambda s, m: seen.setdefault(s, m))
+    assert int(state.step) == 2
+    assert all(np.isfinite(m["loss"]) for m in seen.values())
+
+    # Resume: same config continues from step 2.
+    run2 = RunConfig(**{**run.__dict__, "max_steps": 3})
+    state2 = train(run2, fake_tokenize)
+    assert int(state2.step) == 3
+
+
+def test_hf_export_roundtrip():
+    from radvlm_tpu.models import radvlm
+    from radvlm_tpu.models.hf_export import export_radvlm
+    from radvlm_tpu.models.hf_import import import_radvlm
+
+    cfg = cfglib.tiny_test_config(vocab_size=128)
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    state = export_radvlm(params, cfg)
+    # HF-layout keys present
+    assert "language_model.model.layers.0.self_attn.q_proj.weight" in state
+    assert "vision_tower.vision_model.embeddings.patch_embedding.weight" in state
+    assert "multi_modal_projector.linear_1.weight" in state
+    back = import_radvlm(state, cfg, dtype=jnp.float32)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(back)}
+    for k, v in flat_a:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_b[ks]), atol=0, rtol=0, err_msg=ks
+        )
