@@ -200,6 +200,85 @@ def make_generate_fn(
     )
 
 
+def make_stream_fns(cfg: RadVLMConfig, *, attn_impl: str = "auto"):
+    """Jitted (prefill_fn, step_fn) pair for host-driven token streaming.
+
+    The serving worker streams tokens as they decode (reference
+    `model_worker.py:161-183` TextIteratorStreamer pattern): prefill once on
+    device, then one jitted decode step per token with the cache donated between
+    steps.
+
+    prefill_fn(params, batch, max_len static) -> (cache, cache_seg, logits [B,V])
+    step_fn(params, cache, cache_seg, tok [B], positions [B], write_idx) ->
+        (cache, cache_seg, logits [B,V])
+    """
+    import functools as ft
+
+    import jax
+
+    pf = jax.jit(
+        ft.partial(prefill, cfg=cfg, attn_impl=attn_impl),
+        static_argnames=("max_len",),
+    )
+
+    @ft.partial(jax.jit, donate_argnums=(1, 2))
+    def step_fn(params, cache, cache_seg, tok, positions, write_idx):
+        return decode_step(
+            params, cfg, cache, cache_seg, tok, positions, write_idx,
+            attn_impl=attn_impl,
+        )
+
+    def prefill_fn(params, batch, max_len: int):
+        return pf(params=params, batch=batch, max_len=max_len)
+
+    return prefill_fn, step_fn
+
+
+def stream_generate(
+    params: Params,
+    cfg: RadVLMConfig,
+    batch: Dict[str, jnp.ndarray],
+    gen: GenerationConfig,
+    *,
+    stream_fns=None,
+    attn_impl: str = "auto",
+    rng: Optional[jax.Array] = None,
+):
+    """Yield one [B] token array per decode step (host-streamed generation)."""
+    import jax
+
+    if stream_fns is None:
+        stream_fns = make_stream_fns(cfg, attn_impl=attn_impl)
+    prefill_fn, step_fn = stream_fns
+    if rng is None:
+        rng = jax.random.key(0)
+
+    b, l = batch["tokens"].shape
+    max_len = ((l + gen.max_new_tokens + 127) // 128) * 128
+    cache, cache_seg, logits = prefill_fn(params, batch, max_len)
+    lengths = batch["lengths"]
+    eos = set(gen.eos_token_ids)
+    import numpy as np
+
+    done = np.zeros((b,), bool)
+    rng, sub = jax.random.split(rng)
+    tok = sample_token(logits, gen, sub)
+    for step in range(gen.max_new_tokens):
+        tok_np = np.asarray(tok)
+        tok_np = np.where(done, gen.pad_token_id, tok_np)
+        done |= np.isin(tok_np, list(eos)) if eos else False
+        yield tok_np
+        if done.all() or step == gen.max_new_tokens - 1:
+            break
+        positions = lengths + step
+        write_idx = l + step
+        cache, cache_seg, logits = step_fn(
+            params, cache, cache_seg, jnp.asarray(tok_np), positions, write_idx
+        )
+        rng, sub = jax.random.split(rng)
+        tok = sample_token(logits, gen, sub)
+
+
 def trim_at_stop_strings(text: str, stop_strings: Sequence[str]) -> str:
     """Host-side stop-string trim (KeywordsStoppingCriteria semantics)."""
     cut = len(text)
