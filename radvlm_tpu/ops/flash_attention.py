@@ -477,6 +477,45 @@ def _flash_bwd(causal, scale, block_q, block_k, interpret, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def flash_attention_with_lse(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-only fused attention returning (out [B,Sq,H,D], lse [B,H,Sq]).
+
+    The logsumexp output makes partial attentions mergeable — the building block
+    for ring attention (`parallel/ring.py`). Fully-masked rows have lse = -inf
+    and zero output. (No custom VJP on this entry point; ring attention defines
+    its own backward by recomputation.)
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if (q_segment_ids is None) != (kv_segment_ids is None):
+        raise ValueError("provide both or neither of q/kv segment ids")
+    o, lse = _fwd(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        q_segment_ids,
+        kv_segment_ids,
+        causal=bool(causal),
+        scale=float(scale),
+        block_q=int(block_q),
+        block_k=int(block_k),
+        interpret=bool(interpret),
+    )
+    return o.transpose(0, 2, 1, 3), lse[..., 0]
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

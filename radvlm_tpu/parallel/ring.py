@@ -1,0 +1,184 @@
+"""Ring attention: sequence-parallel attention over an ICI mesh axis.
+
+TPU-native realization of the reference's *dormant* zigzag ring flash attention
+(`finetuning/llava/model/language_model/modeling_llama.py:385-563,833-836` —
+implemented for CUDA/NCCL P2P but never enabled; SURVEY.md §2.7). Here it is a
+first-class long-context mechanism: the sequence dim is sharded over a mesh axis;
+each device holds one q/k/v shard, K/V shards rotate around the ring with
+`jax.lax.ppermute` (compiled onto ICI), local chunks attend via the Pallas flash
+kernel, and partial results merge with the online-softmax rule using the kernel's
+logsumexp output.
+
+Causality across chunks (contiguous sharding): a kv chunk strictly before the q
+chunk attends fully; the diagonal chunk attends causally; future chunks are
+skipped. This is the simple (non-zigzag) schedule — the diagonal imbalance costs
+at most 2x on the last rank; the zigzag permutation is a planned optimization.
+
+Backward: recomputation — the whole ring forward is wrapped in `jax.checkpoint`
+at the call site (engineered for training under remat), so autodiff re-runs the
+ring; each local flash call contributes its own VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from radvlm_tpu.ops.attention import make_attention_mask, mha_reference
+
+
+def _local_attn_with_lse(
+    q, k, v, q_seg, kv_seg, *, causal, scale, impl, interpret=False
+):
+    """(out, lse) for one chunk pair. impl="flash" uses the Pallas kernel;
+    "xla" uses the reference path (CPU tests)."""
+    if impl == "flash":
+        from radvlm_tpu.ops.flash_attention import flash_attention_with_lse
+
+        return flash_attention_with_lse(
+            q, k, v, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            causal=causal, scale=scale, interpret=interpret,
+        )
+    # XLA reference with explicit lse.
+    b, sq, h, d = q.shape
+    hkv = k.shape[2]
+    if hkv != h:
+        from radvlm_tpu.ops.attention import repeat_kv
+
+        k = repeat_kv(k, h // hkv)
+        v = repeat_kv(v, h // hkv)
+    mask = make_attention_mask(q_seg, kv_seg, causal)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask, s, -jnp.inf)
+    m = jnp.max(s, axis=-1)  # [b,h,q]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    p = jnp.exp(s - m_safe[..., None])
+    p = jnp.where(jnp.isfinite(s), p, 0.0)
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    o = (o / safe_l.transpose(0, 2, 1)[..., None]).astype(q.dtype)
+    lse = jnp.where(l == 0.0, -jnp.inf, m_safe + jnp.log(safe_l))
+    return o, lse
+
+
+def _merge(o_acc, m_acc, l_acc, o_t, lse_t):
+    """Online-softmax merge of a new partial attention into the running state.
+
+    Invariant: o_acc is the UNNORMALIZED numerator relative to scale m_acc
+    (i.e. true_out = o_acc / l_acc); each chunk's normalized o_t re-enters the
+    numerator with weight exp(lse_t - m_new).
+    """
+    m_new = jnp.maximum(m_acc, lse_t)
+    m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    alpha = jnp.where(jnp.isfinite(m_acc), jnp.exp(m_acc - m_safe), 0.0)
+    beta = jnp.where(jnp.isfinite(lse_t), jnp.exp(lse_t - m_safe), 0.0)
+    l_new = l_acc * alpha + beta
+    a = alpha.transpose(0, 2, 1)[..., None]
+    b = beta.transpose(0, 2, 1)[..., None]
+    o_new = o_acc * a + o_t.astype(jnp.float32) * b
+    return o_new, m_new, l_new
+
+
+def ring_attention(
+    q: jnp.ndarray,  # [B, S_local, H, D] (this rank's sequence shard)
+    k: jnp.ndarray,  # [B, S_local, Hkv, D]
+    v: jnp.ndarray,
+    *,
+    axis_name: str,
+    q_segment_ids: Optional[jnp.ndarray] = None,  # [B, S_local]
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    impl: str = "flash",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sequence-parallel attention inside shard_map over `axis_name`.
+
+    Equivalent to full attention over the concatenated sequence (contiguous
+    shards, rank i holding positions [i*S_local, (i+1)*S_local)).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    axis_size = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    b, s_local, h, d = q.shape
+    if q_segment_ids is None:
+        q_segment_ids = jnp.ones((b, s_local), jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = jnp.ones((b, s_local), jnp.int32)
+
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    def body(t, carry):
+        k_t, v_t, kvseg_t, o_acc, m_acc, l_acc = carry
+        src = (my - t) % axis_size  # which rank's kv chunk we hold now
+
+        def diag(_):
+            return _local_attn_with_lse(
+                q, k_t, v_t, q_segment_ids, kvseg_t,
+                causal=True, scale=scale, impl=impl, interpret=interpret,
+            )
+
+        def full(_):
+            return _local_attn_with_lse(
+                q, k_t, v_t, q_segment_ids, kvseg_t,
+                causal=False, scale=scale, impl=impl, interpret=interpret,
+            )
+
+        o_t, lse_t = jax.lax.cond(src == my, diag, full, None)
+        if causal:
+            # Future chunks contribute nothing: force lse_t = -inf there.
+            skip = src > my
+            lse_t = jnp.where(skip, -jnp.inf, lse_t)
+            o_t = jnp.where(skip, 0.0, o_t)
+        o_acc, m_acc, l_acc = _merge(o_acc, m_acc, l_acc, o_t, lse_t)
+
+        k_n = jax.lax.ppermute(k_t, axis_name, perm)
+        v_n = jax.lax.ppermute(v_t, axis_name, perm)
+        kvseg_n = jax.lax.ppermute(kvseg_t, axis_name, perm)
+        return k_n, v_n, kvseg_n, o_acc, m_acc, l_acc
+
+    o0 = jnp.zeros((b, s_local, h, d), jnp.float32)
+    m0 = jnp.full((b, h, s_local), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, s_local), jnp.float32)
+    carry = (k, v, kv_segment_ids, o0, m0, l0)
+    carry = jax.lax.fori_loop(0, axis_size, body, carry)
+    _, _, _, o_acc, m_acc, l_acc = carry
+    safe_l = jnp.where(l_acc == 0.0, 1.0, l_acc)
+    out = o_acc / safe_l.transpose(0, 2, 1)[..., None]
+    return out.astype(q.dtype)
+
+
+def make_ring_attention(mesh, *, axis_name: str = "seq", impl: str = "flash"):
+    """shard_map-wrapped ring attention over `mesh[axis_name]`.
+
+    Returns fn(q, k, v, q_seg, kv_seg) with global [B, S, H, D] arrays sharded
+    S over the axis (other mesh axes replicate here; compose with your own
+    in/out shardings for combined DP+SP).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    spec4 = P(None, axis_name, None, None)
+    spec2 = P(None, axis_name)
+
+    fn = functools.partial(ring_attention, axis_name=axis_name, impl=impl)
+
+    def wrapped(q, k, v, q_seg, kv_seg):
+        return fn(
+            q, k, v, q_segment_ids=q_seg, kv_segment_ids=kv_seg
+        )
+
+    return shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(spec4, spec4, spec4, spec2, spec2),
+        out_specs=spec4,
+        check_rep=False,
+    )
