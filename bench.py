@@ -31,6 +31,41 @@ BATCHES = int(os.environ.get("RADVLM_BENCH_BATCHES", "4"))
 NEW_TOKENS = int(os.environ.get("RADVLM_BENCH_NEW_TOKENS", "128"))
 
 
+def _random_quantized_params(cfg):
+    """Random params with quantizable kernels born int8 (no bf16 staging)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from radvlm_tpu.models import radvlm
+    from radvlm_tpu.ops import quant
+    from radvlm_tpu.parallel.sharding import path_str
+
+    abstract = jax.eval_shape(
+        lambda: radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    )
+    rng = np.random.default_rng(0)
+
+    def build(path, leaf):
+        p = path_str(path)
+        if any(re.search(pat, p) for pat in quant.DEFAULT_PATTERNS):
+            axes = (-1,) if re.search(r"embed/embedding$", p) else (-2,)
+            q = jnp.asarray(
+                rng.integers(-127, 128, size=leaf.shape, dtype=np.int8)
+            )
+            scale_shape = list(leaf.shape)
+            for a in axes:
+                scale_shape[a] = 1
+            scale = jnp.full(scale_shape, 0.02 / 127.0, jnp.float32)
+            return {quant.Q_KEY: q, quant.SCALE_KEY: scale}
+        return jnp.asarray(
+            rng.normal(size=leaf.shape, scale=0.02).astype(np.float32), jnp.bfloat16
+        )
+
+    return jax.tree_util.tree_map_with_path(build, abstract)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -41,8 +76,17 @@ def main():
     from radvlm_tpu.models import multimodal, radvlm
 
     size = os.environ.get("RADVLM_BENCH_SIZE", "0.5b")
-    cfg = cfglib.radvlm_7b() if size == "7b" else cfglib.radvlm_0_5b()
-    params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    if size.startswith("7b"):
+        cfg = cfglib.radvlm_7b()
+    else:
+        cfg = cfglib.radvlm_0_5b()
+    if size.endswith("-int8"):
+        # 7B bf16 (15.2 GB) doesn't fit one v5e chip next to the KV cache;
+        # int8 weight-only quantization (ops/quant.py) halves residency. Build
+        # the random weights already-quantized so the bf16 copy never exists.
+        params = _random_quantized_params(cfg)
+    else:
+        params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
 

@@ -1,0 +1,79 @@
+"""GREEN evaluation CLI (reference `radvlm/evaluation/eval_green.py`).
+
+Scores saved report-generation outputs with the GREEN LLM judge
+(StanfordAIMI/GREEN-radllama2-7b). The judge backend is pluggable:
+- --judge hf: load the radllama2 judge with torch transformers from a local
+  path (the reference's torchrun path; needs the weights on disk);
+- --judge azure: any chat LLM through the AzureOpenAI client;
+- --judge echo: parse-only smoke mode (expects precomputed responses).
+
+    python -m radvlm_tpu.eval.green_cli \
+        --outputs results/radvlm_report_generation_outputs.json --judge hf \
+        --judge-model /models/GREEN-radllama2-7b
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+
+def make_hf_judge(model_path: str, *, max_new_tokens: int = 512):
+    import torch
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(model_path)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_path, torch_dtype=torch.float32
+    )
+    model.eval()
+
+    def judge(prompt: str) -> str:
+        ids = tok(prompt, return_tensors="pt", truncation=True, max_length=3000)
+        with torch.no_grad():
+            out = model.generate(**ids, max_new_tokens=max_new_tokens)
+        return tok.decode(out[0][ids["input_ids"].shape[1]:],
+                          skip_special_tokens=True)
+
+    return judge
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--outputs", required=True,
+                   help="eval-harness *_outputs.json for report_generation")
+    p.add_argument("--judge", default="hf", choices=["hf", "azure", "echo"])
+    p.add_argument("--judge-model", default="StanfordAIMI/GREEN-radllama2-7b")
+    p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--save", default=None)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from radvlm_tpu.eval.metrics.clinical import green
+
+    results = json.load(open(args.outputs))
+    if args.max_samples:
+        results = results[: args.max_samples]
+    refs = [r["txt"] for r in results]
+    hyps = [r["output"] for r in results]
+
+    if args.judge == "hf":
+        judge = make_hf_judge(args.judge_model)
+    elif args.judge == "azure":
+        from radvlm_tpu.data.llm_clients import AzureOpenAIClient
+
+        client = AzureOpenAIClient(model=args.judge_model)
+        judge = lambda prompt: client.complete(prompt) or ""
+    else:
+        judge = lambda prompt: prompt  # echo: for piping/debugging only
+
+    mean, scores = green(refs, hyps, judge)
+    print(f"GREEN mean: {mean:.4f} over {len([s for s in scores if s is not None])} scored samples")
+    if args.save:
+        with open(args.save, "w") as f:
+            json.dump({"green_mean": mean, "scores": scores}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,9 @@ def _block(
     attn_impl: str,
 ) -> jnp.ndarray:
     """One decoder block, no cache. x:[B,S,D]."""
+    from radvlm_tpu.ops.quant import maybe_dequant
+
+    lp = maybe_dequant(lp, x.dtype)
     res = x
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, lp, y, positions)
@@ -132,6 +135,9 @@ def _block_cached(
     dim so cache writes are reshape-free and the decode kernel's DMAs are fully
     contiguous (see ops/decode_attention.py).
     """
+    from radvlm_tpu.ops.quant import maybe_dequant
+
+    lp = maybe_dequant(lp, x.dtype)
     res = x
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, lp, y, positions)
@@ -179,7 +185,15 @@ def _block_cached(
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(params["embed"]["embedding"], input_ids, axis=0)
+    from radvlm_tpu.ops.quant import Q_KEY, SCALE_KEY, is_qnode
+
+    emb = params["embed"]["embedding"]
+    if is_qnode(emb):
+        # int8 embedding: gather rows + per-row scales, dequant only the gather.
+        rows = jnp.take(emb[Q_KEY], input_ids, axis=0).astype(jnp.float32)
+        scales = jnp.take(emb[SCALE_KEY][:, 0], input_ids, axis=0)
+        return (rows * scales[..., None]).astype(params["norm"].dtype)
+    return jnp.take(emb, input_ids, axis=0)
 
 
 def forward(
@@ -249,9 +263,11 @@ def forward(
 
 
 def unembed(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarray:
+    from radvlm_tpu.ops.quant import maybe_dequant
+
     if cfg.tie_word_embeddings:
-        return hidden @ params["embed"]["embedding"].T
-    return hidden @ params["lm_head"]["kernel"]
+        return hidden @ maybe_dequant(params["embed"]["embedding"], hidden.dtype).T
+    return hidden @ maybe_dequant(params["lm_head"]["kernel"], hidden.dtype)
 
 
 def init_kv_cache(

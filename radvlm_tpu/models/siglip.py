@@ -108,7 +108,10 @@ def forward(
     eps = cfg.layer_norm_eps
 
     def body(carry, lp):
+        from radvlm_tpu.ops.quant import maybe_dequant
+
         x = carry
+        lp = maybe_dequant(lp, x.dtype)
         res = x
         y = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
         b, s, d = y.shape

@@ -1,0 +1,96 @@
+"""Weight-only int8 quantization (TPU-native replacement for bitsandbytes).
+
+The reference loads 4/8-bit weights via bitsandbytes CUDA kernels
+(`finetuning/llava/train/train.py:1466-1484`, `model/builder.py:30-34`). Here
+quantization is a pytree transformation: selected kernels become
+{"__q__": int8, "__scale__": f32} nodes with per-output-channel symmetric
+scales, and `maybe_dequant` rebuilds bf16 weights *inside* the per-layer scan
+body — so HBM streams int8 (half the bytes of bf16, the decode bottleneck) and
+only one layer's weights ever exist dequantized.
+
+This halves 7B weight residency (15.2 GB -> 7.6 GB), fitting a single v5e chip
+with the KV cache.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Q_KEY = "__q__"
+SCALE_KEY = "__scale__"
+
+# Kernels worth quantizing (the big matmuls + embedding); norms/bias stay bf16.
+DEFAULT_PATTERNS = (
+    r"text/layers/attn/[qkvo]/kernel$",
+    r"text/layers/mlp/(gate|up|down)/kernel$",
+    r"text/lm_head/kernel$",
+    r"text/embed/embedding$",
+    r"vision_tower/layers/attn/[qkvo]/kernel$",
+    r"vision_tower/layers/mlp/fc[12]/kernel$",
+)
+
+
+def quantize_array(
+    x: jnp.ndarray, *, reduce_axes: Tuple[int, ...] = (-2,)
+) -> Dict[str, Any]:
+    """Symmetric int8 with scale = max|x|/127 reduced over `reduce_axes` only
+    (keepdims). Kernels [..., in, out] reduce over the contraction axis (-2,)
+    -> per-(layer, out-channel) scales; embeddings [V, D] reduce over (-1,)
+    -> per-row scales. Leading (stacked-layer) axes are always preserved so
+    quantized pytrees still scan."""
+    xf = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return {Q_KEY: q, SCALE_KEY: scale.astype(jnp.float32)}
+
+
+def dequantize_array(node: Dict[str, Any], dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (node[Q_KEY].astype(jnp.float32) * node[SCALE_KEY]).astype(dtype)
+
+
+def is_qnode(x: Any) -> bool:
+    return isinstance(x, dict) and Q_KEY in x
+
+
+def quantize_params(
+    params: Any,
+    *,
+    patterns: Tuple[str, ...] = DEFAULT_PATTERNS,
+    embed_pattern: str = r"embed/embedding$",
+) -> Any:
+    """Quantize matching kernels. Embeddings ([V, D]) use per-row scales
+    (channel_axis=0); matmul kernels ([..., in, out]) per-output-column."""
+    from radvlm_tpu.parallel.sharding import path_str
+
+    def visit(path, leaf):
+        p = path_str(path)
+        if not any(re.search(pat, p) for pat in patterns):
+            return leaf
+        axes = (-1,) if re.search(embed_pattern, p) else (-2,)
+        return quantize_array(leaf, reduce_axes=axes)
+
+    return jax.tree_util.tree_map_with_path(
+        visit, params, is_leaf=lambda x: isinstance(x, jnp.ndarray) or hasattr(x, "shape")
+    )
+
+
+def maybe_dequant(tree: Any, dtype=jnp.bfloat16) -> Any:
+    """Rebuild dense weights for every quantized node in `tree` (call at the top
+    of a per-layer block so only that layer materializes)."""
+    if is_qnode(tree):
+        return dequantize_array(tree, dtype)
+    if isinstance(tree, dict):
+        return {k: maybe_dequant(v, dtype) for k, v in tree.items()}
+    return tree
+
+
+def quantized_bytes(params: Any) -> int:
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -1,0 +1,71 @@
+"""Int8 weight-only quantization tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radvlm_tpu import config as cfglib
+from radvlm_tpu.config import IMAGE_TOKEN_INDEX
+from radvlm_tpu.models import multimodal, radvlm
+from radvlm_tpu.ops.quant import (
+    dequantize_array,
+    is_qnode,
+    quantize_array,
+    quantize_params,
+    quantized_bytes,
+)
+
+
+def test_quantize_roundtrip_error(rng):
+    x = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
+    node = quantize_array(x, reduce_axes=(-2,))
+    assert node["__q__"].dtype == jnp.int8
+    assert node["__scale__"].shape == (1, 128)
+    back = dequantize_array(node, jnp.float32)
+    # per-channel int8: max error ~ scale/2 = max|col| / 254
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    bound = np.abs(np.asarray(x)).max(axis=0, keepdims=True) / 254 + 1e-6
+    assert (err <= bound).all()
+
+
+def test_quantized_model_close(rng):
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    qparams = quantize_params(params)
+    assert is_qnode(qparams["text"]["layers"]["attn"]["q"]["kernel"])
+    assert is_qnode(qparams["text"]["embed"]["embedding"])
+    assert not is_qnode(qparams["text"]["norm"])
+    assert not is_qnode(qparams["projector"]["fc0"]["kernel"])
+    # ~2-4x smaller overall (int8 + f32 scales vs f32 weights)
+    assert quantized_bytes(qparams) < 0.5 * quantized_bytes(params)
+
+    img = rng.integers(0, 255, size=(70, 60, 3), dtype=np.uint8)
+    ids = [5, 6, IMAGE_TOKEN_INDEX] + list(rng.integers(2, 400, size=10))
+    sample = multimodal.build_sample(ids, [img], cfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             multimodal.collate([sample], pad_to_multiple=8).items()}
+    lo, _ = radvlm.forward(params, cfg, batch, attn_impl="xla")
+    lq, _ = radvlm.forward(qparams, cfg, batch, attn_impl="xla")
+    n = int(batch["lengths"][0])
+    # logits stay close in the valid region (weight-only int8, tiny random net)
+    a = np.asarray(lo)[0, :n]
+    b = np.asarray(lq)[0, :n]
+    denom = np.maximum(np.abs(a).max(), 1e-6)
+    assert np.abs(a - b).max() / denom < 0.05
+
+
+def test_quantized_generation_runs(rng):
+    from radvlm_tpu.generation.engine import GenerationConfig, make_generate_fn
+
+    cfg = cfglib.tiny_test_config()
+    params = quantize_params(radvlm.init_params(cfg, jax.random.key(0)))
+    img = rng.integers(0, 255, size=(70, 60, 3), dtype=np.uint8)
+    ids = [5, IMAGE_TOKEN_INDEX] + list(rng.integers(2, 400, size=6))
+    sample = multimodal.build_sample(ids, [img], cfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             multimodal.collate([sample], pad_to_multiple=8, left_pad=True).items()}
+    gen_fn = make_generate_fn(cfg, GenerationConfig(max_new_tokens=4), attn_impl="xla")
+    out = gen_fn(params, batch, jax.random.key(0))
+    assert out["tokens"].shape == (1, 4)
+    assert int(out["num_tokens"][0]) == 4
