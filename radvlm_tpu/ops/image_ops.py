@@ -20,6 +20,7 @@ major. Matches `mm_utils.py:286-293`.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Tuple
 
@@ -86,6 +87,20 @@ def preprocess_anyres_host(
     oh, ow = img_np.shape[:2]
     ts = cfg.tile_size
     best_w, best_h = select_best_resolution((ow, oh), cfg.pinpoints)
+
+    if os.environ.get("RADVLM_NATIVE_ANYRES") == "1":
+        # Fused C++ path (radvlm_tpu/native): one pass, OpenMP, ±2/255 of PIL.
+        from radvlm_tpu import native
+
+        if native.available():
+            plan = device_plan((ow, oh), cfg)
+            tiles = native.anyres_tiles(
+                img_np, ts, (best_w, best_h), (plan["new_w"], plan["new_h"])
+            )
+            if normalize:
+                tiles = normalize_pixels(tiles)
+            return tiles, (ow, oh)
+
     padded = resize_and_pad_host(img_np, (best_w, best_h))
     post = normalize_pixels if normalize else (lambda x: x)
     tiles = [post(_resize_pil(img_np, (ts, ts)))]  # base tile first
