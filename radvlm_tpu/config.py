@@ -71,6 +71,9 @@ class Qwen2Config:
     num_kv_heads: int = 4
     head_dim: int = 128
     rope_theta: float = 1_000_000.0
+    # Linear rope scaling factor (>1 stretches positions for context extension;
+    # reference flags `rope_scaling_factor/type`, train.py:101-102,1322-1332).
+    rope_scaling: float = 1.0
     rms_norm_eps: float = 1e-6
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 32768

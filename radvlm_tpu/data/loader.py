@@ -82,6 +82,29 @@ class LlavaJsonDataset:
         return multimodal.build_sample(ids, images, self.cfg, labels=labels)
 
 
+def apply_pos_skipping(
+    batch: Dict[str, np.ndarray], rng: np.random.Generator, max_range: int
+) -> Dict[str, np.ndarray]:
+    """Positional-skipping augmentation (reference `llava_arch.py:546-552`):
+    per sample, add a random offset to all positions after a random split point,
+    teaching rotary embeddings to generalize across the long-context range
+    without training on long sequences."""
+    positions = batch["positions"].copy()
+    lengths = batch["lengths"]
+    b = positions.shape[0]
+    for i in range(b):
+        n = int(lengths[i])
+        if n < 2:
+            continue
+        split = int(rng.integers(1, n))
+        offset = int(rng.integers(0, max_range + 1))
+        row = positions[i]
+        positions[i] = np.where(
+            (row >= split) & (batch["segment_ids"][i] != 0), row + offset, row
+        )
+    return {**batch, "positions": positions}
+
+
 @dataclasses.dataclass(frozen=True)
 class Bucket:
     max_len: int  # padded sequence length
@@ -159,6 +182,7 @@ class PrefetchLoader:
         prefetch: int = 4,
         process_index: int = 0,
         process_count: int = 1,
+        pos_skip_range: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -168,6 +192,8 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        self.pos_skip_range = pos_skip_range
+        self._pos_rng = np.random.default_rng(seed ^ 0x9E3779B9)
         self._lengths = [
             dataset.estimated_length(i) for i in range(len(dataset))
         ]
@@ -207,6 +233,8 @@ class PrefetchLoader:
         if batch["tokens"].shape[1] > bucket.max_len:
             for key in ("tokens", "img_src", "labels", "segment_ids", "positions"):
                 batch[key] = batch[key][:, : bucket.max_len]
+        if self.pos_skip_range > 0:
+            batch = apply_pos_skipping(batch, self._pos_rng, self.pos_skip_range)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -72,6 +72,8 @@ def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray):
     q = (y @ lp["attn"]["q"]["kernel"] + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
     k = (y @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]).reshape(b, s, hkv, hd)
     v = (y @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]).reshape(b, s, hkv, hd)
+    if cfg.rope_scaling != 1.0:
+        positions = positions.astype(jnp.float32) / cfg.rope_scaling
     q = apply_rope(q, positions, cfg.rope_theta)
     k = apply_rope(k, positions, cfg.rope_theta)
     return q, k, v
