@@ -139,6 +139,8 @@ def _block_cached(
     """
     from radvlm_tpu.ops.quant import maybe_dequant
 
+    if attn_impl == "ring":
+        attn_impl = "auto"  # ring applies to training prefill, not cached decode
     lp = maybe_dequant(lp, x.dtype)
     res = x
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)

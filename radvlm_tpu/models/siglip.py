@@ -101,6 +101,8 @@ def forward(
     attn_impl: str = "auto",
 ) -> jnp.ndarray:
     """pixels: [B, H, W, 3] normalized ((x/255 - 0.5) / 0.5). Returns [B, 729, D]."""
+    if attn_impl == "ring":
+        attn_impl = "auto"  # ring is for the seq-sharded LLM only; tiles are 729 tok
     x = patchify(pixels, cfg.patch_size)
     x = x @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
     x = x + params["pos_embed"][None]

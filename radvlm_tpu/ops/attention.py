@@ -103,8 +103,21 @@ def mha(
     the stacked cache directly.)
 
     impl: "auto" picks a Pallas kernel on TPU where profitable, otherwise the XLA
-    reference path. "xla" / "flash" force a path.
+    reference path. "xla" / "flash" force a path. "ring" runs sequence-parallel
+    ring attention over the mesh registered with
+    `parallel.ring.enable_ring_attention` (training-only: causal self-attention
+    with equal q/kv lengths).
     """
+    if impl == "ring":
+        from radvlm_tpu.parallel.ring import ring_attention_sharded
+
+        assert causal and k.shape[1] == q.shape[1], (
+            "ring attention is for causal self-attention (training prefill)"
+        )
+        return ring_attention_sharded(
+            q, k, v, q_segment_ids, kv_segment_ids,
+            causal=True, scale=scale if scale is not None else q.shape[-1] ** -0.5,
+        )
     sk = k.shape[1]
     use_flash = False
     if impl == "flash":

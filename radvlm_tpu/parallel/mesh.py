@@ -8,10 +8,9 @@ named axes, over which pjit/GSPMD compiles all collectives onto ICI/DCN.
 Axes:
   data   — data parallelism (batch split; ZeRO-style optimizer sharding rides fsdp)
   fsdp   — parameter/optimizer sharding (ZeRO-3 equivalent, `scripts/zero3.json`)
+  seq    — sequence/context parallelism (ring attention, parallel/ring.py)
   tensor — tensor parallelism (not in the reference — SURVEY.md §2.7 — but first-class
            here for 7B-and-up serving on small slices)
-
-Sequence parallelism (ring attention) adds a "seq" axis in parallel/ring.py.
 """
 
 from __future__ import annotations
@@ -23,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "seq", "tensor")
 
 
 def make_mesh(

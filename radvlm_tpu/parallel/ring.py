@@ -155,6 +155,62 @@ def ring_attention(
     return out.astype(q.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Training integration: a process-global ring context consulted by ops.attention
+# when the train step runs with attn_impl="ring".
+# ---------------------------------------------------------------------------
+
+_RING_CONTEXT = None  # (mesh, axis_name, local_impl)
+
+
+def enable_ring_attention(mesh, *, axis_name: str = "seq", impl: str = "flash"):
+    """Register the mesh/axis for ring attention (train step with
+    attn_impl='ring'). Pass mesh=None to disable."""
+    global _RING_CONTEXT
+    _RING_CONTEXT = None if mesh is None else (mesh, axis_name, impl)
+
+
+def get_ring_context():
+    if _RING_CONTEXT is None:
+        raise RuntimeError(
+            "attn_impl='ring' requires parallel.ring.enable_ring_attention(mesh)"
+        )
+    return _RING_CONTEXT
+
+
+def ring_attention_sharded(q, k, v, q_segment_ids, kv_segment_ids, *,
+                           causal: bool, scale):
+    """shard_map'd ring attention over the registered context, for global
+    [B, S, H, D] activations inside a pjit train step: batch shards over
+    (data, fsdp), sequence over the ring axis, heads over tensor."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mesh, axis_name, impl = get_ring_context()
+    b, s = q.shape[:2]
+    if q_segment_ids is None:
+        q_segment_ids = jnp.ones((b, s), jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = jnp.ones((b, s), jnp.int32)
+    spec_q = P(("data", "fsdp"), axis_name, "tensor", None)
+    spec_seg = P(("data", "fsdp"), axis_name)
+
+    # ring_attention takes segs as kwargs; adapt positional order for shard_map.
+    def positional(q, k, v, qs, ks, *, axis_name=axis_name, impl=impl):
+        return ring_attention(
+            q, k, v, axis_name=axis_name, q_segment_ids=qs,
+            kv_segment_ids=ks, causal=causal, scale=scale, impl=impl,
+        )
+
+    fn = shard_map(
+        positional, mesh=mesh,
+        in_specs=(spec_q, spec_q, spec_q, spec_seg, spec_seg),
+        out_specs=spec_q, check_rep=False,
+    )
+    return fn(q, k, v, q_segment_ids, kv_segment_ids)
+
+
 def make_ring_attention(mesh, *, axis_name: str = "seq", impl: str = "flash"):
     """shard_map-wrapped ring attention over `mesh[axis_name]`.
 

@@ -92,9 +92,27 @@ def shard_params(mesh: Mesh, params: Any, *, llm_only: bool = False) -> Any:
     return jax.device_put(params, sh)
 
 
+# Per-token batch arrays whose second (sequence) dim shards over the seq axis
+# when sequence parallelism is on.
+_SEQ_KEYS = ("tokens", "img_src", "labels", "segment_ids", "positions")
+
+
 def batch_shardings(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Split every batch array along its leading (batch) dim over data+fsdp axes."""
-    return jax.tree.map(lambda _: NamedSharding(mesh, P(("data", "fsdp"))), batch)
+    """Batch arrays: leading (batch) dim over data+fsdp; [B, L] token arrays also
+    shard the sequence dim over `seq` when that axis is >1 (ring attention)."""
+    seq_on = dict(mesh.shape).get("seq", 1) > 1
+
+    def spec_for_key(key):
+        if seq_on and key in _SEQ_KEYS:
+            return P(("data", "fsdp"), "seq")
+        return P(("data", "fsdp"))
+
+    return {
+        k: jax.tree.map(
+            lambda _: NamedSharding(mesh, spec_for_key(k)), v
+        )
+        for k, v in batch.items()
+    }
 
 
 def kv_cache_pspec() -> P:

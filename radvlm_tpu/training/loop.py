@@ -65,6 +65,17 @@ def train(
     mesh = meshlib.make_mesh(run.mesh_shape)
     log.info("mesh: %s", dict(mesh.shape))
 
+    attn_impl = run.attn_impl
+    if dict(mesh.shape).get("seq", 1) > 1:
+        # Sequence parallelism: register the ring context and route the LLM's
+        # training attention through ring attention over the seq axis.
+        from radvlm_tpu.parallel.ring import enable_ring_attention
+
+        local_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        enable_ring_attention(mesh, axis_name="seq", impl=local_impl)
+        attn_impl = "ring"
+        log.info("ring attention enabled over seq=%d", dict(mesh.shape)["seq"])
+
     # --- params ---
     if init_params is not None:
         params = init_params
@@ -79,7 +90,7 @@ def train(
 
     state, step_fn, tx = ts.setup_training(
         mesh, run.model, run.train, params,
-        remat=run.remat, attn_impl=run.attn_impl,
+        remat=run.remat, attn_impl=attn_impl,
     )
     del params
 

@@ -60,6 +60,40 @@ def test_train_step_8dev_mesh(rng):
     assert float(metrics["grad_norm"]) > 0
 
 
+def test_train_step_sequence_parallel(rng):
+    """Full SFT step with ring attention over a seq axis: mesh
+    (data=1, fsdp=2, seq=2, tensor=2) on 8 virtual devices. The seq-parallel
+    loss must match the plain (seq=1) loss on the same batch."""
+    from radvlm_tpu.parallel.ring import enable_ring_attention
+
+    cfg = cfglib.tiny_test_config()
+    tcfg = TrainConfig(total_steps=4, grad_accum_steps=1)
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    batch_host = make_batch(cfg, rng, batch=4)
+
+    # Plain mesh reference loss. (device_put can alias host buffers zero-copy on
+    # CPU and the step donates them, so give this mesh its own param copy.)
+    mesh0 = meshlib.make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    params0 = radvlm.init_params(cfg, jax.random.key(0))
+    state0, step0, _ = ts.setup_training(mesh0, cfg, tcfg, params0, attn_impl="xla")
+    _, m0 = step0(state0, ts.put_batch(mesh0, batch_host))
+
+    mesh = meshlib.make_mesh({"data": 1, "fsdp": 2, "seq": 2, "tensor": 2})
+    enable_ring_attention(mesh, axis_name="seq", impl="xla")
+    try:
+        state, step_fn, _ = ts.setup_training(
+            mesh, cfg, tcfg, params, remat=True, attn_impl="ring"
+        )
+        batch = ts.put_batch(mesh, batch_host)
+        tok_sh = batch["tokens"].sharding.spec
+        assert "seq" in str(tok_sh), tok_sh
+        state, metrics = step_fn(state, batch)
+        assert float(metrics["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-4)
+        assert float(metrics["grad_norm"]) > 0
+    finally:
+        enable_ring_attention(None)
+
+
 def test_freeze_masks():
     cfg = cfglib.tiny_test_config()
     params = radvlm.init_params(cfg, jax.random.key(0))
