@@ -147,14 +147,26 @@ def _block_cached(
     q, k, v = _qkv(cfg, lp, y, positions)
     b, s = x.shape[:2]
     hkv, hd = cfg.num_kv_heads, cfg.head_dim
-    k_flat = k.reshape(b, s, hkv * hd).astype(ck_all.dtype)[None]
-    v_flat = v.reshape(b, s, hkv * hd).astype(cv_all.dtype)[None]
-    ck_all = jax.lax.dynamic_update_slice(
-        ck_all, k_flat, (layer_idx, 0, cache_index, 0)
-    )
-    cv_all = jax.lax.dynamic_update_slice(
-        cv_all, v_flat, (layer_idx, 0, cache_index, 0)
-    )
+    k_flat = k.reshape(b, s, hkv * hd).astype(ck_all.dtype)
+    v_flat = v.reshape(b, s, hkv * hd).astype(cv_all.dtype)
+    per_row = getattr(cache_index, "ndim", 0) == 1
+    if per_row:
+        # Continuous batching: each slot decodes at its own cache position —
+        # scatter one row per slot (s == 1).
+        rows = jnp.arange(b)
+        ck_all = ck_all.at[layer_idx, rows, cache_index].set(
+            k_flat[:, 0], unique_indices=True
+        )
+        cv_all = cv_all.at[layer_idx, rows, cache_index].set(
+            v_flat[:, 0], unique_indices=True
+        )
+    else:
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k_flat[None], (layer_idx, 0, cache_index, 0)
+        )
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v_flat[None], (layer_idx, 0, cache_index, 0)
+        )
     smax = ck_all.shape[2]
     if (
         s == 1

@@ -37,9 +37,12 @@ def make_attention_mask(
     )
     if causal:
         sq, sk = q_segment_ids.shape[1], kv_segment_ids.shape[1]
-        q_pos = jnp.arange(sq)[:, None] + q_offset
-        k_pos = jnp.arange(sk)[None, :]
-        seg_mask = seg_mask & (q_pos >= k_pos)[None, :, :]
+        k_pos = jnp.arange(sk)[None, None, :]
+        if getattr(q_offset, "ndim", 0) == 1:  # per-row offsets ([B])
+            q_pos = jnp.arange(sq)[None, :, None] + q_offset[:, None, None]
+        else:
+            q_pos = (jnp.arange(sq)[:, None] + q_offset)[None]
+        seg_mask = seg_mask & (q_pos >= k_pos)
     return seg_mask[:, None, :, :]
 
 

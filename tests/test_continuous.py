@@ -1,0 +1,70 @@
+"""Continuous batching correctness: slot-refilled decode must equal the static
+batch engine's greedy outputs per request."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radvlm_tpu import config as cfglib
+from radvlm_tpu.config import IMAGE_TOKEN_INDEX
+from radvlm_tpu.generation.continuous import ContinuousBatcher
+from radvlm_tpu.generation.engine import GenerationConfig, make_generate_fn
+from radvlm_tpu.models import multimodal, radvlm
+
+
+def _mk_sample(cfg, rng, n_text):
+    img = rng.integers(0, 255, size=(90, 70, 3), dtype=np.uint8)
+    ids = list(rng.integers(3, cfg.text.vocab_size, size=n_text))
+    ids = ids[:2] + [IMAGE_TOKEN_INDEX] + ids[2:]
+    return multimodal.build_sample(ids, [img], cfg)
+
+
+def _static_reference(params, cfg, sample, steps):
+    gen = GenerationConfig(max_new_tokens=steps, eos_token_ids=())
+    gen_fn = make_generate_fn(cfg, gen, attn_impl="xla")
+    batch = multimodal.collate([sample], pad_to_multiple=128, left_pad=True)
+    out = gen_fn(params, {k: jnp.asarray(v) for k, v in batch.items()},
+                 jax.random.key(0))
+    return list(np.asarray(out["tokens"])[0, :steps])
+
+
+def test_continuous_matches_static(rng):
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(7))
+    steps = 5
+    samples = [_mk_sample(cfg, rng, n) for n in (6, 11, 8, 14, 7)]
+    expected = [_static_reference(params, cfg, s, steps) for s in samples]
+
+    batcher = ContinuousBatcher(
+        params, cfg,
+        GenerationConfig(max_new_tokens=steps, eos_token_ids=()),
+        num_slots=2, max_len=256, prompt_buckets=(128,),
+        pad_tiles=2, attn_impl="xla",
+    )
+    reqs = [batcher.submit(s) for s in samples]
+    finished = list(batcher.run())
+    assert len(finished) == 5
+    by_uid = {r.uid: r for r in finished}
+    for req, exp in zip(reqs, expected):
+        got = by_uid[req.uid].emitted
+        assert got == exp, f"req {req.uid}: {got} != {exp}"
+
+
+def test_continuous_eos_and_refill(rng):
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(7))
+    s = _mk_sample(cfg, rng, 6)
+    first = _static_reference(params, cfg, s, 1)[0]
+    # Declare the first greedy token the eos: requests finish at prefill and the
+    # batcher must refill the same slot repeatedly without stalling.
+    batcher = ContinuousBatcher(
+        params, cfg,
+        GenerationConfig(max_new_tokens=4, eos_token_ids=(first,)),
+        num_slots=1, max_len=256, prompt_buckets=(128,),
+        pad_tiles=2, attn_impl="xla",
+    )
+    for _ in range(3):
+        batcher.submit(_mk_sample(cfg, rng, 6))
+    done = list(batcher.run())
+    assert len(done) == 3
