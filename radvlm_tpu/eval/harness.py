@@ -208,6 +208,58 @@ GT_FIELDS = {
 }
 
 
+def _run_continuous(
+    runner: VLMRunner, dataset, task: str, my_indices, progress
+) -> List[Dict]:
+    """Continuous-batching inference: all samples stream through a slot-refilled
+    batcher (no idle slots waiting for the longest sequence in a batch)."""
+    from radvlm_tpu.generation.continuous import ContinuousBatcher
+
+    gen = GenerationConfig(
+        max_new_tokens=runner.max_new_tokens,
+        eos_token_ids=runner.tokenizer.eos_token_ids,
+        pad_token_id=runner.tokenizer.pad_token_id,
+    )
+    # Build all prompts first so the cache length covers the longest one.
+    prepared = []
+    for i in my_indices:
+        s = dataset[i]
+        prompt = runner.build_prompt("<image>\n" + s["instr"]["question"])
+        mm = multimodal.build_sample(
+            multimodal.tokenize_with_images(runner.tokenizer.encode, prompt),
+            [s["img"]], runner.cfg,
+        )
+        prepared.append((s, mm))
+    longest = max((mm.length for _, mm in prepared), default=128)
+    bucket = -(-longest // 128) * 128
+    max_len = bucket + (-(-runner.max_new_tokens // 128) * 128)
+    batcher = ContinuousBatcher(
+        runner.params, runner.cfg, gen,
+        num_slots=runner.batch_size,
+        max_len=max_len,
+        prompt_buckets=(bucket,),
+        attn_impl=runner.attn_impl,
+    )
+    meta: Dict[int, Dict] = {}
+    for s, mm in prepared:
+        req = batcher.submit(mm)
+        meta[req.uid] = s
+    results = []
+    for done, req in enumerate(batcher.run()):
+        s = meta[req.uid]
+        text = runner.tokenizer.decode(req.emitted)
+        cell = {
+            "output": trim_at_stop_strings(text, runner.template.stop_strings),
+            "instr": s["instr"],
+        }
+        for f in GT_FIELDS[task]:
+            cell[f] = s.get(f)
+        results.append(cell)
+        if progress:
+            progress(done + 1, len(my_indices))
+    return results
+
+
 def run_task(
     runner: VLMRunner,
     dataset,
@@ -217,6 +269,7 @@ def run_task(
     output_dir: Optional[str] = None,
     model_name: str = "radvlm",
     with_clinical: bool = True,
+    engine: str = "static",  # "static" (padded batches) | "continuous"
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> Tuple[List[Dict], Dict[str, float]]:
     """Run inference over `dataset` and compute task metrics.
@@ -233,23 +286,26 @@ def run_task(
     my_indices = list(range(pidx, n, pcount))
 
     results: List[Dict] = []
-    bs = runner.batch_size
-    for start in range(0, len(my_indices), bs):
-        chunk = my_indices[start:start + bs]
-        samples = [dataset[i] for i in chunk]
-        prompts = [
-            runner.build_prompt("<image>\n" + s["instr"]["question"])
-            for s in samples
-        ]
-        images = [[s["img"]] for s in samples]
-        outputs = runner.generate_batch(prompts, images)
-        for s, out in zip(samples, outputs):
-            cell = {"output": out, "instr": s["instr"]}
-            for f in GT_FIELDS[task]:
-                cell[f] = s.get(f)
-            results.append(cell)
-        if progress:
-            progress(min(start + bs, len(my_indices)), len(my_indices))
+    if engine == "continuous":
+        results = _run_continuous(runner, dataset, task, my_indices, progress)
+    else:
+        bs = runner.batch_size
+        for start in range(0, len(my_indices), bs):
+            chunk = my_indices[start:start + bs]
+            samples = [dataset[i] for i in chunk]
+            prompts = [
+                runner.build_prompt("<image>\n" + s["instr"]["question"])
+                for s in samples
+            ]
+            images = [[s["img"]] for s in samples]
+            outputs = runner.generate_batch(prompts, images)
+            for s, out in zip(samples, outputs):
+                cell = {"output": out, "instr": s["instr"]}
+                for f in GT_FIELDS[task]:
+                    cell[f] = s.get(f)
+                results.append(cell)
+            if progress:
+                progress(min(start + bs, len(my_indices)), len(my_indices))
 
     if pcount > 1:
         from jax.experimental import multihost_utils

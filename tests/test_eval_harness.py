@@ -92,6 +92,17 @@ def test_generate_batch_partial_batch(runner):
     assert len(outs) == 1 and isinstance(outs[0], str)
 
 
+def test_run_task_continuous_engine(runner, tmp_path):
+    ds = FakeGroundingDataset(4)
+    results, metrics = run_task(
+        runner, ds, "phrase_grounding", engine="continuous",
+        with_clinical=False,
+    )
+    assert len(results) == 4
+    assert all(isinstance(r["output"], str) for r in results)
+    assert "mAP_0.5" in metrics
+
+
 def test_prompt_build(runner):
     p = runner.build_prompt("<image>\nDescribe.", history=[("user", "hi"), ("assistant", "hello")])
     assert p.endswith("<|im_start|>assistant\n")
