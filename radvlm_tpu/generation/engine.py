@@ -77,21 +77,28 @@ def prefill(
     Returns (cache, cache_segment_ids [B, max_len], last_logits [B, V]).
     """
     b, l = batch["tokens"].shape
-    cache = qwen2.init_kv_cache(cfg.text, b, max_len, cache_dtype)
     seg = batch["segment_ids"]
     cache_seg = jnp.concatenate(
         [seg, jnp.zeros((b, max_len - l), seg.dtype)], axis=1
     )
-    logits, cache = radvlm.forward(
+    # Prefill runs CACHE-LESS with collect_kv: the per-layer roped K/V come back
+    # as scan outputs, already stacked [L, B, l, Hkv*D] — one splice into the
+    # preallocated decode cache. (Carrying the cache through the layer scan
+    # measured 2.6x slower — per-layer whole-buffer copies.) The last-position
+    # unembed avoids the [B, L, vocab] logits tensor (10 GB at 7B shapes).
+    hidden, (ks, vs) = radvlm.forward(
         params,
         cfg,
         batch,
         attn_impl=attn_impl,
-        kv_cache=cache,
-        cache_index=0,
-        cache_segment_ids=cache_seg,
+        return_hidden=True,
+        collect_kv=True,
     )
-    return cache, cache_seg, logits[:, l - 1]
+    ck, cv = qwen2.init_kv_cache(cfg.text, b, max_len, cache_dtype)
+    ck = jax.lax.dynamic_update_slice(ck, ks.astype(ck.dtype), (0, 0, 0, 0))
+    cv = jax.lax.dynamic_update_slice(cv, vs.astype(cv.dtype), (0, 0, 0, 0))
+    logits = qwen2.unembed(params["text"], cfg.text, hidden[:, l - 1])
+    return (ck, cv), cache_seg, logits
 
 
 def decode_step(

@@ -112,6 +112,7 @@ def forward(
     cache_index=None,
     cache_segment_ids=None,
     return_hidden: bool = False,
+    collect_kv: bool = False,
 ):
     """Full multimodal forward.
 
@@ -140,6 +141,7 @@ def forward(
         attn_impl=attn_impl,
         remat=remat,
         return_hidden=return_hidden,
+        collect_kv=collect_kv,
     )
 
 
