@@ -149,6 +149,18 @@ def mha(
             and is_static_zero_offset
             and (sk == q.shape[1] or (causal and q_segment_ids is not None))
         )
+        # Small square attention with no mask at all (the 729-token SigLIP
+        # tiles): single whole-sequence block, any alignment — measured 1.6x
+        # faster than the XLA path which materializes the [B,H,S,S] logits.
+        use_flash = use_flash or (
+            platform == "tpu"
+            and q_segment_ids is None
+            and not causal
+            and sk == q.shape[1]
+            and 128 <= sk <= 1024
+            and q.shape[3] <= 128
+            and is_static_zero_offset
+        )
     if use_flash:
         from radvlm_tpu.ops import flash_attention as fa
 
