@@ -48,6 +48,9 @@ class RunConfig:
     remat: bool = True
     attn_impl: str = "auto"
     loader_workers: int = 8
+    # LoRA (adapter-only) finetuning; 0 = full finetune.
+    lora_rank: int = 0
+    lora_alpha: float = 256.0
 
 
 def train(
@@ -88,10 +91,20 @@ def train(
 
         params = radvlm.init_params(run.model, jax.random.key(run.seed))
 
-    state, step_fn, tx = ts.setup_training(
-        mesh, run.model, run.train, params,
-        remat=run.remat, attn_impl=attn_impl,
-    )
+    lora_base = None
+    if run.lora_rank:
+        from radvlm_tpu.training.lora import LoraConfig
+
+        lcfg = LoraConfig(rank=run.lora_rank, alpha=run.lora_alpha)
+        state, lora_base, step_fn = ts.setup_lora_training(
+            mesh, run.model, run.train, lcfg, params,
+            seed=run.seed, remat=run.remat, attn_impl=attn_impl,
+        )
+    else:
+        state, step_fn, tx = ts.setup_training(
+            mesh, run.model, run.train, params,
+            remat=run.remat, attn_impl=attn_impl,
+        )
     del params
 
     # --- resume ---
@@ -139,7 +152,10 @@ def train(
             if run.max_steps is not None and step >= run.max_steps:
                 break
             batch = ts.put_batch(mesh, host_batch)
-            state, metrics = step_fn(state, batch)
+            if lora_base is not None:
+                state, metrics = step_fn(state, lora_base, batch)
+            else:
+                state, metrics = step_fn(state, batch)
             step += 1
             tokens_seen += int(host_batch["segment_ids"].sum())
             if step % run.log_every == 0:

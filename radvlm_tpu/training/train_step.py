@@ -89,6 +89,81 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_lora_train_step(
+    cfg: RadVLMConfig,
+    lora_cfg,
+    tx: optax.GradientTransformation,
+    *,
+    remat: bool = True,
+    attn_impl: str = "auto",
+):
+    """Jitted LoRA step: state.params are the ADAPTERS; the frozen base rides as
+    a separate (non-donated) argument (reference LoRA path `train.py:1515-1532`;
+    adapter-only checkpoints fall out since the TrainState holds only adapters)."""
+    from radvlm_tpu.training.lora import merge_lora
+
+    def step_fn(state: TrainState, base_params, batch: Dict[str, jnp.ndarray]):
+        def loss_fn(adapters):
+            merged = merge_lora(base_params, adapters, lora_cfg)
+            return radvlm.loss_fn(merged, cfg, batch, remat=remat, attn_impl=attn_impl)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        adapters = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=adapters, opt_state=opt_state),
+            metrics,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def setup_lora_training(
+    mesh: Mesh,
+    model_cfg: RadVLMConfig,
+    train_cfg,
+    lora_cfg,
+    base_params: Any,
+    *,
+    seed: int = 0,
+    remat: bool = True,
+    attn_impl: str = "auto",
+):
+    """LoRA setup: shard the frozen base with the usual rules, replicate the
+    small adapters, AdamW over adapters only. Returns (state, base, step_fn)."""
+    import optax as _optax
+
+    from radvlm_tpu.training.lora import init_lora
+    from radvlm_tpu.training.optimizer import make_schedule
+
+    base = shardlib.shard_params(mesh, base_params)
+    adapters = init_lora(base_params, lora_cfg, jax.random.key(seed))
+    rep = NamedSharding(mesh, P())
+    adapters = jax.device_put(adapters, rep)
+    tx = _optax.chain(
+        _optax.clip_by_global_norm(train_cfg.max_grad_norm),
+        _optax.adamw(
+            make_schedule(train_cfg, train_cfg.learning_rate),
+            b1=train_cfg.adam_b1, b2=train_cfg.adam_b2, eps=train_cfg.adam_eps,
+            weight_decay=train_cfg.weight_decay,
+        ),
+    )
+    if train_cfg.grad_accum_steps > 1:
+        tx = _optax.MultiSteps(tx, train_cfg.grad_accum_steps)
+    opt_state = jax.device_put(tx.init(adapters), rep)
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+        params=adapters,
+        opt_state=opt_state,
+    )
+    step_fn = make_lora_train_step(
+        model_cfg, lora_cfg, tx, remat=remat, attn_impl=attn_impl
+    )
+    return state, base, step_fn
+
+
 def put_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Host numpy batch -> device arrays sharded over the batch axes."""
     return jax.device_put(batch, shardlib.batch_shardings(mesh, batch))

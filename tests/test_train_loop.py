@@ -116,6 +116,38 @@ def test_train_and_resume(llava_data, tmp_path):
     assert int(state2.step) == 3
 
 
+def test_lora_train_driver(llava_data, tmp_path):
+    """LoRA mode: adapters train, TrainState holds only adapters (adapter-only
+    checkpointing), base params frozen."""
+    data_path, img_root = llava_data
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    run = RunConfig(
+        model=cfg,
+        train=TrainConfig(total_steps=4, grad_accum_steps=1, warmup_ratio=0.0,
+                          learning_rate=1e-3),
+        data_path=data_path,
+        image_root=img_root,
+        mesh_shape={"fsdp": 4, "tensor": 2},
+        micro_batch_size=4,
+        max_steps=2,
+        log_every=1,
+        checkpoint_dir=str(tmp_path / "lora_ckpt"),
+        save_steps=1,
+        buckets=(Bucket(512, 6),),
+        attn_impl="xla",
+        loader_workers=2,
+        lora_rank=4,
+        lora_alpha=8.0,
+    )
+    state = train(run, fake_tokenize)
+    assert int(state.step) == 2
+    # state.params are adapters: {path: {"a", "b"}}
+    some_key = next(iter(state.params))
+    assert set(state.params[some_key]) == {"a", "b"}
+    # b moved away from zero-init after training
+    assert float(jnp.abs(state.params[some_key]["b"]).max()) > 0
+
+
 def test_hf_export_roundtrip():
     from radvlm_tpu.models import radvlm
     from radvlm_tpu.models.hf_export import export_radvlm
