@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--mesh-tensor", type=int, default=1)
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    # LoRA (reference config-5 style adapter finetune)
+    p.add_argument("--lora-rank", type=int, default=0)
+    p.add_argument("--lora-alpha", type=float, default=256.0)
     return p.parse_args(argv)
 
 
@@ -99,6 +102,8 @@ def main(argv=None):
         checkpoint_dir=args.output_dir,
         save_steps=args.save_steps,
         seed=args.seed,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
     )
     state = train(run, tok.encode, hf_checkpoint=args.hf_checkpoint)
     print(f"training finished at step {int(state.step)}")
