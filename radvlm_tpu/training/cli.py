@@ -43,6 +43,8 @@ def parse_args(argv=None):
     # mesh
     p.add_argument("--mesh-data", type=int, default=1)
     p.add_argument("--mesh-fsdp", type=int, default=-1)
+    p.add_argument("--mesh-seq", type=int, default=1,
+                   help=">1 enables ring-attention sequence parallelism")
     p.add_argument("--mesh-tensor", type=int, default=1)
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -93,6 +95,7 @@ def main(argv=None):
         mesh_shape={
             "data": args.mesh_data,
             "fsdp": args.mesh_fsdp,
+            "seq": args.mesh_seq,
             "tensor": args.mesh_tensor,
         },
         micro_batch_size=args.micro_batch_size,
