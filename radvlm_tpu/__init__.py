@@ -1,12 +1,27 @@
-"""radvlm-tpu: TPU-native chest-X-ray VLM framework (JAX/XLA/Pallas/pjit).
+"""radvlm_tpu: a TPU-native chest-X-ray VLM framework (JAX/XLA/Pallas/pjit).
 
-A from-scratch rebuild of the capabilities of rfahrn/RadVLM (see SURVEY.md):
-data curation, LLaVA-OneVision-style modeling, sharded training, continuous-batched
-inference/serving, and the full evaluation harness — designed TPU-first.
+Public API overview (see README.md for the full layout):
+
+    from radvlm_tpu import config                      # model configs
+    from radvlm_tpu.models import radvlm, hf_import    # model + checkpoints
+    from radvlm_tpu.generation.engine import make_generate_fn
+    from radvlm_tpu.generation.continuous import ContinuousBatcher
+    from radvlm_tpu.training.loop import RunConfig, train
+    from radvlm_tpu.eval.harness import VLMRunner, run_task
+    from radvlm_tpu.eval import metrics
 """
-import os
 
 __version__ = "0.1.0"
 
-# Mirrors the reference's DATA_DIR env contract (radvlm/__init__.py:5-7).
-DATA_DIR = os.environ.get("DATA_DIR", None)
+from radvlm_tpu.config import (  # noqa: F401
+    IGNORE_INDEX,
+    IMAGE_TOKEN_INDEX,
+    AnyResConfig,
+    ProjectorConfig,
+    Qwen2Config,
+    RadVLMConfig,
+    SigLIPConfig,
+    radvlm_0_5b,
+    radvlm_7b,
+    tiny_test_config,
+)
