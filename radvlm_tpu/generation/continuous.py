@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import itertools
 import queue
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -83,7 +84,7 @@ class ContinuousBatcher:
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self.slot_len = np.zeros((num_slots,), np.int64)  # tokens in cache
         self.queue: "queue.Queue[Request]" = queue.Queue()
-        self._uid = 0
+        self._uid = itertools.count(1)  # thread-safe-enough uid source
 
         self._prefill_fns: Dict[int, Callable] = {}
         self._step_fn = self._build_step()
@@ -146,9 +147,8 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
     def submit(self, sample: multimodal.MMSample,
                max_new_tokens: Optional[int] = None) -> Request:
-        self._uid += 1
         req = Request(
-            uid=self._uid, sample=sample,
+            uid=next(self._uid), sample=sample,
             max_new_tokens=max_new_tokens or self.gen.max_new_tokens,
         )
         self.queue.put(req)

@@ -1,0 +1,169 @@
+"""High-throughput batch worker: concurrent requests share a continuous batcher.
+
+The reference pairs its threaded worker with an SGLang-runtime worker for
+throughput (`finetuning/llava/serve/sglang_worker.py`). The TPU-native analog:
+HTTP requests enqueue into one `ContinuousBatcher` (slot-refilled, always-full
+decode) driven by a single engine thread; each request blocks until its
+completion finishes. Same controller protocol as `serve/worker.py`
+(register/heartbeat/status), endpoint `/worker_generate` (non-streaming JSON) +
+`/worker_generate_stream` emitting the final chunk in the \\0-framed format for
+client compatibility.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from radvlm_tpu.generation.continuous import ContinuousBatcher
+from radvlm_tpu.generation.engine import GenerationConfig, trim_at_stop_strings
+from radvlm_tpu.models import multimodal
+from radvlm_tpu.serve.worker import HEARTBEAT_INTERVAL, load_image_from_base64
+
+log = logging.getLogger(__name__)
+
+
+class BatchWorker:
+    def __init__(
+        self,
+        runner,  # eval.harness.VLMRunner
+        *,
+        model_names,
+        num_slots: int = 8,
+        max_len: int = 8192,
+        prompt_bucket: int = 4096,
+        controller_address: Optional[str] = None,
+        worker_address: str = "",
+    ):
+        self.runner = runner
+        self.model_names = list(model_names)
+        self.controller_address = controller_address
+        self.worker_address = worker_address
+        gen = GenerationConfig(
+            max_new_tokens=runner.max_new_tokens,
+            eos_token_ids=runner.tokenizer.eos_token_ids,
+            pad_token_id=runner.tokenizer.pad_token_id,
+        )
+        self.batcher = ContinuousBatcher(
+            runner.params, runner.cfg, gen,
+            num_slots=num_slots, max_len=max_len,
+            prompt_buckets=(prompt_bucket,),
+            attn_impl=runner.attn_impl,
+        )
+        self._events: Dict[int, threading.Event] = {}
+        self._lock = threading.Lock()
+        self._engine_thread = threading.Thread(target=self._engine_loop, daemon=True)
+        self._stop = threading.Event()
+        self._engine_thread.start()
+
+    def _engine_loop(self):
+        """Drive the batcher forever; signal request completion events."""
+        while not self._stop.is_set():
+            progressed = False
+            for req in self.batcher.run():
+                progressed = True
+                with self._lock:
+                    ev = self._events.get(req.uid)
+                if ev:
+                    ev.set()
+            if not progressed:
+                time.sleep(0.005)
+
+    def queue_length(self) -> int:
+        return self.batcher.queue.qsize() + len(self.batcher._active())
+
+    def generate(self, params_req: Dict[str, Any]) -> Dict[str, Any]:
+        prompt = params_req["prompt"]
+        images = [load_image_from_base64(b) for b in params_req.get("images", [])]
+        tok = self.runner.tokenizer
+        ids = multimodal.tokenize_with_images(tok.encode, prompt)
+        sample = multimodal.build_sample(ids, images, self.runner.cfg)
+        ev = threading.Event()
+        req = self.batcher.submit(
+            sample, max_new_tokens=int(params_req.get("max_new_tokens", 256))
+        )
+        with self._lock:
+            self._events[req.uid] = ev
+        ok = ev.wait(timeout=600)
+        with self._lock:
+            self._events.pop(req.uid, None)
+        if not ok:
+            return {"text": "timeout", "error_code": 4}
+        stops = list(self.runner.template.stop_strings) + list(
+            filter(None, [params_req.get("stop")])
+        )
+        text = trim_at_stop_strings(tok.decode(req.emitted), stops)
+        return {"text": text, "error_code": 0}
+
+    # --- HTTP (same registry protocol as serve/worker.py) ---
+
+    def make_handler(worker):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                log.debug("http: " + fmt, *args)
+
+            def _read(self):
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _json(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path == "/worker_get_status":
+                    self._json({
+                        "model_names": worker.model_names,
+                        "speed": 1.0,
+                        "queue_length": worker.queue_length(),
+                    })
+                elif self.path == "/worker_generate":
+                    self._json(worker.generate(self._read()))
+                elif self.path == "/worker_generate_stream":
+                    result = worker.generate(self._read())
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.end_headers()
+                    self.wfile.write(json.dumps(result).encode() + b"\0")
+                else:
+                    self._json({"error": "unknown endpoint"}, code=404)
+
+        return Handler
+
+    def serve_forever(self, host="0.0.0.0", port=21003, *, background=False):
+        server = ThreadingHTTPServer((host, port), self.make_handler())
+        self._server = server
+        port = server.server_address[1]
+        if not self.worker_address:
+            self.worker_address = f"http://localhost:{port}"
+        if self.controller_address:
+            import requests
+
+            requests.post(
+                self.controller_address + "/register_worker",
+                json={
+                    "worker_name": self.worker_address,
+                    "model_names": self.model_names,
+                    "speed": 2.0,  # batcher worker advertises higher speed
+                    "queue_length": self.queue_length(),
+                },
+                timeout=30,
+            )
+        if background:
+            t = threading.Thread(target=server.serve_forever, daemon=True)
+            t.start()
+            return port
+        server.serve_forever()
+
+    def shutdown(self):
+        self._stop.set()
+        if getattr(self, "_server", None):
+            self._server.shutdown()
