@@ -8,8 +8,12 @@ llava_qwen.py:46-145`). Here the decoder is a functional pytree-of-arrays model:
   body, fast XLA compiles, natural pipeline-parallel unit);
 - attention dispatches through `radvlm_tpu.ops.attention.mha` (Pallas flash kernel on
   TPU, XLA reference elsewhere) with segment-id masking for packed/padded batches;
-- KV caches are stacked [num_layers, B, S, Hkv, D] arrays carried through the scan,
-  enabling `lax.while_loop` decode without per-layer Python state.
+- the KV cache is a stacked [num_layers, B, Smax, Hkv*D] pair (heads folded into
+  the minor dim for contiguous kernel DMAs). Prefill runs cache-less and collects
+  per-layer K/V as scan outputs (`collect_kv`); decode carries the cache through
+  the layer scan writing only the new token's slice, with the Pallas fused-heads
+  kernel (`ops/decode_attention.py`) reading the stacked cache in place — enabling
+  `lax.while_loop` decode without per-layer Python state.
 
 Numerics contract (tested against HF transformers in tests/test_qwen2_parity.py):
 RMSNorm in fp32, rotary "rotate_half" convention, GQA with QKV bias, SwiGLU MLP.
