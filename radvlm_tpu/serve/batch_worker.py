@@ -126,9 +126,21 @@ class BatchWorker:
                         "queue_length": worker.queue_length(),
                     })
                 elif self.path == "/worker_generate":
-                    self._json(worker.generate(self._read()))
+                    try:
+                        data = self._read()
+                    except (ValueError, UnicodeDecodeError):
+                        self._json({"text": "malformed JSON body",
+                                    "error_code": 1}, code=400)
+                        return
+                    self._json(worker.generate(data))
                 elif self.path == "/worker_generate_stream":
-                    result = worker.generate(self._read())
+                    try:
+                        data = self._read()
+                    except (ValueError, UnicodeDecodeError):
+                        self._json({"text": "malformed JSON body",
+                                    "error_code": 1}, code=400)
+                        return
+                    result = worker.generate(data)
                     self.send_response(200)
                     self.send_header("Content-Type", "application/octet-stream")
                     self.end_headers()

@@ -139,7 +139,11 @@ class Controller:
                 return json.loads(self.rfile.read(n) or b"{}")
 
             def do_POST(self):
-                data = self._read()
+                try:
+                    data = self._read()
+                except (ValueError, UnicodeDecodeError):
+                    self._json({"error": "malformed JSON body"}, code=400)
+                    return
                 if self.path == "/register_worker":
                     registry.register(
                         data["worker_name"],

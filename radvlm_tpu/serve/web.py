@@ -133,7 +133,12 @@ def make_handler(controller_address: str):
                 self.end_headers()
                 return
             n = int(self.headers.get("Content-Length", 0))
-            data = json.loads(self.rfile.read(n) or b"{}")
+            try:
+                data = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, UnicodeDecodeError):
+                self.send_response(400)
+                self.end_headers()
+                return
             import requests
 
             self.send_response(200)

@@ -196,7 +196,12 @@ class ModelWorker:
                         "queue_length": worker.queue_length(),
                     })
                 elif self.path == "/worker_generate_stream":
-                    data = self._read()
+                    try:
+                        data = self._read()
+                    except (ValueError, UnicodeDecodeError):
+                        self._json({"text": "malformed JSON body", "error_code": 1},
+                                   code=400)
+                        return
                     acquired = worker.semaphore.acquire(timeout=120)
                     if not acquired:
                         self._json({"text": "server overloaded", "error_code": 3},
