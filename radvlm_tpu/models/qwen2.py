@@ -71,11 +71,13 @@ def init_params(cfg: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
 
 
 def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray):
+    from radvlm_tpu.ops.quant import qmm
+
     b, s, _ = y.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = (y @ lp["attn"]["q"]["kernel"] + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
-    k = (y @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]).reshape(b, s, hkv, hd)
-    v = (y @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]).reshape(b, s, hkv, hd)
+    q = (qmm(y, lp["attn"]["q"]["kernel"]) + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
+    k = (qmm(y, lp["attn"]["k"]["kernel"]) + lp["attn"]["k"]["bias"]).reshape(b, s, hkv, hd)
+    v = (qmm(y, lp["attn"]["v"]["kernel"]) + lp["attn"]["v"]["bias"]).reshape(b, s, hkv, hd)
     if cfg.rope_scaling != 1.0:
         positions = positions.astype(jnp.float32) / cfg.rope_scaling
     q = apply_rope(q, positions, cfg.rope_theta)
@@ -84,13 +86,15 @@ def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray):
 
 
 def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray, attn: jnp.ndarray):
+    from radvlm_tpu.ops.quant import qmm
+
     b, s = attn.shape[:2]
-    x = res + attn.reshape(b, s, -1) @ lp["attn"]["o"]["kernel"]
+    x = res + qmm(attn.reshape(b, s, -1), lp["attn"]["o"]["kernel"])
     res = x
     y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(y @ lp["mlp"]["gate"]["kernel"])
-    up = y @ lp["mlp"]["up"]["kernel"]
-    return res + (gate * up) @ lp["mlp"]["down"]["kernel"]
+    gate = jax.nn.silu(qmm(y, lp["mlp"]["gate"]["kernel"]))
+    up = qmm(y, lp["mlp"]["up"]["kernel"])
+    return res + qmm(gate * up, lp["mlp"]["down"]["kernel"])
 
 
 def _block(
@@ -105,10 +109,10 @@ def _block(
     """One decoder block, no cache. x:[B,S,D]. With collect_kv, also returns the
     roped (k, v) as flat [B, S, Hkv*D] pairs — scan stacks them into a ready KV
     cache with zero copies (the prefill fast path: carrying a preallocated cache
-    through the scan measured 2.6x slower from per-layer buffer copies)."""
-    from radvlm_tpu.ops.quant import maybe_dequant
+    through the scan measured 2.6x slower from per-layer buffer copies).
 
-    lp = maybe_dequant(lp, x.dtype)
+    Quantized kernels pass through to `quant.qmm` at each matmul site (dequant
+    happens per-matmul in the dense path or in-VMEM in the int8 kernel)."""
     res = x
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, lp, y, positions)
@@ -153,11 +157,8 @@ def _block_cached(
     dim so cache writes are reshape-free and the decode kernel's DMAs are fully
     contiguous (see ops/decode_attention.py).
     """
-    from radvlm_tpu.ops.quant import maybe_dequant
-
     if attn_impl == "ring":
         attn_impl = "auto"  # ring applies to training prefill, not cached decode
-    lp = maybe_dequant(lp, x.dtype)
     res = x
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, lp, y, positions)
@@ -301,11 +302,17 @@ def forward(
 
 
 def unembed(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarray:
-    from radvlm_tpu.ops.quant import maybe_dequant
+    from radvlm_tpu.ops.quant import is_qnode, maybe_dequant, qmm
 
     if cfg.tie_word_embeddings:
-        return hidden @ maybe_dequant(params["embed"]["embedding"], hidden.dtype).T
-    return hidden @ maybe_dequant(params["lm_head"]["kernel"], hidden.dtype)
+        emb = params["embed"]["embedding"]
+        if is_qnode(emb):
+            # Tied embeddings need the transpose; scales are per ROW of the
+            # embedding (= per vocab column of the matmul), so the Pallas kernel
+            # layout doesn't apply — dequant-transpose instead.
+            return hidden @ maybe_dequant(emb, hidden.dtype).T
+        return hidden @ emb.T
+    return qmm(hidden, params["lm_head"]["kernel"])
 
 
 def init_kv_cache(

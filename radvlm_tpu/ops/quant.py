@@ -94,3 +94,16 @@ def quantized_bytes(params: Any) -> int:
     for leaf in jax.tree.leaves(params):
         total += leaf.size * leaf.dtype.itemsize
     return total
+
+
+def qmm(x: jnp.ndarray, w: Any) -> jnp.ndarray:
+    """x @ w where w is a dense kernel OR a quantized node.
+
+    Quantized nodes dispatch to the Pallas int8 matmul for small row counts
+    (decode: weights stream as int8, dequant in VMEM) and to a one-shot
+    dequant + dense MXU matmul for large row counts (prefill/training)."""
+    if is_qnode(w):
+        from radvlm_tpu.ops.int8_matmul import qnode_matmul
+
+        return qnode_matmul(x, w)
+    return x @ w
