@@ -55,6 +55,26 @@ def test_quantized_model_close(rng):
     assert np.abs(a - b).max() / denom < 0.05
 
 
+def test_int8_matmul_kernel(rng):
+    """Pallas int8 matmul (interpret mode) vs dequant + dense."""
+    from radvlm_tpu.ops.int8_matmul import int8_matmul
+
+    d, f = 256, 384
+    w = jnp.asarray(rng.normal(size=(d, f), scale=0.02), jnp.float32)
+    node = quantize_array(w, reduce_axes=(-2,))
+    for rows in (1, 4, 16):
+        x = jnp.asarray(rng.normal(size=(rows, 1, d)), jnp.float32)
+        y = int8_matmul(
+            x, node["__q__"], node["__scale__"], block_f=128, interpret=True
+        )
+        ref = x @ dequantize_array(node, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref), atol=2e-4, rtol=2e-3,
+            err_msg=f"rows={rows}",
+        )
+        assert y.shape == (rows, 1, f)
+
+
 def test_quantized_generation_runs(rng):
     from radvlm_tpu.generation.engine import GenerationConfig, make_generate_fn
 
