@@ -163,6 +163,72 @@ def build_sample(
     )
 
 
+def pack_samples(samples: Sequence[MMSample]) -> MMSample:
+    """Concatenate samples into ONE packed sample (segment boundaries are
+    restored by `collate(..., packed=True)` via the per-sample lengths).
+
+    Packing turns the short-sample tail of the training mixture (classification
+    prompts are ~100 tokens vs multi-kilotoken anyres rows) into full rows: the
+    flash kernel's segment-id masking keeps attention within each original
+    sample and the loss mask already respects segments. Token/image bookkeeping:
+    img_src rows shift by the running merged-token offset, merge-plan rows shift
+    by the running tile offset, and each sample keeps its own newline row
+    (remapped at collate time is impossible for packed rows, so tiles are NOT
+    re-padded per sample — the packed tile matrix is the concatenation).
+    """
+    if len(samples) == 1:
+        s = samples[0]
+        packed = MMSample(
+            tokens=s.tokens, img_src=s.img_src, labels=s.labels, tiles=s.tiles,
+            merge_indices=s.merge_indices, merge_weights=s.merge_weights,
+            num_image_tokens=s.num_image_tokens, tokens_per_tile=s.tokens_per_tile,
+        )
+        packed.segment_lengths = [s.length]  # type: ignore[attr-defined]
+        return packed
+    tpt = samples[0].tokens_per_tile
+    tokens, img_src, labels = [], [], []
+    tiles, mi, mw = [], [], []
+    newline_masks = []
+    row_off = 0
+    tile_off = 0
+    seg_lengths = []
+    for s in samples:
+        assert s.tokens_per_tile == tpt
+        tokens.append(s.tokens)
+        src = s.img_src.copy()
+        src[src >= 0] += row_off
+        img_src.append(src)
+        labels.append(s.labels)
+        # Shift tile rows by the packed tile offset; each sample's references to
+        # ITS newline row (own t*tpt) must later point at the single shared
+        # newline row of the packed flat matrix (total_tiles*tpt) — detect them
+        # BEFORE shifting so they can't collide with a later sample's tile rows.
+        idx = s.merge_indices.copy()
+        own_newline = s.tiles.shape[0] * tpt
+        newline_masks.append(idx == own_newline)
+        idx += tile_off * tpt
+        mi.append(idx)
+        mw.append(s.merge_weights)
+        tiles.append(s.tiles)
+        seg_lengths.append(s.length)
+        row_off += s.merge_indices.shape[0]
+        tile_off += s.tiles.shape[0]
+    merge_indices = np.concatenate(mi, axis=0)
+    merge_indices[np.concatenate(newline_masks, axis=0)] = tile_off * tpt
+    packed = MMSample(
+        tokens=np.concatenate(tokens),
+        img_src=np.concatenate(img_src),
+        labels=np.concatenate(labels),
+        tiles=np.concatenate(tiles, axis=0),
+        merge_indices=merge_indices,
+        merge_weights=np.concatenate(mw, axis=0),
+        num_image_tokens=row_off,
+        tokens_per_tile=tpt,
+    )
+    packed.segment_lengths = seg_lengths  # type: ignore[attr-defined]
+    return packed
+
+
 def collate(
     samples: Sequence[MMSample],
     *,
@@ -204,8 +270,20 @@ def collate(
         tokens[i, sl] = s.tokens
         img_src[i, sl] = s.img_src
         labels[i, sl] = s.labels
-        segment_ids[i, sl] = 1
-        positions[i, sl] = np.arange(n)
+        seg_lengths = getattr(s, "segment_lengths", None)
+        if seg_lengths and len(seg_lengths) > 1:
+            # Packed row (pack_samples): distinct segment ids + per-segment
+            # position resets so attention and rope treat each original sample
+            # independently.
+            seg_row = np.concatenate([
+                np.full(m, k + 1, np.int32) for k, m in enumerate(seg_lengths)
+            ])
+            pos_row = np.concatenate([np.arange(m) for m in seg_lengths])
+            segment_ids[i, sl] = seg_row
+            positions[i, sl] = pos_row
+        else:
+            segment_ids[i, sl] = 1
+            positions[i, sl] = np.arange(n)
         tiles[i, : s.tiles.shape[0]] = s.tiles
         # Remap the sample's newline row (t_own * tpt, the last row of ITS flat tile
         # matrix) to the batch-padded position (T * tpt): apply_merge concatenates
