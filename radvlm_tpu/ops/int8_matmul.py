@@ -92,9 +92,15 @@ def int8_matmul(
 def qnode_matmul(x: jnp.ndarray, node, *, interpret: bool = False) -> jnp.ndarray:
     """x @ dequant(node) for a {"__q__", "__scale__"} node (2D kernels only).
 
-    Dispatches to the Pallas kernel on TPU when the row count is small (decode);
-    otherwise dequantizes once and uses the MXU-optimal dense matmul.
+    Default path dequantizes once and uses the dense MXU matmul: integrated
+    decode measured FASTER that way (the per-call Pallas launch overhead x
+    7 projections x num_layers outweighs the halved weight bytes — 144 vs 115
+    decode tok/s at 7B). Set RADVLM_INT8_MM=1 to dispatch small-row matmuls to
+    the in-VMEM-dequant kernel; making it win needs fusing several projections
+    per launch (future work).
     """
+    import os
+
     from radvlm_tpu.ops.quant import Q_KEY, SCALE_KEY, dequantize_array
 
     q, s = node[Q_KEY], node[SCALE_KEY]
@@ -102,7 +108,8 @@ def qnode_matmul(x: jnp.ndarray, node, *, interpret: bool = False) -> jnp.ndarra
     for dim in x.shape[:-1]:
         rows *= dim
     if (
-        jax.default_backend() == "tpu"
+        os.environ.get("RADVLM_INT8_MM") == "1"
+        and jax.default_backend() == "tpu"
         and q.ndim == 2
         and rows <= 64
         and q.shape[0] % 128 == 0
