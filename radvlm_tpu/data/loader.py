@@ -183,6 +183,7 @@ class PrefetchLoader:
         process_index: int = 0,
         process_count: int = 1,
         pos_skip_range: int = 0,
+        pack_factor: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -193,6 +194,10 @@ class PrefetchLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.pos_skip_range = pos_skip_range
+        # pack_factor > 1: each batch row packs that many consecutive samples
+        # (segment-id isolation; see multimodal.pack_samples) — fills bucket
+        # rows with the mixture's short samples instead of padding.
+        self.pack_factor = pack_factor
         self._pos_rng = np.random.default_rng(seed ^ 0x9E3779B9)
         self._lengths = [
             dataset.estimated_length(i) for i in range(len(dataset))
@@ -201,7 +206,7 @@ class PrefetchLoader:
     def epoch_plan(self, epoch: int) -> List[Tuple[int, List[int]]]:
         return bucketed_batches(
             self._lengths,
-            self.batch_size,
+            self.batch_size * self.pack_factor,
             buckets=self.buckets,
             seed=self.seed + epoch,
             process_index=self.process_index,
@@ -223,6 +228,11 @@ class PrefetchLoader:
             raise RuntimeError(f"entire batch failed to load: {idxs}")
         while len(samples) < len(idxs):  # keep the batch shape static
             samples.append(samples[-1])
+        if self.pack_factor > 1:
+            samples = [
+                multimodal.pack_samples(samples[j:j + self.pack_factor])
+                for j in range(0, len(samples), self.pack_factor)
+            ]
         batch = multimodal.collate(
             samples,
             pad_len=bucket.max_len,

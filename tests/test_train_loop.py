@@ -116,6 +116,27 @@ def test_train_and_resume(llava_data, tmp_path):
     assert int(state2.step) == 3
 
 
+def test_loader_packing(llava_data):
+    data_path, img_root = llava_data
+    from radvlm_tpu.data.loader import PrefetchLoader
+
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    ds = LlavaJsonDataset(
+        cells=json.load(open(data_path)), image_root=img_root, cfg=cfg,
+        tokenize_fn=fake_tokenize,
+    )
+    loader = PrefetchLoader(
+        ds, 2, buckets=(Bucket(512, 12),), num_workers=2, pack_factor=2
+    )
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2  # 8 samples / (2 rows x 2 per row)
+    for b in batches:
+        assert b["tokens"].shape[0] == 2
+        # each row carries two packed segments
+        assert int(b["segment_ids"].max()) == 2
+        assert (b["labels"] != -100).sum() > 0
+
+
 def test_lora_train_driver(llava_data, tmp_path):
     """LoRA mode: adapters train, TrainState holds only adapters (adapter-only
     checkpointing), base params frozen."""
