@@ -169,6 +169,41 @@ def test_lora_train_driver(llava_data, tmp_path):
     assert float(jnp.abs(state.params[some_key]["b"]).max()) > 0
 
 
+def test_convert_cli_roundtrip(llava_data, tmp_path):
+    """Train 1 step -> orbax checkpoint -> convert CLI -> HF dir -> reimport."""
+    data_path, img_root = llava_data
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    run = RunConfig(
+        model=cfg,
+        train=TrainConfig(total_steps=2, grad_accum_steps=1),
+        data_path=data_path,
+        image_root=img_root,
+        mesh_shape={"fsdp": 4, "tensor": 2},
+        micro_batch_size=4,
+        max_steps=1,
+        checkpoint_dir=str(tmp_path / "run"),
+        save_steps=1,
+        buckets=(Bucket(512, 6),),
+        attn_impl="xla",
+        loader_workers=2,
+    )
+    train(run, fake_tokenize)
+
+    from radvlm_tpu.models import convert_cli
+
+    out = tmp_path / "hf"
+    convert_cli.main([
+        "--checkpoint-dir", str(tmp_path / "run"),
+        "--model-size", "tiny", "--output", str(out), "--verify",
+    ])
+    assert (out / "model.safetensors").exists()
+    assert (out / "config.json").exists()
+    from radvlm_tpu.models.hf_import import load_radvlm_checkpoint
+
+    params = load_radvlm_checkpoint(str(out), cfg, dtype=jnp.float32)
+    assert params["text"]["layers"]["ln1"].shape[0] == cfg.text.num_layers
+
+
 def test_hf_export_roundtrip():
     from radvlm_tpu.models import radvlm
     from radvlm_tpu.models.hf_export import export_radvlm
