@@ -155,6 +155,12 @@ def _fwd(q, k, v, qseg, kseg, *, causal, scale, block_q, block_k, interpret):
     assert nq * bq == sq and nk * bk == sk, (sq, sk, bq, bk)
 
     has_seg = qseg is not None
+    if has_seg and (bq % LANES or bk % LANES):
+        raise ValueError(
+            f"flash attention with segment ids needs block sizes that are "
+            f"multiples of {LANES}; got block_q={bq}, block_k={bk} for "
+            f"seq lengths ({sq}, {sk}) — pad sequences to a {LANES} multiple"
+        )
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0)),
         pl.BlockSpec((1, 1, bk, d), lambda ib, ih, iq, ik: (ib, ih // g, ik, 0)),
@@ -332,7 +338,7 @@ def _bwd_dq_kernel(
 
 
 def _bwd(q, k, v, qseg, kseg, o, lse, do,
-         *, causal, scale, block_q, block_k, interpret):
+         *, causal, scale, block_q, block_k, interpret, dlse=None):
     b, h, sq, d = q.shape
     hkv, sk = k.shape[1], k.shape[2]
     g = h // hkv
@@ -341,6 +347,10 @@ def _bwd(q, k, v, qseg, kseg, o, lse, do,
     nq, nk = sq // bq, sk // bk
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        # Cotangent of the logsumexp output folds into delta: the extra score
+        # gradient is ds += dlse_i * p_ij * scale, i.e. delta_eff = delta - dlse.
+        delta = delta - dlse.astype(jnp.float32)
     delta = jax.lax.broadcast_in_dim(delta, (b, h, sq, LANES), (0, 1, 2))
 
     has_seg = qseg is not None
@@ -477,6 +487,32 @@ def _flash_bwd(causal, scale, block_q, block_k, interpret, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_lse(q, k, v, qseg, kseg, causal, scale, block_q, block_k, interpret):
+    o, lse = _fwd(q, k, v, qseg, kseg, causal=causal, scale=scale,
+                  block_q=block_q, block_k=block_k, interpret=interpret)
+    return o, lse[..., 0]
+
+
+def _flash_lse_fwd(q, k, v, qseg, kseg, causal, scale, block_q, block_k,
+                   interpret):
+    o, lse = _fwd(q, k, v, qseg, kseg, causal=causal, scale=scale,
+                  block_q=block_q, block_k=block_k, interpret=interpret)
+    return (o, lse[..., 0]), (q, k, v, qseg, kseg, o, lse)
+
+
+def _flash_lse_bwd(causal, scale, block_q, block_k, interpret, res, cts):
+    do, dlse = cts
+    q, k, v, qseg, kseg, o, lse = res
+    dq, dk, dv = _bwd(q, k, v, qseg, kseg, o, lse, do,
+                      causal=causal, scale=scale, block_q=block_q,
+                      block_k=block_k, interpret=interpret, dlse=dlse)
+    return dq, dk, dv, None, None
+
+
+_flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
 def flash_attention_with_lse(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -490,30 +526,31 @@ def flash_attention_with_lse(
     block_k: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward-only fused attention returning (out [B,Sq,H,D], lse [B,H,Sq]).
+    """Fused attention returning (out [B,Sq,H,D], lse [B,H,Sq]).
 
     The logsumexp output makes partial attentions mergeable — the building block
     for ring attention (`parallel/ring.py`). Fully-masked rows have lse = -inf
-    and zero output. (No custom VJP on this entry point; ring attention defines
-    its own backward by recomputation.)
+    and zero output. Differentiable: a custom VJP reuses the FA2 backward
+    kernels, with the lse cotangent folded into delta (ring attention's merge
+    backpropagates through both outputs).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if (q_segment_ids is None) != (kv_segment_ids is None):
         raise ValueError("provide both or neither of q/kv segment ids")
-    o, lse = _fwd(
+    o, lse = _flash_lse(
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
         q_segment_ids,
         kv_segment_ids,
-        causal=bool(causal),
-        scale=float(scale),
-        block_q=int(block_q),
-        block_k=int(block_k),
-        interpret=bool(interpret),
+        bool(causal),
+        float(scale),
+        int(block_q),
+        int(block_k),
+        bool(interpret),
     )
-    return o.transpose(0, 2, 1, 3), lse[..., 0]
+    return o.transpose(0, 2, 1, 3), lse
 
 
 def flash_attention(

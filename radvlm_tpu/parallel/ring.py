@@ -211,7 +211,8 @@ def ring_attention_sharded(q, k, v, q_segment_ids, kv_segment_ids, *,
     return fn(q, k, v, q_segment_ids, kv_segment_ids)
 
 
-def make_ring_attention(mesh, *, axis_name: str = "seq", impl: str = "flash"):
+def make_ring_attention(mesh, *, axis_name: str = "seq", impl: str = "flash",
+                        interpret: bool = False):
     """shard_map-wrapped ring attention over `mesh[axis_name]`.
 
     Returns fn(q, k, v, q_seg, kv_seg) with global [B, S, H, D] arrays sharded
@@ -224,7 +225,8 @@ def make_ring_attention(mesh, *, axis_name: str = "seq", impl: str = "flash"):
     spec4 = P(None, axis_name, None, None)
     spec2 = P(None, axis_name)
 
-    fn = functools.partial(ring_attention, axis_name=axis_name, impl=impl)
+    fn = functools.partial(ring_attention, axis_name=axis_name, impl=impl,
+                           interpret=interpret)
 
     def wrapped(q, k, v, q_seg, kv_seg):
         return fn(

@@ -168,3 +168,56 @@ def test_bf16_forward(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+def test_with_lse_grad_parity(rng):
+    """flash_attention_with_lse is differentiable through BOTH outputs: the lse
+    cotangent folds into the FA2 backward as delta - dlse (ring attention's
+    merge backpropagates through o and lse)."""
+    from radvlm_tpu.ops.flash_attention import flash_attention_with_lse
+    from radvlm_tpu.parallel.ring import _local_attn_with_lse
+
+    b, s, h, d = 1, 256, 2, 64
+    q = _rand(rng, (b, s, h, d))
+    k = _rand(rng, (b, s, h, d))
+    v = _rand(rng, (b, s, h, d))
+    seg = np.zeros((b, s), np.int32)
+    seg[0, :200] = 1
+    seg = jnp.asarray(seg)
+    w = _rand(rng, (b, h, s))  # random lse cotangent weights
+
+    def loss_flash(q, k, v):
+        o, lse = flash_attention_with_lse(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+            block_q=128, block_k=128, interpret=True,
+        )
+        lse_ok = jnp.where(jnp.isfinite(lse), lse, 0.0)
+        return jnp.sum(o.astype(jnp.float32) ** 2) + jnp.sum(w * lse_ok)
+
+    def loss_ref(q, k, v):
+        o, lse = _local_attn_with_lse(
+            q, k, v, seg, seg, causal=True, scale=d ** -0.5, impl="xla"
+        )
+        valid = (seg != 0)[:, None, :]
+        o = o * (seg != 0)[:, :, None, None]
+        lse_ok = jnp.where(valid, jnp.where(jnp.isfinite(lse), lse, 0.0), 0.0)
+        return jnp.sum(o.astype(jnp.float32) ** 2) + jnp.sum(w * lse_ok)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=3e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_segment_ids_small_block_raises(rng):
+    """Segment-id masking requires 128-multiple blocks; short sequences must
+    fail loudly rather than emit a zero-width tile (VERDICT weak #6)."""
+    b, s, h, d = 1, 64, 2, 64
+    q = _rand(rng, (b, s, h, d))
+    seg = jnp.ones((b, s), jnp.int32)
+    with pytest.raises(ValueError, match="multiples of 128"):
+        flash_attention(q, q, q, q_segment_ids=seg, kv_segment_ids=seg,
+                        causal=True, interpret=True)
