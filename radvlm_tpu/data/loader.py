@@ -229,10 +229,7 @@ class PrefetchLoader:
         while len(samples) < len(idxs):  # keep the batch shape static
             samples.append(samples[-1])
         if self.pack_factor > 1:
-            samples = [
-                multimodal.pack_samples(samples[j:j + self.pack_factor])
-                for j in range(0, len(samples), self.pack_factor)
-            ]
+            samples = self._pack_rows(samples, bucket)
         batch = multimodal.collate(
             samples,
             pad_len=bucket.max_len,
@@ -246,6 +243,36 @@ class PrefetchLoader:
         if self.pos_skip_range > 0:
             batch = apply_pos_skipping(batch, self._pos_rng, self.pos_skip_range)
         return batch
+
+    def _pack_rows(self, samples, bucket: Bucket):
+        """Length-aware packing into exactly batch_size rows (ADVICE r1 medium:
+        blind fixed-stride packing silently truncated packs whose combined
+        length exceeded the bucket). Best-fit-decreasing over ACTUAL expanded
+        lengths; each row is seeded with one sample so the batch shape stays
+        static. Overflow that cannot fit anywhere is logged, not silent."""
+        n_rows = max(len(samples) // self.pack_factor, 1)
+        order = sorted(range(len(samples)),
+                       key=lambda j: (-samples[j].length, j))
+        groups = [[samples[j]] for j in order[:n_rows]]
+        lens = [samples[j].length for j in order[:n_rows]]
+        clipped = 0
+        for j in order[n_rows:]:
+            s = samples[j]
+            fits = [r for r in range(n_rows)
+                    if lens[r] + s.length <= bucket.max_len]
+            if fits:
+                r = max(fits, key=lambda r: lens[r])  # best fit: fullest row
+            else:
+                r = min(range(n_rows), key=lambda r: lens[r])
+                clipped += lens[r] + s.length - bucket.max_len
+            groups[r].append(s)
+            lens[r] += s.length
+        if clipped:
+            log.warning(
+                "packing overflow: %d tokens exceed bucket max_len=%d and "
+                "will be clipped at collate", clipped, bucket.max_len,
+            )
+        return [multimodal.pack_samples(g) for g in groups]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self.epoch(0)

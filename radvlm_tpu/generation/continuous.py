@@ -77,12 +77,13 @@ class ContinuousBatcher:
 
         # Device state.
         self.cache = qwen2.init_kv_cache(cfg.text, num_slots, max_len)
-        self.cache_seg_host = np.zeros((num_slots, max_len), np.int32)
-        self.cache_seg = jnp.asarray(self.cache_seg_host)
+        self.cache_seg = jnp.zeros((num_slots, max_len), jnp.int32)
         self.cur_tok = jnp.zeros((num_slots,), jnp.int32)
-        # Host slot state.
+        # Host slot state (incremental counters — no per-step device readback
+        # or O(slots x max_len) scans).
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self.slot_len = np.zeros((num_slots,), np.int64)  # tokens in cache
+        self.slot_real_len = np.zeros((num_slots,), np.int64)  # excl. left pad
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._uid = itertools.count(1)  # thread-safe-enough uid source
 
@@ -178,9 +179,15 @@ class ContinuousBatcher:
         self.cache, self.cache_seg = self._insert_fn(
             self.cache, cache1, self.cache_seg, seg1[0], slot
         )
-        self.cache_seg_host[slot] = np.asarray(seg1[0])
+        # Cap the request so cache writes never pass max_len: emitting N tokens
+        # writes indices [l, l+N-2] (ADVICE r1: clamping the write index
+        # instead corrupted output past the end of the cache).
+        allowed = max(1, self.max_len - l + 1)
+        if req.max_new_tokens > allowed:
+            req.max_new_tokens = allowed
         self.slot_req[slot] = req
         self.slot_len[slot] = l  # prompt occupies [0, l) (left-padded)
+        self.slot_real_len[slot] = int(np.asarray(seg1[0]).sum())
         self.cur_tok = self.cur_tok.at[slot].set(tok0[0])
         self._emit(slot, int(tok0[0]))
 
@@ -226,13 +233,12 @@ class ContinuousBatcher:
             # Each slot's new token was emitted at output position
             # len(emitted)-1; its rope position is prompt_real_len + that, its
             # cache slot is slot_len (the next free index).
-            positions = np.zeros((self.num_slots,), np.int32)
-            write_idx = np.zeros((self.num_slots,), np.int32)
-            for i in range(self.num_slots):
-                r = self.slot_req[i]
-                real_len = int(self.cache_seg_host[i].sum())
-                positions[i] = real_len
-                write_idx[i] = min(int(self.slot_len[i]), self.max_len - 1)
+            positions = self.slot_real_len.astype(np.int32)
+            # Active slots never pass max_len (capped at fill time); inactive
+            # slots decode garbage, so clamping their stale index is harmless.
+            write_idx = np.minimum(self.slot_len, self.max_len - 1).astype(np.int32)
+            for i in active:
+                assert self.slot_len[i] < self.max_len, (i, self.slot_len[i])
             self._rng, sub = jax.random.split(self._rng)
             self.cache, self.cache_seg, nxt = self._step_fn(
                 self.params, self.cache, self.cache_seg, self.cur_tok,
@@ -240,8 +246,8 @@ class ContinuousBatcher:
             )
             nxt_host = np.asarray(nxt)
             for i in active:
-                self.cache_seg_host[i, write_idx[i]] = 1
                 self.slot_len[i] += 1
+                self.slot_real_len[i] += 1
                 req = self.slot_req[i]
                 self._emit(i, int(nxt_host[i]))
                 if req.done:

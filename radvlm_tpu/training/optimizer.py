@@ -83,8 +83,14 @@ def make_schedule(cfg: TrainConfig, peak_lr: float) -> optax.Schedule:
             optax.constant_schedule(peak_lr)
         )
     if cfg.lr_schedule == "linear":
-        return optax.warmup_linear_schedule(  # type: ignore[attr-defined]
-            0.0, peak_lr, warmup, cfg.total_steps
+        # optax has no warmup_linear_schedule; compose warmup + linear decay.
+        decay = max(cfg.total_steps - warmup, 1)
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, peak_lr, max(warmup, 1)),
+                optax.linear_schedule(peak_lr, 0.0, decay),
+            ],
+            [warmup],
         )
     return optax.warmup_cosine_decay_schedule(
         0.0, peak_lr, warmup, max(cfg.total_steps, warmup + 1), end_value=0.0
@@ -106,11 +112,13 @@ def make_optimizer(
 ) -> Tuple[optax.GradientTransformation, Any]:
     """Build the optimizer and its label pytree.
 
-    Gradient clipping is global (pre-partition), then each group gets its own
-    AdamW + schedule; frozen params get `set_to_zero` (their grads are never
-    materialized into optimizer state).
+    Frozen groups are zeroed BEFORE the global-norm clip (value_and_grad still
+    produces full frozen grads; the reference clips only requires_grad params —
+    `llava_trainer.py:356-433`), then clipping is global over trainable grads,
+    then each group gets its own AdamW + schedule.
     """
     labels = param_labels(params, cfg)
+    frozen_mask = jax.tree.map(lambda l: l == "frozen", labels)
     transforms = {
         "language_model": _adamw(cfg, cfg.learning_rate),
         "vision_tower": _adamw(cfg, cfg.vision_tower_lr or cfg.learning_rate),
@@ -118,6 +126,7 @@ def make_optimizer(
         "frozen": optax.set_to_zero(),
     }
     tx = optax.chain(
+        optax.masked(optax.set_to_zero(), frozen_mask),
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.multi_transform(transforms, labels),
     )

@@ -68,3 +68,32 @@ def test_continuous_eos_and_refill(rng):
         batcher.submit(_mk_sample(cfg, rng, 6))
     done = list(batcher.run())
     assert len(done) == 3
+
+
+def test_cache_full_caps_request(rng):
+    """A request whose prompt bucket + max_new_tokens exceeds max_len is capped
+    at fill time instead of overwriting the last cache index (ADVICE r1)."""
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(7))
+    s = _mk_sample(cfg, rng, 6)
+    # prompt pads to 128; cache max_len 128 -> exactly 1 emitted token allowed.
+    batcher = ContinuousBatcher(
+        params, cfg,
+        GenerationConfig(max_new_tokens=50, eos_token_ids=()),
+        num_slots=1, max_len=128, prompt_buckets=(128,),
+        pad_tiles=2, attn_impl="xla",
+    )
+    req = batcher.submit(s)
+    done = list(batcher.run())
+    assert len(done) == 1 and done[0].uid == req.uid
+    assert len(done[0].emitted) == 1
+    # And with a little headroom the cap is max_len - l + 1.
+    batcher2 = ContinuousBatcher(
+        params, cfg,
+        GenerationConfig(max_new_tokens=50, eos_token_ids=()),
+        num_slots=1, max_len=131, prompt_buckets=(128,),
+        pad_tiles=2, attn_impl="xla",
+    )
+    batcher2.submit(_mk_sample(cfg, rng, 6))
+    done2 = list(batcher2.run())
+    assert len(done2[0].emitted) == 4  # 131 - 128 + 1

@@ -79,3 +79,25 @@ def test_pack_mixed_text_only(rng):
     b = {k: jnp.asarray(v) for k, v in b.items()}
     logits, _ = radvlm.forward(params, cfg, b, attn_impl="xla")
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_loader_pack_rows_best_fit(rng):
+    """Length-aware packing (ADVICE r1): combined pack lengths stay within the
+    bucket when a fitting arrangement exists; no tokens are silently lost."""
+    from radvlm_tpu.data.loader import Bucket, PrefetchLoader
+
+    cfg = cfglib.tiny_test_config()
+
+    def mk(n):
+        ids = list(rng.integers(3, cfg.text.vocab_size, size=n))
+        return multimodal.build_sample(ids, [], cfg)
+
+    loader = PrefetchLoader.__new__(PrefetchLoader)
+    loader.pack_factor = 2
+    # Fixed-stride pairing would pack (300, 300) = 600 > 384 and clip; best-fit
+    # seeds each row with one long sample and fills with the shorts.
+    samples = [mk(300), mk(300), mk(50), mk(50)]
+    rows = loader._pack_rows(samples, Bucket(384, 1))
+    assert len(rows) == 2
+    assert all(r.length <= 384 for r in rows)
+    assert sum(r.length for r in rows) == 700

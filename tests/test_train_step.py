@@ -132,3 +132,41 @@ def test_per_module_lr_groups():
     vis_u = float(jnp.abs(updates["vision_tower"]["layers"]["mlp"]["fc1"]["kernel"]).mean())
     assert llm_u == pytest.approx(1e-5, rel=0.05)
     assert vis_u == pytest.approx(2e-6, rel=0.05)
+
+
+def test_clip_ignores_frozen_grads():
+    """Global-norm clipping must see only trainable grads (ADVICE r1 medium):
+    huge frozen-group gradients must not downscale the trainable update."""
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(2))
+    tcfg = TrainConfig(mm_tunable_parts="mm_mlp_adapter", total_steps=4,
+                      grad_accum_steps=1, max_grad_norm=1.0,
+                      lr_schedule="constant", warmup_ratio=0.0)
+    tx, _ = make_optimizer(params, tcfg)
+    opt_state = tx.init(params)
+
+    small = jax.tree.map(lambda p: jnp.full_like(p, 1e-4), params)
+    # Same trainable grads, but frozen groups carry enormous gradients.
+    labels = param_labels(params, tcfg)
+    huge = jax.tree.map(
+        lambda p, l: jnp.full_like(p, 1e6) if l == "frozen" else jnp.full_like(p, 1e-4),
+        params, labels,
+    )
+    u_small, _ = tx.update(small, opt_state, params)
+    u_huge, _ = tx.update(huge, tx.init(params), params)
+    a = np.asarray(u_small["projector"]["fc0"]["kernel"])
+    b = np.asarray(u_huge["projector"]["fc0"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_linear_schedule_constructs():
+    """lr_schedule='linear' (previously raised: optax has no
+    warmup_linear_schedule)."""
+    from radvlm_tpu.training.optimizer import make_schedule
+
+    tcfg = TrainConfig(lr_schedule="linear", warmup_ratio=0.1, total_steps=100)
+    sched = make_schedule(tcfg, 1e-3)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(10)) == pytest.approx(1e-3)
+    assert float(sched(55)) == pytest.approx(5e-4)
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)
