@@ -277,8 +277,13 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self.epoch(0)
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int, skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield the epoch's batches; `skip` fast-forwards past already-consumed
+        batches at the PLAN level (mid-epoch resume — skipped batches are never
+        built, the deterministic plan guarantees the remainder is identical)."""
         plan = self.epoch_plan(epoch)
+        if skip:
+            plan = plan[skip:]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

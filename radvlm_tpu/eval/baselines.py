@@ -27,6 +27,101 @@ _CHEXAGENT_BOX_RE = re.compile(
     r"<\|box\|> \((\d+),(\d+)\),\((\d+),(\d+)\) <\|/box\|>"
 )
 
+VICUNA_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the user's "
+    "questions."
+)
+
+
+def vicuna_v1_prompt(prompt: str,
+                     chat_history: Optional[List[Tuple[str, str]]] = None) -> str:
+    """RaDialog's vicuna-v1 conversation string (SeparatorStyle.TWO: turns
+    alternate ' ' and '</s>' separators, ends with 'ASSISTANT:'); the first
+    user turn carries '<image>. ' (`models_loading_inference.py:216-235`)."""
+    parts = [VICUNA_SYSTEM, " "]
+    turns: List[Tuple[str, Optional[str]]] = list(chat_history or [])
+    first = not turns
+    user_prompt = ("<image>. " + prompt) if first else prompt
+    turns.append((user_prompt, None))
+    for user, assistant in turns:
+        parts.append(f"USER: {user} ")
+        if assistant is None:
+            parts.append("ASSISTANT:")
+        else:
+            parts.append(f"ASSISTANT: {assistant}</s>")
+    return "".join(parts)
+
+
+def mistral_instruct_prompt(
+    prompt: str, chat_history: Optional[List[Tuple[str, str]]] = None
+) -> str:
+    """LLaVA-Med's mistral chat template: `[INST] ... [/INST]` turns, the
+    first user message prefixed with '<image>\\n'
+    (`models_loading_inference.py:309-334`)."""
+    turns = list(chat_history or [])
+    first = not turns
+    out = []
+    for i, (user, assistant) in enumerate(turns):
+        u = f"<image>\n{user}" if i == 0 else user
+        out.append(f"[INST] {u} [/INST]{assistant}</s>")
+    u = f"<image>\n{prompt}" if first else prompt
+    out.append(f"[INST] {u} [/INST]")
+    return "".join(out)
+
+
+def splice_image_sentinel(text: str, tokenize: Callable[[str], List[int]],
+                          image_token_index: int = -200) -> List[int]:
+    """Tokenize `text` with each '<image>' replaced by the sentinel id (the
+    reference's `tokenizer_image_token`, `finetuning/llava/mm_utils.py:341-360`,
+    reused by both sidecar baselines)."""
+    chunks = text.split("<image>")
+    ids: List[int] = []
+    for i, chunk in enumerate(chunks):
+        if i:
+            ids.append(image_token_index)
+        ids.extend(tokenize(chunk))
+    return ids
+
+
+def remap_to_uint8(array, percentiles: Optional[Tuple[float, float]] = None):
+    """BioViL image-range normalization (RaDialog preprocessing,
+    `models_loading_inference.py:213`): optional percentile clip, then linear
+    min-max to [0, 255] uint8."""
+    import numpy as np
+
+    a = np.asarray(array, dtype=np.float64)
+    if percentiles is not None:
+        lo, hi = np.percentile(a, percentiles)
+        a = np.clip(a, lo, hi)
+    a -= a.min()
+    mx = a.max()
+    if mx > 0:
+        a /= mx
+    return (a * 255).astype(np.uint8)
+
+
+def biovil_chest_xray_transform(img, *, resize: int = 512,
+                                center_crop: int = 448):
+    """RaDialog's BioViL inference transform (`models_loading_inference.py:
+    238-240, 273-282`): grayscale -> resize shortest side -> center crop ->
+    [0,1] float -> channel-expand to 3. Returns numpy [1, 3, crop, crop]."""
+    import numpy as np
+    from PIL import Image
+
+    pil = Image.fromarray(remap_to_uint8(np.asarray(img))).convert("L")
+    w, h = pil.size
+    if w < h:
+        nw, nh = resize, max(1, round(h * resize / w))
+    else:
+        nh, nw = resize, max(1, round(w * resize / h))
+    pil = pil.resize((nw, nh), Image.BILINEAR)
+    left = (nw - center_crop) // 2
+    top = (nh - center_crop) // 2
+    pil = pil.crop((left, top, left + center_crop, top + center_crop))
+    a = np.asarray(pil, dtype=np.float32) / 255.0
+    return np.repeat(a[None, None], 3, axis=1)
+
 
 def chexagent_boxes_to_text(generated: str) -> str:
     """CheXagent emits `<|box|> (x1,y1),(x2,y2) <|/box|>` with 0-100 integer
@@ -282,22 +377,124 @@ class LlavaOneVisionBaseline(BaselineModel):
         ).strip()
 
 
+class LlavaMedBaseline(BaselineModel):
+    """microsoft/llava-med-v1.5-mistral-7b via the compact in-repo rebuild
+    (`eval/llavamed.py`; reference: `llava_med_loading.py:39` + `models_loading_
+    inference.py:287-380`). `model_path` must be a local checkpoint dir."""
+
+    name = "llavamed"
+
+    def __init__(self, model_path: str, device: str = "cpu",
+                 tokenizer_path: Optional[str] = None):
+        from transformers import AutoTokenizer
+
+        from radvlm_tpu.eval.llavamed import LlavaMedModel
+
+        self.model = LlavaMedModel.from_pretrained_dir(model_path, device)
+        self.model.eval()
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            tokenizer_path or model_path
+        )
+        self.device = device
+
+    def infer(self, image_path, prompt, chat_history=None, *, max_new_tokens=500):
+        import torch
+        from PIL import Image
+
+        text = mistral_instruct_prompt(prompt, chat_history)
+        ids = splice_image_sentinel(
+            text, lambda s: self.tokenizer(s, add_special_tokens=False).input_ids
+        )
+        ids = [self.tokenizer.bos_token_id] + ids
+        input_ids = torch.tensor([ids], device=self.device)
+        image = Image.open(image_path).convert("RGB")
+        pixel_values = self.model.image_processor(
+            image, return_tensors="pt"
+        )["pixel_values"].to(self.device)
+        out = self.model.generate(
+            input_ids, pixel_values, max_new_tokens=max_new_tokens,
+            pad_token_id=self.tokenizer.eos_token_id,
+        )
+        # generate(inputs_embeds=...) returns only new tokens.
+        return self.tokenizer.decode(out[0], skip_special_tokens=True).strip()
+
+
+class RaDialogBaseline(BaselineModel):
+    """RaDialog (LLaVA-1.5-vicuna + LoRA + BioViL-T tower). The model is only
+    loadable through its upstream `LLAVA_Biovil` package (the reference imports
+    it the same way, `models_loading_inference.py:23-48`); the prompt build,
+    BioViL image transform, and output trim are in-repo pure functions so the
+    adapter's contract is tested without the package or weights."""
+
+    name = "radialog"
+
+    STOP_STR = "</s>"
+
+    def __init__(self, model_path: str, device: str = "cpu",
+                 model_base: str = "liuhaotian/llava-v1.5-7b"):
+        try:
+            from LLAVA_Biovil.llava.model.builder import load_pretrained_model
+        except ImportError as e:  # pragma: no cover - package not in image
+            raise ImportError(
+                "RaDialog needs the upstream LLAVA_Biovil package (LoRA merge "
+                "+ BioViL-T tower); install it and point model_path at the "
+                "snapshot of ChantalPellegrini/RaDialog-interactive-radiology-"
+                "report-generation"
+            ) from e
+        self.tokenizer, self.model, _, _ = load_pretrained_model(
+            model_path, model_base=model_base,
+            model_name="llava-v1.5-7b-task-lora_radialog_instruct_llava_biovil"
+            "_unfrozen_2e-5_5epochs_v5_checkpoint-21000",
+            load_8bit=False, load_4bit=False, device_map=device,
+        )
+        self.device = device
+
+    @staticmethod
+    def trim_output(decoded: str) -> str:
+        return decoded.strip().replace(RaDialogBaseline.STOP_STR, "")
+
+    def infer(self, image_path, prompt, chat_history=None, *, max_new_tokens=500):
+        import numpy as np
+        import torch
+        from PIL import Image
+
+        text = vicuna_v1_prompt(prompt, chat_history)
+        ids = splice_image_sentinel(
+            text, lambda s: self.tokenizer(s, add_special_tokens=False).input_ids
+        )
+        ids = [self.tokenizer.bos_token_id] + ids
+        input_ids = torch.tensor([ids], device=self.device)
+        img = np.asarray(Image.open(image_path).convert("RGB"))
+        image_tensor = torch.from_numpy(
+            biovil_chest_xray_transform(img)
+        ).to(self.device, torch.bfloat16)
+        with torch.inference_mode():
+            out = self.model.generate(
+                input_ids, images=image_tensor, do_sample=False, use_cache=True,
+                max_new_tokens=max_new_tokens,
+                pad_token_id=self.tokenizer.pad_token_id,
+            )
+        return self.trim_output(
+            self.tokenizer.decode(out[0, input_ids.shape[1]:])
+        )
+
+
 REGISTRY: Dict[str, type] = {
     "qwen2vl": Qwen2VLBaseline,
     "chexagent": CheXagentBaseline,
     "maira2": MAIRA2Baseline,
     "llava-ov": LlavaOneVisionBaseline,
+    "llavamed": LlavaMedBaseline,
+    "radialog": RaDialogBaseline,
 }
 
 
 def load_baseline(name: str, model_path: Optional[str] = None, **kw) -> BaselineModel:
-    """Unified entry (the reference's `load_model_and_processor`). RaDialog and
-    LLaVA-Med require their bespoke repos (LoRA + BioViL tower / in-repo arch
-    rebuild) — planned adapters; the four above cover the maintained baselines."""
+    """Unified entry (the reference's `load_model_and_processor`,
+    `models_loading_inference.py:30-112`): all 6 comparison baselines."""
     if name not in REGISTRY:
         raise ValueError(
-            f"unknown baseline {name!r}; available: {sorted(REGISTRY)} "
-            "(radialog/llavamed need their upstream repos)"
+            f"unknown baseline {name!r}; available: {sorted(REGISTRY)}"
         )
     cls = REGISTRY[name]
     return cls(model_path, **kw) if model_path else cls(**kw)

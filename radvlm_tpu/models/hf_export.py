@@ -101,6 +101,52 @@ def export_radvlm(params: Mapping[str, Any], cfg: RadVLMConfig) -> Dict[str, np.
     return state
 
 
+def resize_vocab_for_hf(
+    state: Dict[str, np.ndarray],
+    *,
+    extra_tokens: int = 2,
+    pad_to_multiple: int = 64,
+    seed: int = 0,
+) -> int:
+    """Grow the embedding (and untied lm_head) for HF processor compatibility.
+
+    The reference converter adds `<image>` and `<video>` token rows and pads the
+    vocab to a multiple of 64, initializing new rows from a multivariate normal
+    fit (mean + covariance * 1e-5) of the existing embedding
+    (`convert_llava_onevision_weights_to_hf.py:158-180`). Without these rows an
+    exported checkpoint cannot be driven by stock HF LLaVA-OV processors (the
+    processor emits the new token ids).
+
+    Mutates `state` in place; returns the new vocab size.
+    """
+    rng = np.random.default_rng(seed)
+
+    def grow(key: str, n_new: int, like: np.ndarray):
+        w = state[key].astype(np.float32)
+        mu = w.mean(axis=0)
+        centered = w - mu
+        # covariance of the rows (d x d), scaled down as in the reference
+        sigma = (centered.T @ centered) / max(w.shape[0] - 1, 1)
+        d = w.shape[1]
+        chol = np.linalg.cholesky(
+            sigma * 1e-5 + np.eye(d, dtype=np.float32) * 1e-12
+        )
+        new_rows = mu + rng.standard_normal((n_new, d)).astype(np.float32) @ chol.T
+        state[key] = np.concatenate([w, new_rows.astype(w.dtype)], axis=0)
+
+    embed_key = "language_model.model.embed_tokens.weight"
+    vocab = state[embed_key].shape[0]
+    target = vocab + extra_tokens
+    target = -(-target // pad_to_multiple) * pad_to_multiple
+    n_new = target - vocab
+    if n_new > 0:
+        grow(embed_key, n_new, state[embed_key])
+        head_key = "language_model.lm_head.weight"
+        if head_key in state:
+            grow(head_key, n_new, state[head_key])
+    return target
+
+
 def save_safetensors(state: Dict[str, np.ndarray], path: str) -> None:
     """Write one model.safetensors (+ config stub) into `path`."""
     from safetensors.numpy import save_file
@@ -118,14 +164,35 @@ def save_safetensors(state: Dict[str, np.ndarray], path: str) -> None:
     save_file(clean, os.path.join(path, "model.safetensors"))
 
 
-def save_radvlm_hf(params, cfg: RadVLMConfig, path: str) -> None:
+def save_radvlm_hf(params, cfg: RadVLMConfig, path: str,
+                   *, resize_vocab: bool = False) -> None:
+    """Write an HF-loadable LLaVA-OneVision checkpoint directory.
+
+    resize_vocab=True applies the reference converter's +2-token (<image>,
+    <video>) pad-to-64 growth so stock HF processors can drive the checkpoint;
+    image/video token ids are then the first two new rows.
+    """
     state = export_radvlm(params, cfg)
+    vocab = cfg.text.vocab_size
+    image_token_index = video_token_index = None
+    if resize_vocab:
+        resize_vocab_for_hf(state)
+        image_token_index, video_token_index = vocab, vocab + 1
+        vocab = state["language_model.model.embed_tokens.weight"].shape[0]
     save_safetensors(state, path)
     config = {
         "architectures": ["LlavaOnevisionForConditionalGeneration"],
         "model_type": "llava_onevision",
+        "projector_hidden_act": "gelu",
+        "vision_feature_select_strategy": "full",
+        "vision_feature_layer": -1,
+        "vision_aspect_ratio": cfg.image_aspect_ratio,
+        "image_token_index": image_token_index,
+        "video_token_index": video_token_index,
+        "tie_word_embeddings": cfg.text.tie_word_embeddings,
         "text_config": {
-            "vocab_size": cfg.text.vocab_size,
+            "model_type": "qwen2",
+            "vocab_size": vocab,
             "hidden_size": cfg.text.hidden_size,
             "intermediate_size": cfg.text.intermediate_size,
             "num_hidden_layers": cfg.text.num_layers,
@@ -138,14 +205,17 @@ def save_radvlm_hf(params, cfg: RadVLMConfig, path: str) -> None:
             "max_position_embeddings": cfg.text.max_position_embeddings,
         },
         "vision_config": {
+            "model_type": "siglip_vision_model",
             "hidden_size": cfg.vision.hidden_size,
             "intermediate_size": cfg.vision.intermediate_size,
             "num_hidden_layers": cfg.vision.num_layers,
             "num_attention_heads": cfg.vision.num_heads,
             "image_size": cfg.vision.image_size,
             "patch_size": cfg.vision.patch_size,
+            "vision_use_head": False,
         },
         "image_grid_pinpoints": [list(p) for p in cfg.anyres.pinpoints],
     }
+    config = {k: v for k, v in config.items() if v is not None}
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(config, f, indent=2)

@@ -49,3 +49,40 @@ def restore_state(manager, step: int, abstract_state):
 
 def wait_until_finished(manager) -> None:
     manager.wait_until_finished()
+
+
+# ---------------------------------------------------------------------------
+# Mid-epoch data-position sidecar (reference behavior: HF Trainer skips
+# consumed batches on auto-resume, `train.py:1699-1702`): the epoch plan is
+# deterministic given (seed, epoch), so persisting (epoch, batch_in_epoch)
+# beside the orbax step lets a restart fast-forward instead of re-seeing data.
+# ---------------------------------------------------------------------------
+
+_DATA_STATE = "data_state.json"
+
+
+def save_data_state(directory: str, step: int, epoch: int,
+                    batch_in_epoch: int) -> None:
+    import json
+
+    path = os.path.join(os.path.abspath(directory), _DATA_STATE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"step": step, "epoch": epoch,
+                   "batch_in_epoch": batch_in_epoch}, f)
+    os.replace(tmp, path)
+
+
+def load_data_state(directory: str, step: int) -> Optional[dict]:
+    """Return the sidecar if it matches the restored `step` (a mismatch means
+    the sidecar is stale relative to the orbax checkpoint — ignore it)."""
+    import json
+
+    path = os.path.join(os.path.abspath(directory), _DATA_STATE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        ds = json.load(f)
+    if ds.get("step") != step:
+        return None
+    return ds

@@ -15,7 +15,7 @@ reference's concatenated_forward).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -118,7 +118,7 @@ def make_dpo_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def dpo_cell_to_batches(cell: Dict[str, Any], dataset) -> Tuple[Dict, Dict]:
+def dpo_cell_to_batches(cell: Dict[str, Any], dataset=None) -> Tuple[Dict, Dict]:
     """Split a DPO llava cell ({"prompt", "chosen", "rejected", "image"}) into
     chosen/rejected conversation cells (`train_dpo.py` DPODataset contract)."""
     base = {"image": cell.get("image")}
@@ -126,3 +126,204 @@ def dpo_cell_to_batches(cell: Dict[str, Any], dataset) -> Tuple[Dict, Dict]:
     chosen = {**base, "conversations": [prompt_turn, {"from": "gpt", "value": cell["chosen"]}]}
     rejected = {**base, "conversations": [prompt_turn, {"from": "gpt", "value": cell["rejected"]}]}
     return chosen, rejected
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline: preference json -> paired batches -> sharded DPO steps
+# -> orbax checkpoints (+ auto-resume). The analog of the reference's
+# `train_dpo.py:1449+` driver (DPODataset `:908`, DPODataCollator `:1187`,
+# LLaVADPOTrainer `llava_trainer.py:466-527`).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DPOPairDataset:
+    """Preference cells -> (chosen MMSample, rejected MMSample) pairs, reusing
+    the SFT tokenization/expansion machinery for each side."""
+
+    cells: Any
+    image_root: str
+    cfg: RadVLMConfig
+    tokenize_fn: Any
+    max_len: Any = None
+
+    def __post_init__(self):
+        from radvlm_tpu.data.loader import LlavaJsonDataset
+
+        chosen_cells, rejected_cells = [], []
+        for cell in self.cells:
+            c, r = dpo_cell_to_batches(cell)
+            chosen_cells.append(c)
+            rejected_cells.append(r)
+        mk = lambda cells: LlavaJsonDataset(
+            cells=cells, image_root=self.image_root, cfg=self.cfg,
+            tokenize_fn=self.tokenize_fn, max_len=self.max_len,
+        )
+        self._chosen = mk(chosen_cells)
+        self._rejected = mk(rejected_cells)
+
+    def __len__(self):
+        return len(self.cells)
+
+    def estimated_length(self, i: int) -> int:
+        return max(self._chosen.estimated_length(i),
+                   self._rejected.estimated_length(i))
+
+    def __getitem__(self, i: int):
+        return self._chosen[i], self._rejected[i]
+
+
+def _build_pair_batch(dataset, idxs, bucket):
+    """Collate one plan batch into (chosen, rejected) host batches with the
+    SAME static bucket shape (so both run through one compiled step)."""
+    import logging
+
+    from radvlm_tpu.models import multimodal
+
+    log = logging.getLogger(__name__)
+    chosen, rejected = [], []
+    for i in idxs:
+        try:
+            c, r = dataset[i]
+        except Exception as e:  # corrupt sample: skip with log (SFT contract)
+            log.warning("skipping dpo sample %d: %s", i, e)
+            continue
+        chosen.append(c)
+        rejected.append(r)
+    if not chosen:
+        raise RuntimeError(f"entire dpo batch failed to load: {idxs}")
+    while len(chosen) < len(idxs):
+        chosen.append(chosen[-1])
+        rejected.append(rejected[-1])
+    collate = lambda ss: multimodal.collate(
+        ss, pad_len=bucket.max_len, pad_tiles=bucket.max_tiles,
+        pad_to_multiple=128,
+    )
+    cb, rb = collate(chosen), collate(rejected)
+    for b in (cb, rb):
+        if b["tokens"].shape[1] > bucket.max_len:
+            for key in ("tokens", "img_src", "labels", "segment_ids", "positions"):
+                b[key] = b[key][:, : bucket.max_len]
+    return cb, rb
+
+
+def train_dpo(
+    run,
+    tokenize_fn,
+    *,
+    dpo_cfg: Optional[DPOConfig] = None,
+    init_params: Any = None,
+    hf_checkpoint: Optional[str] = None,
+    metrics_callback=None,
+):
+    """DPO driver: mesh -> policy + frozen reference (the SFT init, standard
+    DPO) -> paired bucketed batches -> jitted sharded step -> orbax + resume.
+
+    `run` is a `training.loop.RunConfig` whose data_path points at a preference
+    json: a list of {"prompt", "chosen", "rejected", "image"?} cells.
+    """
+    import json
+    import logging
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from radvlm_tpu.data.loader import bucketed_batches
+    from radvlm_tpu.parallel import mesh as meshlib
+    from radvlm_tpu.parallel import sharding as shardlib
+    from radvlm_tpu.training import checkpoint as ckpt_lib
+    from radvlm_tpu.training import train_step as ts
+    from radvlm_tpu.training.optimizer import make_optimizer
+
+    log = logging.getLogger(__name__)
+    dpo_cfg = dpo_cfg or DPOConfig()
+    mesh = meshlib.make_mesh(run.mesh_shape)
+
+    if init_params is not None:
+        params = init_params
+    elif hf_checkpoint:
+        from radvlm_tpu.models.hf_import import load_radvlm_checkpoint
+
+        params = load_radvlm_checkpoint(hf_checkpoint, run.model, dtype=jnp.float32)
+    else:
+        params = radvlm.init_params(run.model, jax.random.key(run.seed))
+
+    tx, _ = make_optimizer(params, run.train)
+    state = ts.init_train_state(mesh, params, tx)
+    # Frozen reference = the policy's starting point (reference DPO semantics).
+    # Real copy: the step donates state.params, so ref must not alias them.
+    ref_params = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(state.params)
+    del params
+    step_fn = make_dpo_step(
+        run.model, dpo_cfg, tx, remat=run.remat, attn_impl=run.attn_impl
+    )
+
+    manager = None
+    start_epoch, skip_batches = 0, 0
+    if run.checkpoint_dir:
+        manager = ckpt_lib.make_manager(
+            run.checkpoint_dir, max_to_keep=run.max_to_keep,
+            save_interval_steps=run.save_steps,
+        )
+        last = ckpt_lib.latest_step(manager)
+        if run.resume and last is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                state,
+            )
+            state = ckpt_lib.restore_state(manager, last, abstract)
+            data_state = ckpt_lib.load_data_state(run.checkpoint_dir, last)
+            if data_state:
+                start_epoch = int(data_state["epoch"])
+                skip_batches = int(data_state["batch_in_epoch"])
+            log.info("dpo resumed from step %d", last)
+
+    with open(run.data_path) as f:
+        cells = json.load(f)
+    dataset = DPOPairDataset(
+        cells=cells, image_root=run.image_root, cfg=run.model,
+        tokenize_fn=tokenize_fn, max_len=run.buckets[-1].max_len,
+    )
+    lengths = [dataset.estimated_length(i) for i in range(len(dataset))]
+
+    step = int(state.step)
+    t_last = time.perf_counter()
+    epoch, batch_in_epoch = start_epoch, skip_batches
+    for epoch in range(start_epoch, run.num_epochs):
+        plan = bucketed_batches(
+            lengths, run.micro_batch_size, buckets=run.buckets,
+            seed=run.seed + epoch, process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        batch_in_epoch = skip_batches if epoch == start_epoch else 0
+        for b, idxs in plan[batch_in_epoch:]:
+            if run.max_steps is not None and step >= run.max_steps:
+                break
+            cb, rb = _build_pair_batch(dataset, idxs, run.buckets[b])
+            chosen = ts.put_batch(mesh, cb)
+            rejected = ts.put_batch(mesh, rb)
+            state, metrics = step_fn(state, ref_params, chosen, rejected)
+            step += 1
+            batch_in_epoch += 1
+            if step % run.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["sec_per_step"] = (time.perf_counter() - t_last) / run.log_every
+                t_last = time.perf_counter()
+                log.info("dpo step %d: %s", step, m)
+                if metrics_callback:
+                    metrics_callback(step, m)
+            if manager and ckpt_lib.save_state(manager, step, state):
+                ckpt_lib.save_data_state(
+                    run.checkpoint_dir, step, epoch, batch_in_epoch
+                )
+        if run.max_steps is not None and step >= run.max_steps:
+            break
+
+    if manager:
+        if ckpt_lib.save_state(manager, step, state):
+            ckpt_lib.save_data_state(
+                run.checkpoint_dir, step, epoch, batch_in_epoch
+            )
+        ckpt_lib.wait_until_finished(manager)
+    return state

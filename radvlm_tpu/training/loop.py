@@ -109,6 +109,7 @@ def train(
 
     # --- resume ---
     manager = None
+    start_epoch, skip_batches = 0, 0
     if run.checkpoint_dir:
         manager = ckpt_lib.make_manager(
             run.checkpoint_dir,
@@ -122,7 +123,12 @@ def train(
                 state,
             )
             state = ckpt_lib.restore_state(manager, last, abstract)
-            log.info("resumed from step %d", last)
+            data_state = ckpt_lib.load_data_state(run.checkpoint_dir, last)
+            if data_state:
+                start_epoch = int(data_state["epoch"])
+                skip_batches = int(data_state["batch_in_epoch"])
+            log.info("resumed from step %d (epoch %d, skipping %d batches)",
+                     last, start_epoch, skip_batches)
 
     # --- data ---
     cells = load_mixture(run.data_path)
@@ -147,8 +153,10 @@ def train(
     step = int(state.step)
     t_last = time.perf_counter()
     tokens_seen = 0
-    for epoch in range(run.num_epochs):
-        for host_batch in loader.epoch(epoch):
+    epoch, batch_in_epoch = start_epoch, skip_batches
+    for epoch in range(start_epoch, run.num_epochs):
+        batch_in_epoch = skip_batches if epoch == start_epoch else 0
+        for host_batch in loader.epoch(epoch, skip=batch_in_epoch):
             if run.max_steps is not None and step >= run.max_steps:
                 break
             batch = ts.put_batch(mesh, host_batch)
@@ -157,6 +165,7 @@ def train(
             else:
                 state, metrics = step_fn(state, batch)
             step += 1
+            batch_in_epoch += 1
             tokens_seen += int(host_batch["segment_ids"].sum())
             if step % run.log_every == 0:
                 now = time.perf_counter()
@@ -167,12 +176,17 @@ def train(
                 log.info("step %d: %s", step, m)
                 if metrics_callback:
                     metrics_callback(step, m)
-            if manager:
-                ckpt_lib.save_state(manager, step, state)
+            if manager and ckpt_lib.save_state(manager, step, state):
+                ckpt_lib.save_data_state(
+                    run.checkpoint_dir, step, epoch, batch_in_epoch
+                )
         if run.max_steps is not None and step >= run.max_steps:
             break
 
     if manager:
-        ckpt_lib.save_state(manager, step, state)
+        if ckpt_lib.save_state(manager, step, state):
+            ckpt_lib.save_data_state(
+                run.checkpoint_dir, step, epoch, batch_in_epoch
+            )
         ckpt_lib.wait_until_finished(manager)
     return state

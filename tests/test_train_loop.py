@@ -97,6 +97,7 @@ def test_train_and_resume(llava_data, tmp_path):
         mesh_shape={"data": 2, "fsdp": 2, "tensor": 2},
         micro_batch_size=4,
         max_steps=2,
+        num_epochs=2,
         log_every=1,
         checkpoint_dir=str(tmp_path / "ckpt"),
         save_steps=1,
@@ -110,10 +111,37 @@ def test_train_and_resume(llava_data, tmp_path):
     assert int(state.step) == 2
     assert all(np.isfinite(m["loss"]) for m in seen.values())
 
-    # Resume: same config continues from step 2.
+    # Mid-epoch data position persisted beside the orbax step.
+    import json as _json
+    ds = _json.load(open(tmp_path / "ckpt" / "data_state.json"))
+    assert ds == {"step": 2, "epoch": 0, "batch_in_epoch": 2}
+
+    # Resume: same config continues from step 2 WITHOUT re-seeing batches 0-1
+    # (the sidecar fast-forwards the deterministic epoch plan).
+    # Epoch 0 had exactly 2 batches (8 samples / batch 4), so the fast-forward
+    # leaves epoch 0 empty and step 3 comes from epoch 1's first batch —
+    # resumed training sees NEW data instead of replaying the epoch.
     run2 = RunConfig(**{**run.__dict__, "max_steps": 3})
     state2 = train(run2, fake_tokenize)
     assert int(state2.step) == 3
+    ds2 = _json.load(open(tmp_path / "ckpt" / "data_state.json"))
+    assert ds2 == {"step": 3, "epoch": 1, "batch_in_epoch": 1}
+
+
+def test_loader_epoch_skip(llava_data):
+    """epoch(e, skip=k) yields exactly the plan's batches after index k."""
+    data_path, img_root = llava_data
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    ds = LlavaJsonDataset(
+        cells=json.load(open(data_path)), image_root=img_root, cfg=cfg,
+        tokenize_fn=fake_tokenize,
+    )
+    loader = PrefetchLoader(ds, 4, buckets=(Bucket(512, 6),), num_workers=2)
+    full = list(loader.epoch(0))
+    skipped = list(loader.epoch(0, skip=1))
+    assert len(skipped) == len(full) - 1
+    for a, b in zip(skipped, full[1:]):
+        np.testing.assert_array_equal(a["tokens"], b["tokens"])
 
 
 def test_loader_packing(llava_data):
@@ -225,3 +253,54 @@ def test_hf_export_roundtrip():
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_b[ks]), atol=0, rtol=0, err_msg=ks
         )
+
+
+def test_vocab_resize_for_hf():
+    """Reference converter semantics (convert...py:158-180): +2 token rows,
+    pad vocab to 64 multiple, MVN init of new rows (VERDICT r1 missing #4)."""
+    from radvlm_tpu.models.hf_export import resize_vocab_for_hf
+
+    rng = np.random.default_rng(0)
+    embed = rng.normal(size=(100, 16)).astype(np.float32) + 3.0
+    head = rng.normal(size=(100, 16)).astype(np.float32)
+    state = {
+        "language_model.model.embed_tokens.weight": embed.copy(),
+        "language_model.lm_head.weight": head.copy(),
+    }
+    new_vocab = resize_vocab_for_hf(state)
+    assert new_vocab == 128  # ceil(102/64)*64
+    e2 = state["language_model.model.embed_tokens.weight"]
+    h2 = state["language_model.lm_head.weight"]
+    assert e2.shape == (128, 16) and h2.shape == (128, 16)
+    np.testing.assert_array_equal(e2[:100], embed)  # old rows untouched
+    # new rows drawn around the old mean (cov * 1e-5 keeps them tight)
+    assert np.all(np.isfinite(e2[100:]))
+    np.testing.assert_allclose(e2[100:].mean(axis=0), embed.mean(axis=0),
+                               atol=0.05)
+
+
+def test_exported_dir_loads_in_hf_llava_onevision(tmp_path):
+    """The exported checkpoint dir loads in stock HF
+    LlavaOnevisionForConditionalGeneration with resized vocab (VERDICT #7)."""
+    import torch
+    from transformers import LlavaOnevisionForConditionalGeneration
+
+    from radvlm_tpu.models import radvlm
+    from radvlm_tpu.models.hf_export import save_radvlm_hf
+
+    cfg = cfglib.tiny_test_config(vocab_size=100)
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    out = tmp_path / "hf_resized"
+    save_radvlm_hf(params, cfg, str(out), resize_vocab=True)
+
+    model = LlavaOnevisionForConditionalGeneration.from_pretrained(
+        str(out), torch_dtype=torch.float32
+    )
+    assert model.config.image_token_index == 100
+    assert model.config.video_token_index == 101
+    emb = model.get_input_embeddings().weight
+    assert emb.shape[0] == 128
+    # weights actually landed (not re-initialized): compare one tensor
+    ours = np.asarray(params["text"]["layers"]["mlp"]["gate"]["kernel"][0]).T
+    theirs = model.model.language_model.layers[0].mlp.gate_proj.weight
+    np.testing.assert_allclose(theirs.detach().numpy(), ours, atol=1e-6)
