@@ -155,12 +155,22 @@ def loss_fn(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Next-token cross entropy with IGNORE_INDEX masking (train.py supervised
     masking contract; labels already shifted-compatible: labels[i] supervises
-    logits[i-1] as in HF causal LM)."""
+    logits[i-1] as in HF causal LM).
+
+    Batches carrying "labels_next" instead of "labels" are PRE-SHIFTED on the
+    host (labels_next[i] supervises logits[i]) — the zigzag sequence-parallel
+    layout permutes positions, so the shift must happen before permutation
+    (`parallel/ring.zigzag_shift_batch`); the loss is then positionwise."""
     logits, _ = forward(params, cfg, batch, remat=remat, attn_impl=attn_impl)
-    labels = batch["labels"]  # [B, L], IGNORE_INDEX where unsupervised
-    shift_logits = logits[:, :-1]
-    shift_labels = labels[:, 1:]
-    mask = (shift_labels != IGNORE_INDEX) & (batch["segment_ids"][:, 1:] != 0)
+    if "labels_next" in batch:
+        shift_logits = logits
+        shift_labels = batch["labels_next"]
+        mask = shift_labels != IGNORE_INDEX  # segment gating pre-folded
+    else:
+        labels = batch["labels"]  # [B, L], IGNORE_INDEX where unsupervised
+        shift_logits = logits[:, :-1]
+        shift_labels = labels[:, 1:]
+        mask = (shift_labels != IGNORE_INDEX) & (batch["segment_ids"][:, 1:] != 0)
     safe_labels = jnp.where(mask, shift_labels, 0)
     logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]

@@ -94,7 +94,8 @@ def shard_params(mesh: Mesh, params: Any, *, llm_only: bool = False) -> Any:
 
 # Per-token batch arrays whose second (sequence) dim shards over the seq axis
 # when sequence parallelism is on.
-_SEQ_KEYS = ("tokens", "img_src", "labels", "segment_ids", "positions")
+_SEQ_KEYS = ("tokens", "img_src", "labels", "labels_next", "segment_ids",
+             "positions")
 
 
 def batch_shardings(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:

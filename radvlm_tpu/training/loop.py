@@ -51,6 +51,9 @@ class RunConfig:
     # LoRA (adapter-only) finetuning; 0 = full finetune.
     lora_rank: int = 0
     lora_alpha: float = 256.0
+    # Ring-attention schedule when the mesh has seq > 1: "zigzag" (load-
+    # balanced, default) or "contiguous".
+    ring_schedule: str = "zigzag"
 
 
 def train(
@@ -69,15 +72,18 @@ def train(
     log.info("mesh: %s", dict(mesh.shape))
 
     attn_impl = run.attn_impl
-    if dict(mesh.shape).get("seq", 1) > 1:
+    seq_ranks = dict(mesh.shape).get("seq", 1)
+    if seq_ranks > 1:
         # Sequence parallelism: register the ring context and route the LLM's
         # training attention through ring attention over the seq axis.
         from radvlm_tpu.parallel.ring import enable_ring_attention
 
         local_impl = "flash" if jax.default_backend() == "tpu" else "xla"
-        enable_ring_attention(mesh, axis_name="seq", impl=local_impl)
+        enable_ring_attention(mesh, axis_name="seq", impl=local_impl,
+                              schedule=run.ring_schedule)
         attn_impl = "ring"
-        log.info("ring attention enabled over seq=%d", dict(mesh.shape)["seq"])
+        log.info("ring attention enabled over seq=%d (%s schedule)",
+                 seq_ranks, run.ring_schedule)
 
     # --- params ---
     if init_params is not None:
@@ -159,6 +165,10 @@ def train(
         for host_batch in loader.epoch(epoch, skip=batch_in_epoch):
             if run.max_steps is not None and step >= run.max_steps:
                 break
+            if seq_ranks > 1 and run.ring_schedule == "zigzag":
+                from radvlm_tpu.parallel.ring import zigzag_shift_batch
+
+                host_batch = zigzag_shift_batch(host_batch, seq_ranks)
             batch = ts.put_batch(mesh, host_batch)
             if lora_base is not None:
                 state, metrics = step_fn(state, lora_base, batch)

@@ -79,7 +79,8 @@ def test_train_step_sequence_parallel(rng):
     _, m0 = step0(state0, ts.put_batch(mesh0, batch_host))
 
     mesh = meshlib.make_mesh({"data": 1, "fsdp": 2, "seq": 2, "tensor": 2})
-    enable_ring_attention(mesh, axis_name="seq", impl="xla")
+    enable_ring_attention(mesh, axis_name="seq", impl="xla",
+                          schedule="contiguous")
     try:
         state, step_fn, _ = ts.setup_training(
             mesh, cfg, tcfg, params, remat=True, attn_impl="ring"
@@ -87,6 +88,37 @@ def test_train_step_sequence_parallel(rng):
         batch = ts.put_batch(mesh, batch_host)
         tok_sh = batch["tokens"].sharding.spec
         assert "seq" in str(tok_sh), tok_sh
+        state, metrics = step_fn(state, batch)
+        assert float(metrics["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-4)
+        assert float(metrics["grad_norm"]) > 0
+    finally:
+        enable_ring_attention(None)
+
+
+def test_train_step_zigzag_sequence_parallel(rng):
+    """The shipped SP default: zigzag schedule with host-side batch permutation
+    + pre-shifted labels. Loss must match the plain (seq=1) mesh."""
+    from radvlm_tpu.parallel.ring import enable_ring_attention, zigzag_shift_batch
+
+    cfg = cfglib.tiny_test_config()
+    tcfg = TrainConfig(total_steps=4, grad_accum_steps=1)
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    batch_host = make_batch(cfg, rng, batch=4)
+
+    mesh0 = meshlib.make_mesh({"data": 2, "fsdp": 2, "tensor": 2})
+    params0 = radvlm.init_params(cfg, jax.random.key(0))
+    state0, step0, _ = ts.setup_training(mesh0, cfg, tcfg, params0, attn_impl="xla")
+    _, m0 = step0(state0, ts.put_batch(mesh0, batch_host))
+
+    mesh = meshlib.make_mesh({"data": 1, "fsdp": 2, "seq": 2, "tensor": 2})
+    enable_ring_attention(mesh, axis_name="seq", impl="xla", schedule="zigzag")
+    try:
+        state, step_fn, _ = ts.setup_training(
+            mesh, cfg, tcfg, params, remat=True, attn_impl="ring"
+        )
+        zz = zigzag_shift_batch(batch_host, 2)
+        assert "labels_next" in zz and "labels" not in zz
+        batch = ts.put_batch(mesh, zz)
         state, metrics = step_fn(state, batch)
         assert float(metrics["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-4)
         assert float(metrics["grad_norm"]) > 0
