@@ -10,10 +10,10 @@ Model width: RADVLM_BENCH_SIZE=0.5b (default; fits one v5e chip in bf16 alongsid
 the KV cache) or 7b (needs a multi-chip mesh). Weights are random-init — throughput
 is weight-value-independent.
 
-The reference publishes no throughput numbers (BASELINE.md): vs_baseline is computed
-against PROVISIONAL_BASELINE_IMGS_PER_SEC, a declared stand-in for the PyTorch
-reference's A100 throughput, to be replaced by a measured figure when comparison
-hardware is available.
+The reference publishes no throughput numbers (BASELINE.md), and no A100
+measurement of the reference exists in this environment: vs_baseline is
+reported as null until a measured comparison figure exists (the raw value and
+configuration are in the extras for when one does).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -23,8 +23,6 @@ import os
 import time
 
 import numpy as np
-
-PROVISIONAL_BASELINE_IMGS_PER_SEC = 1.0  # A100 reference stand-in (see docstring)
 
 BATCH = int(os.environ.get("RADVLM_BENCH_BATCH", "8"))
 BATCHES = int(os.environ.get("RADVLM_BENCH_BATCHES", "4"))
@@ -75,7 +73,9 @@ def main():
     from radvlm_tpu.generation.engine import GenerationConfig, make_generate_fn
     from radvlm_tpu.models import multimodal, radvlm
 
-    size = os.environ.get("RADVLM_BENCH_SIZE", "0.5b")
+    # 7B int8 is the contract configuration (BASELINE.md headline: 7B-scale
+    # report generation per chip); RADVLM_BENCH_SIZE=0.5b for the small model.
+    size = os.environ.get("RADVLM_BENCH_SIZE", "7b-int8")
     if size.startswith("7b"):
         cfg = cfglib.radvlm_7b()
     else:
@@ -87,6 +87,7 @@ def main():
         params = _random_quantized_params(cfg)
     else:
         params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
+    params = radvlm.fuse_for_inference(params)
 
     rng = np.random.default_rng(0)
 
@@ -154,7 +155,7 @@ def main():
         "metric": "cxr_report_images_per_sec_per_chip",
         "value": round(imgs_per_sec_chip, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec_chip / PROVISIONAL_BASELINE_IMGS_PER_SEC, 4),
+        "vs_baseline": None,  # no measured A100 reference figure in this env
         "p50_batch_latency_s": round(p50_latency, 3),
         "decode_tokens_per_sec": round(tokens_per_sec, 1),
         "model": f"radvlm-{size}",

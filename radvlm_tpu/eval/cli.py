@@ -33,6 +33,10 @@ def main(argv=None):
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--no-clinical", action="store_true",
                    help="skip RadGraph/CheXbert/BERTScore sidecar metrics")
+    p.add_argument("--engine", default="continuous",
+                   choices=["continuous", "static"],
+                   help="continuous: slot-refilled batching (default); "
+                        "static: fixed padded batches")
     p.add_argument("--multihost", action="store_true")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -66,6 +70,7 @@ def main(argv=None):
         output_dir=args.output_dir,
         model_name=args.model_name,
         with_clinical=not args.no_clinical,
+        engine=args.engine,
         progress=lambda done, total: print(f"{done}/{total}", flush=True),
     )
     for k, v in metrics.items():

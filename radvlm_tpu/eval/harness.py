@@ -80,8 +80,13 @@ class VLMRunner:
     batch_size: int = 8
     pad_to_multiple: int = 512
     attn_impl: str = "auto"
+    fuse: bool = True  # fuse qkv/gateup projections for decode (qwen2.fuse_projections)
 
     def __post_init__(self):
+        if self.fuse:
+            from radvlm_tpu.models import radvlm
+
+            self.params = radvlm.fuse_for_inference(self.params)
         self._gen_fns: Dict[Tuple[int, int], Callable] = {}
         self._rng_seed = 0
 
@@ -269,7 +274,7 @@ def run_task(
     output_dir: Optional[str] = None,
     model_name: str = "radvlm",
     with_clinical: bool = True,
-    engine: str = "static",  # "static" (padded batches) | "continuous"
+    engine: str = "continuous",  # "continuous" (slot-refilled) | "static" (padded batches)
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> Tuple[List[Dict], Dict[str, float]]:
     """Run inference over `dataset` and compute task metrics.

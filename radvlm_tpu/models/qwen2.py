@@ -70,14 +70,87 @@ def init_params(cfg: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
     return params
 
 
-def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray):
-    from radvlm_tpu.ops.quant import qmm
+def _take(a: jnp.ndarray, idx) -> jnp.ndarray:
+    return jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
 
+
+def _mm_take(idx):
+    """(matmul, slice) pair for a block body.
+
+    idx=None: `lp` leaves are already per-layer (scan-over-xs slicing) — plain
+    qmm + identity. idx given: `lp` is the FULL stacked layer tree and the
+    body runs under a scan over layer indices — quantized matmuls hit the
+    Pallas stacked-int8 kernel (ops/int8_matmul.int8_matmul_stacked) so the
+    decode step streams int8 weight bytes with zero per-layer slice copies."""
+    from radvlm_tpu.ops.quant import qmm, qmm_idx
+
+    if idx is None:
+        return qmm, lambda a: a
+    return (lambda x, w: qmm_idx(x, w, idx)), (lambda a: _take(a, idx))
+
+
+def fuse_projections(params: Params) -> Params:
+    """Fuse attn q/k/v into one `qkv` projection and mlp gate/up into
+    `gateup` (concatenated along the output axis; per-output-channel int8
+    scales concatenate the same way, so quantization commutes with fusion).
+
+    Inference-time transform (generation engine / eval / serving): halves the
+    number of decode matmul launches and widens each launch's weight tile.
+    Training, HF import/export, and checkpoints keep the unfused layout.
+    Equivalent role to fused-QKV in serving stacks; the reference's HF/torch
+    path has no analog (per-projection nn.Linear)."""
+    from radvlm_tpu.ops.quant import Q_KEY, SCALE_KEY, is_qnode
+
+    layers = params["layers"]
+    attn, mlp = layers["attn"], layers["mlp"]
+    if "qkv" in attn:  # already fused
+        return params
+
+    def cat(nodes):
+        if is_qnode(nodes[0]):
+            return {
+                Q_KEY: jnp.concatenate([n[Q_KEY] for n in nodes], axis=-1),
+                SCALE_KEY: jnp.concatenate([n[SCALE_KEY] for n in nodes], axis=-1),
+            }
+        return jnp.concatenate(nodes, axis=-1)
+
+    new_layers = dict(layers)
+    new_layers["attn"] = {
+        "qkv": {
+            "kernel": cat([attn[k]["kernel"] for k in ("q", "k", "v")]),
+            "bias": jnp.concatenate(
+                [attn[k]["bias"] for k in ("q", "k", "v")], axis=-1
+            ),
+        },
+        "o": attn["o"],
+    }
+    new_layers["mlp"] = {
+        "gateup": {"kernel": cat([mlp["gate"]["kernel"], mlp["up"]["kernel"]])},
+        "down": mlp["down"],
+    }
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
+def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray,
+         idx=None):
+    mm, take = _mm_take(idx)
     b, s, _ = y.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = (qmm(y, lp["attn"]["q"]["kernel"]) + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
-    k = (qmm(y, lp["attn"]["k"]["kernel"]) + lp["attn"]["k"]["bias"]).reshape(b, s, hkv, hd)
-    v = (qmm(y, lp["attn"]["v"]["kernel"]) + lp["attn"]["v"]["bias"]).reshape(b, s, hkv, hd)
+    attn = lp["attn"]
+    if "qkv" in attn:
+        qkv = mm(y, attn["qkv"]["kernel"]) + take(attn["qkv"]["bias"])
+        q, k, v = jnp.split(qkv, [h * hd, (h + hkv) * hd], axis=-1)
+        q, k, v = (
+            q.reshape(b, s, h, hd),
+            k.reshape(b, s, hkv, hd),
+            v.reshape(b, s, hkv, hd),
+        )
+    else:
+        q = (mm(y, attn["q"]["kernel"]) + take(attn["q"]["bias"])).reshape(b, s, h, hd)
+        k = (mm(y, attn["k"]["kernel"]) + take(attn["k"]["bias"])).reshape(b, s, hkv, hd)
+        v = (mm(y, attn["v"]["kernel"]) + take(attn["v"]["bias"])).reshape(b, s, hkv, hd)
     if cfg.rope_scaling != 1.0:
         positions = positions.astype(jnp.float32) / cfg.rope_scaling
     q = apply_rope(q, positions, cfg.rope_theta)
@@ -85,16 +158,22 @@ def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray):
     return q, k, v
 
 
-def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray, attn: jnp.ndarray):
-    from radvlm_tpu.ops.quant import qmm
-
+def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray,
+                  attn: jnp.ndarray, idx=None):
+    mm, take = _mm_take(idx)
     b, s = attn.shape[:2]
-    x = res + qmm(attn.reshape(b, s, -1), lp["attn"]["o"]["kernel"])
+    x = res + mm(attn.reshape(b, s, -1), lp["attn"]["o"]["kernel"])
     res = x
-    y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(qmm(y, lp["mlp"]["gate"]["kernel"]))
-    up = qmm(y, lp["mlp"]["up"]["kernel"])
-    return res + qmm(gate * up, lp["mlp"]["down"]["kernel"])
+    y = rms_norm(x, take(lp["ln2"]), cfg.rms_norm_eps)
+    mlp = lp["mlp"]
+    if "gateup" in mlp:
+        gu = mm(y, mlp["gateup"]["kernel"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        gate = jax.nn.silu(gate)
+    else:
+        gate = jax.nn.silu(mm(y, mlp["gate"]["kernel"]))
+        up = mm(y, mlp["up"]["kernel"])
+    return res + mm(gate * up, mlp["down"]["kernel"])
 
 
 def _block(
@@ -136,7 +215,7 @@ def _block(
 
 def _block_cached(
     cfg: Qwen2Config,
-    lp: Params,
+    layers: Params,  # FULL stacked layer tree (scan closes over it)
     layer_idx: jnp.ndarray,
     x: jnp.ndarray,
     ck_all: jnp.ndarray,  # [L, B, Smax, Hkv*D] — full stacked cache (carry)
@@ -156,12 +235,18 @@ def _block_cached(
     cache every decode step). Layout [.., S, Hkv*D]: heads fold into the minor
     dim so cache writes are reshape-free and the decode kernel's DMAs are fully
     contiguous (see ops/decode_attention.py).
+
+    The body receives the FULL stacked layer weights plus `layer_idx` (not a
+    per-layer slice): quantized matmuls dispatch to the stacked-int8 Pallas
+    kernel, which scalar-prefetches the index into its BlockSpec maps and DMAs
+    exactly one layer's int8 bytes — no dynamic-slice copy, no bf16 dequant
+    round trip through HBM. Small leaves (norms, biases) slice on the fly.
     """
     if attn_impl == "ring":
         attn_impl = "auto"  # ring applies to training prefill, not cached decode
     res = x
-    y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-    q, k, v = _qkv(cfg, lp, y, positions)
+    y = rms_norm(x, _take(layers["ln1"], layer_idx), cfg.rms_norm_eps)
+    q, k, v = _qkv(cfg, layers, y, positions, idx=layer_idx)
     b, s = x.shape[:2]
     hkv, hd = cfg.num_kv_heads, cfg.head_dim
     k_flat = k.reshape(b, s, hkv * hd).astype(ck_all.dtype)
@@ -214,7 +299,7 @@ def _block_cached(
             else cache_index,
             impl=attn_impl,
         )
-    return _finish_block(cfg, lp, res, attn), ck_all, cv_all
+    return _finish_block(cfg, layers, res, attn, idx=layer_idx), ck_all, cv_all
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -258,11 +343,10 @@ def forward(
     layer_params = params["layers"]
 
     if kv_cache is not None:
-        def body_cached(carry, xs):
+        def body_cached(carry, i):
             x, ck_all, cv_all = carry
-            lp, i = xs
             x, ck_all, cv_all = _block_cached(
-                cfg, lp, i, x, ck_all, cv_all, positions, segment_ids,
+                cfg, layer_params, i, x, ck_all, cv_all, positions, segment_ids,
                 cache_index, cache_segment_ids, attn_impl,
             )
             return (x, ck_all, cv_all), None
@@ -275,7 +359,7 @@ def forward(
         (x, ck_all, cv_all), _ = jax.lax.scan(
             body_cached,
             (x, ck_all, cv_all),
-            (layer_params, jnp.arange(cfg.num_layers)),
+            jnp.arange(cfg.num_layers),
         )
         new_cache = (ck_all, cv_all)
     else:

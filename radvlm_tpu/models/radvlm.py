@@ -46,6 +46,15 @@ def init_params(cfg: RadVLMConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     }
 
 
+def fuse_for_inference(params: Params) -> Params:
+    """Fuse the text decoder's q/k/v and gate/up projections for generation
+    (see `qwen2.fuse_projections`). Call once after loading weights; training,
+    checkpoints, and HF export keep the unfused layout."""
+    out = dict(params)
+    out["text"] = qwen2.fuse_projections(params["text"])
+    return out
+
+
 def encode_tiles(
     params: Params,
     cfg: RadVLMConfig,

@@ -107,3 +107,17 @@ def qmm(x: jnp.ndarray, w: Any) -> jnp.ndarray:
 
         return qnode_matmul(x, w)
     return x @ w
+
+
+def qmm_idx(x: jnp.ndarray, w: Any, layer_idx) -> jnp.ndarray:
+    """x @ w[layer_idx] where w is a STACKED [L, ...] dense kernel or qnode.
+
+    The decode layer scan closes over the full stacked weights and calls this
+    with the per-step layer index: quantized nodes hit the Pallas stacked-int8
+    kernel (scalar-prefetched index, no slice materialization); dense kernels
+    fall back to dynamic_index + MXU matmul (what scan-over-xs would do)."""
+    if is_qnode(w):
+        from radvlm_tpu.ops.int8_matmul import qnode_matmul_stacked
+
+        return qnode_matmul_stacked(x, w, layer_idx)
+    return x @ jax.lax.dynamic_index_in_dim(w, layer_idx, 0, keepdims=False)

@@ -75,6 +75,99 @@ def test_int8_matmul_kernel(rng):
         assert y.shape == (rows, 1, f)
 
 
+def test_int8_matmul_stacked_kernel(rng):
+    """Stacked Pallas int8 matmul (interpret mode): layer selected via the
+    scalar-prefetched index matches slice + dequant + dense."""
+    from radvlm_tpu.ops.int8_matmul import int8_matmul_stacked
+
+    L, d, f = 3, 256, 384
+    w = jnp.asarray(rng.normal(size=(L, d, f), scale=0.02), jnp.float32)
+    node = quantize_array(w, reduce_axes=(-2,))
+    assert node["__scale__"].shape == (L, 1, f)
+    x = jnp.asarray(rng.normal(size=(4, d)), jnp.float32)
+    dense = dequantize_array(node, jnp.float32)
+    for li in range(L):
+        y = int8_matmul_stacked(
+            x, node["__q__"], node["__scale__"], li, block_f=128, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x @ dense[li]), atol=2e-4, rtol=2e-3,
+            err_msg=f"layer={li}",
+        )
+
+
+def test_int8_matmul_stacked_in_scan(rng):
+    """The stacked kernel composes with lax.scan over layer indices (the
+    decode-path formulation: scan closes over the full stacked weights)."""
+    from radvlm_tpu.ops.int8_matmul import int8_matmul_stacked
+
+    L, d = 3, 128
+    w = jnp.asarray(rng.normal(size=(L, d, d), scale=0.1), jnp.float32)
+    node = quantize_array(w, reduce_axes=(-2,))
+    x0 = jnp.asarray(rng.normal(size=(2, d)), jnp.float32)
+
+    def body(x, i):
+        return int8_matmul_stacked(
+            x, node["__q__"], node["__scale__"], i, interpret=True
+        ), None
+
+    out, _ = jax.lax.scan(body, x0, jnp.arange(L))
+    ref = x0
+    dense = dequantize_array(node, jnp.float32)
+    for li in range(L):
+        ref = ref @ dense[li]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-2)
+
+
+def test_fused_projections_parity(rng):
+    """fuse_projections (qkv + gateup concat) leaves the forward pass and
+    cached decode bit-identical for dense params and numerically matching for
+    quantized params."""
+    from radvlm_tpu.models import qwen2
+
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    fused = radvlm.fuse_for_inference(params)
+    assert "qkv" in fused["text"]["layers"]["attn"]
+    assert "gateup" in fused["text"]["layers"]["mlp"]
+    # idempotent
+    assert radvlm.fuse_for_inference(fused) is not fused  # shallow copy
+    assert "qkv" in radvlm.fuse_for_inference(fused)["text"]["layers"]["attn"]
+
+    img = rng.integers(0, 255, size=(70, 60, 3), dtype=np.uint8)
+    ids = [5, 6, IMAGE_TOKEN_INDEX] + list(rng.integers(2, 400, size=10))
+    sample = multimodal.build_sample(ids, [img], cfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             multimodal.collate([sample], pad_to_multiple=8).items()}
+    lo, _ = radvlm.forward(params, cfg, batch, attn_impl="xla")
+    lf, _ = radvlm.forward(fused, cfg, batch, attn_impl="xla")
+    n = int(batch["lengths"][0])
+    np.testing.assert_allclose(
+        np.asarray(lo)[0, :n], np.asarray(lf)[0, :n], atol=1e-5, rtol=1e-5
+    )
+
+
+def test_fused_quantized_generation_matches_unfused(rng):
+    """Greedy generation with fused+quantized params matches unfused+quantized
+    (the engine path exercised end to end through prefill and cached decode)."""
+    from radvlm_tpu.generation.engine import GenerationConfig, make_generate_fn
+
+    cfg = cfglib.tiny_test_config()
+    qparams = quantize_params(radvlm.init_params(cfg, jax.random.key(0)))
+    fused = radvlm.fuse_for_inference(qparams)
+    img = rng.integers(0, 255, size=(70, 60, 3), dtype=np.uint8)
+    ids = [5, IMAGE_TOKEN_INDEX] + list(rng.integers(2, 400, size=6))
+    sample = multimodal.build_sample(ids, [img], cfg)
+    batch = {k: jnp.asarray(v) for k, v in
+             multimodal.collate([sample], pad_to_multiple=8, left_pad=True).items()}
+    gen_fn = make_generate_fn(cfg, GenerationConfig(max_new_tokens=6), attn_impl="xla")
+    out_u = gen_fn(qparams, batch, jax.random.key(0))
+    out_f = gen_fn(fused, batch, jax.random.key(0))
+    np.testing.assert_array_equal(
+        np.asarray(out_u["tokens"]), np.asarray(out_f["tokens"])
+    )
+
+
 def test_quantized_generation_runs(rng):
     from radvlm_tpu.generation.engine import GenerationConfig, make_generate_fn
 
