@@ -101,6 +101,62 @@ def prefill(
     return (ck, cv), cache_seg, logits
 
 
+def make_sp_prefill_fn(
+    cfg: RadVLMConfig,
+    mesh,
+    *,
+    axis_name: str = "seq",
+    local_impl: str = "flash",
+):
+    """Sequence-parallel prefill: ring attention over the mesh's `seq` axis.
+
+    Long-context generation support (the reference's dormant ring attention,
+    `modeling_llama.py:385-563`, covers only training; here prefill shards the
+    padded prompt across the seq axis so a 16k+ multimodal prompt's O(S^2)
+    attention and O(S) projections split across chips, while the KV cache and
+    last-token logits come back replicated for the normal decode loop).
+
+    Returns prefill_fn(params, batch, max_len static) -> (cache, cache_seg,
+    last_logits) — same contract as `prefill`. The padded prompt length must
+    be divisible by the seq-axis size. Uses the contiguous ring schedule
+    (natural token order — no zigzag pre-permutation, prefill runs once so
+    the diagonal imbalance is irrelevant next to the decode loop).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from radvlm_tpu.parallel.ring import enable_ring_attention
+
+    seq_sharded = NamedSharding(mesh, P(None, axis_name))
+    replicated = NamedSharding(mesh, P())
+
+    def in_shard(batch):
+        return {
+            k: seq_sharded
+            if k in ("tokens", "img_src", "positions", "segment_ids")
+            else replicated
+            for k in batch
+        }
+
+    @functools.partial(jax.jit, static_argnames=("max_len",))
+    def _pf(params, batch, max_len: int):
+        return prefill(params, cfg, batch, max_len, attn_impl="ring")
+
+    def prefill_fn(params, batch, max_len: int):
+        enable_ring_attention(
+            mesh, axis_name=axis_name, impl=local_impl, schedule="contiguous"
+        )
+        b, l = batch["tokens"].shape
+        n_seq = mesh.shape[axis_name]
+        if l % n_seq:
+            raise ValueError(
+                f"padded prompt length {l} not divisible by seq axis {n_seq}"
+            )
+        batch = jax.device_put(batch, in_shard(batch))
+        return _pf(params, batch, max_len)
+
+    return prefill_fn
+
+
 def decode_step(
     params: Params,
     cfg: RadVLMConfig,
