@@ -30,7 +30,9 @@ NEW_TOKENS = int(os.environ.get("RADVLM_BENCH_NEW_TOKENS", "128"))
 
 
 def _random_quantized_params(cfg):
-    """Random params with quantizable kernels born int8 (no bf16 staging)."""
+    """Random params with quantizable kernels born int8, generated ON DEVICE
+    (host-side numpy generation + H2D transfer of ~8 GB measured minutes over
+    the tunnel; device-side jax.random.bits is seconds)."""
     import re
 
     import jax
@@ -43,23 +45,30 @@ def _random_quantized_params(cfg):
     abstract = jax.eval_shape(
         lambda: radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     )
-    rng = np.random.default_rng(0)
+    keys = iter(jax.random.split(jax.random.key(0), 512))
 
     def build(path, leaf):
         p = path_str(path)
+        k = next(keys)
         if any(re.search(pat, p) for pat in quant.DEFAULT_PATTERNS):
             axes = (-1,) if re.search(r"embed/embedding$", p) else (-2,)
-            q = jnp.asarray(
-                rng.integers(-127, 128, size=leaf.shape, dtype=np.int8)
-            )
+            # uint8 bits -> int8 (values -128..127; throughput is
+            # weight-value-independent, only the dtype/layout matters).
+            q = jax.jit(
+                lambda kk, shape=leaf.shape: jax.random.bits(
+                    kk, shape, jnp.uint8
+                ).astype(jnp.int8)
+            )(k)
             scale_shape = list(leaf.shape)
             for a in axes:
                 scale_shape[a] = 1
             scale = jnp.full(scale_shape, 0.02 / 127.0, jnp.float32)
             return {quant.Q_KEY: q, quant.SCALE_KEY: scale}
-        return jnp.asarray(
-            rng.normal(size=leaf.shape, scale=0.02).astype(np.float32), jnp.bfloat16
-        )
+        return jax.jit(
+            lambda kk, shape=leaf.shape: jax.random.normal(
+                kk, shape, jnp.bfloat16
+            ) * 0.02
+        )(k)
 
     return jax.tree_util.tree_map_with_path(build, abstract)
 

@@ -10,6 +10,7 @@ adapters normalize the annotation boxes with these).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 from concurrent.futures import ProcessPoolExecutor
@@ -51,6 +52,11 @@ def convert_one(src: str, dst: str, *, short_side: int = 512) -> Tuple[int, int]
     return (w, h)
 
 
+def _work_one(args, *, short_side: int):
+    src, dst, image_id = args
+    return image_id, convert_one(src, dst, short_side=short_side)
+
+
 def convert_split(
     dicom_dir: str,
     out_dir: str,
@@ -80,13 +86,18 @@ def convert_split(
             continue
         todo.append((os.path.join(dicom_dir, f), dst, image_id))
 
-    def work(args):
-        src, dst, image_id = args
-        return image_id, convert_one(src, dst, short_side=short_side)
-
-    with ProcessPoolExecutor(max_workers=num_workers) as ex:
-        for image_id, (w, h) in ex.map(work, todo):
+    work = functools.partial(_work_one, short_side=short_side)
+    if num_workers <= 1:
+        # Serial path (also what tests with a mocked pydicom exercise —
+        # subprocess workers would re-import the real module).
+        for image_id, (w, h) in map(work, todo):
             resolutions[image_id] = [w, h]
+    else:
+        # NB: the worker must be a module-level function (+ partial) — a
+        # nested closure is not picklable across the process pool.
+        with ProcessPoolExecutor(max_workers=num_workers) as ex:
+            for image_id, (w, h) in ex.map(work, todo):
+                resolutions[image_id] = [w, h]
 
     with open(resolutions_path, "w") as f:
         json.dump(resolutions, f)

@@ -303,4 +303,26 @@ def config_from_hf_dir(path: str) -> RadVLMConfig:
         image_size=vis_cfg.get("image_size", 384),
         patch_size=vis_cfg.get("patch_size", 14),
     )
-    return RadVLMConfig(vision=vision, text=text)
+    # Anyres policy from the HF fields (`image_grid_pinpoints` lists
+    # (height, width) pixel candidates = grid cells x tile size;
+    # `vision_aspect_ratio` carries the anyres_max_N token cap).
+    from radvlm_tpu.config import AnyResConfig
+
+    tile = vision.image_size
+    kwargs = {}
+    grid = (1, 6)
+    anyres_max = 9
+    pinpoints = data.get("image_grid_pinpoints")
+    if pinpoints:
+        grid = (1, max(max(max(p) for p in pinpoints) // tile, 1))
+    aspect = data.get("vision_aspect_ratio", data.get("image_aspect_ratio"))
+    if isinstance(aspect, str):
+        m = re.match(r"anyres_max_(\d+)", aspect)
+        if m:
+            anyres_max = int(m.group(1))
+        kwargs["image_aspect_ratio"] = (
+            aspect if aspect.startswith("anyres") or aspect in ("pad", "square")
+            else "anyres_max_9"
+        )
+    anyres = AnyResConfig(tile_size=tile, grid_range=grid, anyres_max=anyres_max)
+    return RadVLMConfig(vision=vision, text=text, anyres=anyres, **kwargs)

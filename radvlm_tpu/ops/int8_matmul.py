@@ -46,6 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_BYTES = 4 * 1024 * 1024
 
 
+def _default_block_f() -> int:
+    # RADVLM_INT8_BLOCK_F tunes the output-block width (bigger blocks = fewer
+    # grid steps, more VMEM per buffer; 512 measured best at 7B decode).
+    return int(os.environ.get("RADVLM_INT8_BLOCK_F", "512"))
+
+
 def _pick_bf(d: int, f: int, block_f: int) -> int:
     max_bf = max(128, (_TILE_BYTES // max(d, 1)) // 128 * 128)
     bf = min(block_f, max_bf, f)
@@ -68,7 +74,7 @@ def int8_matmul(
     q: jnp.ndarray,  # [D, F] int8
     scale: jnp.ndarray,  # [1, F] f32 (per-output-channel)
     *,
-    block_f: int = 512,
+    block_f: int = 0,  # 0 -> RADVLM_INT8_BLOCK_F (default 512)
     out_dtype=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -84,7 +90,7 @@ def int8_matmul(
         b = 8
     if out_dtype is None:
         out_dtype = x.dtype
-    bf = _pick_bf(d, f, block_f)
+    bf = _pick_bf(d, f, block_f or _default_block_f())
     nf = f // bf
 
     out = pl.pallas_call(
@@ -128,7 +134,7 @@ def int8_matmul_stacked(
     scale_all: jnp.ndarray,  # [L, 1, F] f32
     layer_idx,  # scalar int32 (traced ok)
     *,
-    block_f: int = 512,
+    block_f: int = 0,  # 0 -> RADVLM_INT8_BLOCK_F (default 512)
     out_dtype=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -151,7 +157,7 @@ def int8_matmul_stacked(
         b = 8
     if out_dtype is None:
         out_dtype = x.dtype
-    bf = _pick_bf(d, f, block_f)
+    bf = _pick_bf(d, f, block_f or _default_block_f())
     nf = f // bf
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
