@@ -239,6 +239,81 @@ def import_siglip(
     return params
 
 
+def import_clip(
+    state: Mapping[str, np.ndarray], cfg, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Canonical-key state dict -> stacked CLIP tower params (`models/clip.py`).
+
+    Imports the first `cfg.num_layers` encoder layers (select_layer=-2 on a
+    24-layer pretrained ViT-L means 23 — the reference takes hidden_states[-2],
+    `clip_encoder.py:24-33`). HF CLIPVisionModel layout: patch conv without
+    bias, class_embedding, position_embedding over cls+patches, pre_layrnorm.
+    """
+    L = cfg.num_layers
+    conv_w = state["vision.embeddings.patch_embedding.weight"]  # [D, C, p, p]
+    d = conv_w.shape[0]
+    kernel = np.transpose(conv_w, (2, 3, 1, 0)).reshape(-1, d)
+
+    def stack_lin(fmt):
+        return jnp.stack([_lin(state, fmt.format(i), dtype) for i in range(L)])
+
+    def stack_vec(fmt):
+        return jnp.stack([_vec(state, fmt.format(i), dtype) for i in range(L)])
+
+    p = "vision.encoder.layers.{}."
+    return {
+        "patch_embed": {
+            "kernel": jnp.asarray(np.ascontiguousarray(kernel), dtype)
+        },
+        "class_embed": _vec(state, "vision.embeddings.class_embedding", dtype),
+        "pos_embed": _vec(
+            state, "vision.embeddings.position_embedding.weight", dtype
+        ),
+        "pre_ln": {
+            "scale": _vec(state, "vision.pre_layrnorm.weight", dtype),
+            "bias": _vec(state, "vision.pre_layrnorm.bias", dtype),
+        },
+        "layers": {
+            "ln1": {
+                "scale": stack_vec(p + "layer_norm1.weight"),
+                "bias": stack_vec(p + "layer_norm1.bias"),
+            },
+            "ln2": {
+                "scale": stack_vec(p + "layer_norm2.weight"),
+                "bias": stack_vec(p + "layer_norm2.bias"),
+            },
+            "attn": {
+                "q": {
+                    "kernel": stack_lin(p + "self_attn.q_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.q_proj.bias"),
+                },
+                "k": {
+                    "kernel": stack_lin(p + "self_attn.k_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.k_proj.bias"),
+                },
+                "v": {
+                    "kernel": stack_lin(p + "self_attn.v_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.v_proj.bias"),
+                },
+                "o": {
+                    "kernel": stack_lin(p + "self_attn.out_proj.weight"),
+                    "bias": stack_vec(p + "self_attn.out_proj.bias"),
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": stack_lin(p + "mlp.fc1.weight"),
+                    "bias": stack_vec(p + "mlp.fc1.bias"),
+                },
+                "fc2": {
+                    "kernel": stack_lin(p + "mlp.fc2.weight"),
+                    "bias": stack_vec(p + "mlp.fc2.bias"),
+                },
+            },
+        },
+    }
+
+
 def import_projector(
     state: Mapping[str, np.ndarray], cfg: ProjectorConfig, dtype=jnp.bfloat16
 ) -> Dict[str, Any]:
@@ -255,9 +330,14 @@ def import_radvlm(
     raw_state: Mapping[str, Any], cfg: RadVLMConfig, dtype=jnp.bfloat16
 ) -> Dict[str, Any]:
     """Full VLM import from either checkpoint layout (see module docstring)."""
+    from radvlm_tpu.models import towers
+
     state = normalize_keys(raw_state)
+    import_tower = (
+        import_clip if towers.kind(cfg.vision) == "clip" else import_siglip
+    )
     params = {
-        "vision_tower": import_siglip(state, cfg.vision, dtype),
+        "vision_tower": import_tower(state, cfg.vision, dtype),
         "projector": import_projector(state, cfg.projector, dtype),
         "text": import_qwen2(state, cfg.text, dtype),
     }

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from radvlm_tpu.config import IGNORE_INDEX, RadVLMConfig
 from radvlm_tpu.models import projector as projector_lib
-from radvlm_tpu.models import qwen2, siglip
+from radvlm_tpu.models import qwen2, towers
 from radvlm_tpu.models.anyres import apply_merge
 
 Params = Dict[str, Any]
@@ -34,9 +34,10 @@ Params = Dict[str, Any]
 def init_params(cfg: RadVLMConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
-        "vision_tower": siglip.init_params(cfg.vision, k1, dtype),
+        "vision_tower": towers.init_params(cfg.vision, k1, dtype),
         "projector": projector_lib.init_params(
-            cfg.projector, cfg.vision.hidden_size, cfg.text.hidden_size, k2, dtype
+            cfg.projector, towers.feature_size(cfg.vision), cfg.text.hidden_size,
+            k2, dtype
         ),
         "text": qwen2.init_params(cfg.text, k3, dtype),
         "image_newline": (
@@ -71,8 +72,9 @@ def encode_tiles(
     """
     from radvlm_tpu.ops.image_ops import normalize_tiles_device
 
-    tiles = normalize_tiles_device(tiles)
-    feats = siglip.forward(
+    mean, std = towers.mean_std(cfg.vision)
+    tiles = normalize_tiles_device(tiles, mean=mean, std=std)
+    feats = towers.forward(
         params["vision_tower"], cfg.vision, tiles, remat=remat, attn_impl=attn_impl
     )
     return projector_lib.forward(params["projector"], cfg.projector, feats)

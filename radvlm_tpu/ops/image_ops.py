@@ -122,12 +122,15 @@ def preprocess_single_host(
     return post(_resize_pil(img_np, (ts, ts)))[None], (ow, oh)
 
 
-def normalize_tiles_device(tiles: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+def normalize_tiles_device(
+    tiles: jnp.ndarray, dtype=jnp.float32, *, mean=SIGLIP_MEAN, std=SIGLIP_STD
+) -> jnp.ndarray:
     """Device-side (x/255 - mean)/std for integer tiles; float tiles pass through
-    (already normalized on host)."""
+    (already normalized on host). mean/std may be scalars (SigLIP) or
+    per-channel 3-tuples (CLIP)."""
     if jnp.issubdtype(tiles.dtype, jnp.integer):
         x = tiles.astype(dtype) / 255.0
-        return (x - SIGLIP_MEAN) / SIGLIP_STD
+        return (x - jnp.asarray(mean, dtype)) / jnp.asarray(std, dtype)
     return tiles
 
 
