@@ -73,6 +73,78 @@ def _random_quantized_params(cfg):
     return jax.tree_util.tree_map_with_path(build, abstract)
 
 
+def run_continuous(cfg, params, gen, size):
+    """Continuous-batching bench: RADVLM_BENCH_SLOTS always-full decode slots,
+    requests stream through (prefill on refill). Timed window covers host
+    preprocessing + all prefills + all decodes for RADVLM_BENCH_REQS images."""
+    import jax
+
+    from radvlm_tpu.config import IMAGE_TOKEN_INDEX
+    from radvlm_tpu.generation.continuous import ContinuousBatcher
+    from radvlm_tpu.models import multimodal
+
+    slots = int(os.environ.get("RADVLM_BENCH_SLOTS", "16"))
+    n_reqs = int(os.environ.get("RADVLM_BENCH_REQS", str(max(BATCH * BATCHES, 4 * slots))))
+    pad_len = 4096
+    max_len = pad_len + NEW_TOKENS
+    rng = np.random.default_rng(0)
+
+    def make_sample():
+        h = int(rng.integers(480, 560))
+        w = int(rng.integers(400, 520))
+        img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        ids = [IMAGE_TOKEN_INDEX] + list(rng.integers(100, 50000, size=40))
+        return multimodal.build_sample(ids, [img], cfg)
+
+    steps_per_sync = int(os.environ.get("RADVLM_BENCH_STEPS_PER_SYNC", "16"))
+    pipeline_depth = int(os.environ.get("RADVLM_BENCH_PIPELINE_DEPTH", "4"))
+
+    def make_batcher():
+        return ContinuousBatcher(
+            params, cfg, gen, num_slots=slots, max_len=max_len,
+            prompt_buckets=(pad_len,), pad_tiles=6,
+            steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
+        )
+
+    # Warmup/compile: run a few requests end to end (prefill graph, decode
+    # graph, insert graph).
+    t0 = time.perf_counter()
+    b = make_batcher()
+    for _ in range(2):
+        b.submit(make_sample(), NEW_TOKENS)
+    for _ in b.run():
+        pass
+    compile_s = time.perf_counter() - t0
+
+    # Timed run: fresh batcher, same compiled graphs.
+    b = make_batcher()
+    t_start = time.perf_counter()
+    done_at = []
+    for i in range(n_reqs):
+        b.submit(make_sample(), NEW_TOKENS)
+    for _req in b.run():
+        done_at.append(time.perf_counter() - t_start)
+    total = time.perf_counter() - t_start
+
+    n_chips = jax.device_count()
+    print(json.dumps({
+        "metric": "cxr_report_images_per_sec_per_chip",
+        "value": round(n_reqs / total / n_chips, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,  # no measured A100 reference figure in this env
+        "p50_report_completion_s": round(float(np.percentile(done_at, 50)), 3),
+        "decode_tokens_per_sec": round(n_reqs * NEW_TOKENS / total, 1),
+        "model": f"radvlm-{size}",
+        "engine": "continuous",
+        "slots": slots,
+        "requests": n_reqs,
+        "new_tokens": NEW_TOKENS,
+        "n_chips": n_chips,
+        "device": str(jax.devices()[0].device_kind),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -123,6 +195,15 @@ def main():
         )
 
     gen = GenerationConfig(max_new_tokens=NEW_TOKENS, eos_token_ids=())
+
+    # Engine: "static" pads every batch and decodes lock-step;
+    # "continuous" (default) keeps RADVLM_BENCH_SLOTS decode slots always full
+    # (generation/continuous.py), amortizing the int8 weight stream over more
+    # decode rows — the serving/eval default since round 2.
+    engine = os.environ.get("RADVLM_BENCH_ENGINE", "continuous")
+    if engine == "continuous":
+        run_continuous(cfg, params, gen, size)
+        return
     gen_fn = make_generate_fn(cfg, gen)
 
     # Warmup / compile.

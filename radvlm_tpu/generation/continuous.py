@@ -44,6 +44,10 @@ class Request:
     max_new_tokens: int
     emitted: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # First token (sampled from the prefill logits), kept as a DEVICE scalar
+    # until the next chunk readback so _fill_slot never blocks on the device
+    # (reading it eagerly would stall the pipelined decode queue).
+    tok0_dev: Optional[Any] = None
 
 
 class ContinuousBatcher:
@@ -61,6 +65,8 @@ class ContinuousBatcher:
         pad_tiles: int = 6,
         attn_impl: str = "auto",
         seed: int = 0,
+        steps_per_sync: int = 8,
+        pipeline_depth: int = 2,
     ):
         import jax
         import jax.numpy as jnp
@@ -73,6 +79,8 @@ class ContinuousBatcher:
         self.prompt_buckets = sorted(prompt_buckets)
         self.pad_tiles = pad_tiles
         self.attn_impl = attn_impl
+        self.steps_per_sync = max(1, steps_per_sync)
+        self.pipeline_depth = max(0, pipeline_depth)
         self._rng = jax.random.key(seed)
 
         # Device state.
@@ -87,9 +95,8 @@ class ContinuousBatcher:
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._uid = itertools.count(1)  # thread-safe-enough uid source
 
-        self._prefill_fns: Dict[int, Callable] = {}
+        self._fill_fns: Dict[int, Callable] = {}
         self._step_fn = self._build_step()
-        self._insert_fn = jax.jit(self._insert_impl, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -98,52 +105,80 @@ class ContinuousBatcher:
 
         cfg = self.cfg
 
+        K = self.steps_per_sync
+
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(params, cache, cache_seg, tok, positions, write_idx, rng):
+        def step_chunk(params, cache, cache_seg, tok, positions, write_idx, rng):
+            """K decode steps in ONE dispatch (lax.scan), returning all K
+            sampled tokens [B, K].
+
+            One jit call + one host readback per token is what the reference's
+            HF `generate` loop does; over a network-attached accelerator every
+            step pays a host round-trip (measured ~30x slowdown through the
+            axon tunnel). Chunked decode keeps the device busy for K tokens
+            per dispatch; `run()` additionally chains chunks without readback
+            while no slot can possibly finish (JetStream-style decode loop)."""
             b = tok.shape[0]
-            cache_seg = cache_seg.at[jnp.arange(b), write_idx].set(1)
-            embeds = qwen2.embed_tokens(params["text"], tok[:, None])
-            logits, cache = qwen2.forward(
-                params["text"], cfg.text,
-                input_embeds=embeds,
-                positions=positions[:, None],
-                segment_ids=jnp.ones((b, 1), jnp.int32),
-                kv_cache=cache,
-                cache_index=write_idx,
-                cache_segment_ids=cache_seg,
-                attn_impl=self.attn_impl,
+
+            def body(carry, k):
+                cache, cache_seg, tok, positions, write_idx, rng = carry
+                cache_seg = cache_seg.at[jnp.arange(b), write_idx].set(1)
+                embeds = qwen2.embed_tokens(params["text"], tok[:, None])
+                rng, sub = jax.random.split(rng)
+                logits, cache = qwen2.forward(
+                    params["text"], cfg.text,
+                    input_embeds=embeds,
+                    positions=positions[:, None],
+                    segment_ids=jnp.ones((b, 1), jnp.int32),
+                    kv_cache=cache,
+                    cache_index=write_idx,
+                    cache_segment_ids=cache_seg,
+                    attn_impl=self.attn_impl,
+                )
+                nxt = sample_token(logits[:, 0], self.gen, sub)
+                positions = positions + 1
+                write_idx = jnp.minimum(write_idx + 1, self.max_len - 1)
+                return (cache, cache_seg, nxt, positions, write_idx, rng), nxt
+
+            (cache, cache_seg, tok, _, _, _), toks = jax.lax.scan(
+                body,
+                (cache, cache_seg, tok, positions, write_idx, rng),
+                jnp.arange(K),
             )
-            nxt = sample_token(logits[:, 0], self.gen, rng)
-            return cache, cache_seg, nxt
+            return cache, cache_seg, tok, jnp.swapaxes(toks, 0, 1)
 
-        return step
+        return step_chunk
 
-    @staticmethod
-    def _insert_impl(shared_cache, new_cache, cache_seg, new_seg_row, slot):
+    def _fill_fn(self, bucket: int):
+        """ONE jitted dispatch per refill: prefill the prompt, sample the
+        first token, splice cache/segments into the slot, set cur_tok.
+        (Separate prefill/sample/insert/set calls each pay a dispatch
+        round-trip to a network-attached device; fused they cost one.)"""
         import jax
         import jax.numpy as jnp
 
-        ck, cv = shared_cache
-        nk, nv = new_cache
-        ck = jax.lax.dynamic_update_slice(ck, nk, (0, slot, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, nv, (0, slot, 0, 0))
-        cache_seg = jax.lax.dynamic_update_slice(
-            cache_seg, new_seg_row[None], (slot, 0)
-        )
-        return (ck, cv), cache_seg
-
-    def _prefill_fn(self, bucket: int):
-        import jax
-
-        if bucket not in self._prefill_fns:
+        if bucket not in self._fill_fns:
             cfg, attn_impl, max_len = self.cfg, self.attn_impl, self.max_len
+            gen = self.gen
 
-            @jax.jit
-            def pf(params, batch):
-                return prefill(params, cfg, batch, max_len, attn_impl=attn_impl)
+            @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+            def fill(params, shared_cache, cache_seg, cur_tok, batch, slot, rng):
+                cache1, seg1, last_logits = prefill(
+                    params, cfg, batch, max_len, attn_impl=attn_impl
+                )
+                tok0 = sample_token(last_logits, gen, rng)[0]
+                ck, cv = shared_cache
+                nk, nv = cache1
+                ck = jax.lax.dynamic_update_slice(ck, nk, (0, slot, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, nv, (0, slot, 0, 0))
+                cache_seg = jax.lax.dynamic_update_slice(
+                    cache_seg, seg1, (slot, 0)
+                )
+                cur_tok = cur_tok.at[slot].set(tok0)
+                return (ck, cv), cache_seg, cur_tok, tok0
 
-            self._prefill_fns[bucket] = pf
-        return self._prefill_fns[bucket]
+            self._fill_fns[bucket] = fill
+        return self._fill_fns[bucket]
 
     # ------------------------------------------------------------------
     def submit(self, sample: multimodal.MMSample,
@@ -166,18 +201,17 @@ class ContinuousBatcher:
         import jax.numpy as jnp
 
         bucket = self._bucket_for(req.sample.length)
-        batch = multimodal.collate(
+        host_batch = multimodal.collate(
             [req.sample], pad_len=bucket, pad_tiles=self.pad_tiles,
             pad_to_multiple=128, left_pad=True,
         )
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        real_len = int(host_batch["lengths"][0])  # host-known; no device sync
+        batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         l = batch["tokens"].shape[1]
-        cache1, seg1, last_logits = self._prefill_fn(l)(self.params, batch)
         self._rng, sub = jax.random.split(self._rng)
-        tok0 = sample_token(last_logits, self.gen, sub)
-
-        self.cache, self.cache_seg = self._insert_fn(
-            self.cache, cache1, self.cache_seg, seg1[0], slot
+        self.cache, self.cache_seg, self.cur_tok, tok0 = self._fill_fn(l)(
+            self.params, self.cache, self.cache_seg, self.cur_tok, batch,
+            slot, sub,
         )
         # Cap the request so cache writes never pass max_len: emitting N tokens
         # writes indices [l, l+N-2] (ADVICE r1: clamping the write index
@@ -187,9 +221,11 @@ class ContinuousBatcher:
             req.max_new_tokens = allowed
         self.slot_req[slot] = req
         self.slot_len[slot] = l  # prompt occupies [0, l) (left-padded)
-        self.slot_real_len[slot] = int(np.asarray(seg1[0]).sum())
-        self.cur_tok = self.cur_tok.at[slot].set(tok0[0])
-        self._emit(slot, int(tok0[0]))
+        self.slot_real_len[slot] = real_len
+        # tok0 stays on device; emitted at the next chunk readback (keeps the
+        # fill path free of device syncs so in-flight decode chunks drain
+        # undisturbed).
+        req.tok0_dev = tok0
 
     def _emit(self, slot: int, tok: int):
         req = self.slot_req[slot]
@@ -207,52 +243,82 @@ class ContinuousBatcher:
     def _active(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is not None]
 
-    def run(self) -> Iterator[Request]:
-        """Process the queue to completion, yielding finished requests."""
+    def _dispatch_chunk(self, inflight) -> None:
+        """Queue one K-step decode chunk on the device (no host sync).
+
+        The chunk covers ALL slots (inactive ones compute garbage under
+        segment id 0, discarded at readback). Host counters advance
+        immediately — they describe the device-side state after the chunk."""
         import jax
         import jax.numpy as jnp
 
-        pending_done: List[Request] = []
-        while not self.queue.empty() or self._active():
-            # Refill empty slots.
+        positions = np.minimum(self.slot_real_len, 2 ** 30).astype(np.int32)
+        # Active slots never pass max_len (capped at fill time); inactive
+        # slots decode garbage, so clamping their stale index is harmless.
+        write_idx = np.minimum(self.slot_len, self.max_len - 1).astype(np.int32)
+        self._rng, sub = jax.random.split(self._rng)
+        self.cache, self.cache_seg, self.cur_tok, toks = self._step_fn(
+            self.params, self.cache, self.cache_seg, self.cur_tok,
+            jnp.asarray(positions), jnp.asarray(write_idx), sub,
+        )
+        self.slot_len += self.steps_per_sync
+        self.slot_real_len += self.steps_per_sync
+        # Snapshot (slot, req) pairs: at readback, a slot refilled since this
+        # dispatch is detected by identity mismatch and its tokens discarded.
+        snapshot = [
+            (i, r) for i, r in enumerate(self.slot_req) if r is not None
+        ]
+        inflight.append((toks, snapshot))
+
+    def _process_chunk(self, inflight, finished) -> None:
+        """Read back the OLDEST in-flight chunk and emit its tokens."""
+        toks_dev, snapshot = inflight.popleft()
+        toks = np.asarray(toks_dev)  # waits for this chunk only (async queue)
+        for slot, req in snapshot:
+            if req.done or self.slot_req[slot] is not req:
+                continue  # finished earlier or slot since refilled
+            if req.tok0_dev is not None:
+                # Prefill token: device work long done by now (it was queued
+                # before this chunk), so this read is latency-only.
+                t0 = int(np.asarray(req.tok0_dev))
+                req.tok0_dev = None
+                self._emit(slot, t0)
+            for t in toks[slot]:
+                if req.done:
+                    break
+                self._emit(slot, int(t))
+            if req.done:
+                finished.append(req)
+
+    def run(self) -> Iterator[Request]:
+        """Process the queue to completion, yielding finished requests.
+
+        Software-pipelined decode loop (the serving engine's core): up to
+        `pipeline_depth` K-step chunks stay in flight on the device while the
+        host reads back and postprocesses older chunks, so the device never
+        idles on a host round-trip (the reference's HF `generate` loop syncs
+        every token; over a network-attached accelerator that is the dominant
+        cost). A slot whose request finishes mid-chunk decodes garbage until
+        the readback catches it (<= (pipeline_depth+1) * steps_per_sync steps)
+        — wasted compute, never corrupt output, since emissions stop at eos /
+        max_new_tokens and refills overwrite the slot's cache wholesale."""
+        import collections
+
+        inflight: "collections.deque" = collections.deque()
+        finished: List[Request] = []
+        while not self.queue.empty() or self._active() or inflight:
+            # Refill empty slots (device ops only; no sync).
             for slot in range(self.num_slots):
                 if self.slot_req[slot] is None and not self.queue.empty():
-                    req = self.queue.get()
-                    self._fill_slot(slot, req)
-                    if req.done:  # 1-token request edge case
-                        pending_done.append(req)
-            active = self._active()
-            if not active:
-                for r in pending_done:
-                    yield r
-                pending_done = []
-                continue
-
-            # One decode step for ALL slots (inactive ones compute garbage
-            # under segment-id 0, discarded on emit).
-            # Each slot's new token was emitted at output position
-            # len(emitted)-1; its rope position is prompt_real_len + that, its
-            # cache slot is slot_len (the next free index).
-            positions = self.slot_real_len.astype(np.int32)
-            # Active slots never pass max_len (capped at fill time); inactive
-            # slots decode garbage, so clamping their stale index is harmless.
-            write_idx = np.minimum(self.slot_len, self.max_len - 1).astype(np.int32)
-            for i in active:
-                assert self.slot_len[i] < self.max_len, (i, self.slot_len[i])
-            self._rng, sub = jax.random.split(self._rng)
-            self.cache, self.cache_seg, nxt = self._step_fn(
-                self.params, self.cache, self.cache_seg, self.cur_tok,
-                jnp.asarray(positions), jnp.asarray(write_idx), sub,
-            )
-            nxt_host = np.asarray(nxt)
-            for i in active:
-                self.slot_len[i] += 1
-                self.slot_real_len[i] += 1
-                req = self.slot_req[i]
-                self._emit(i, int(nxt_host[i]))
-                if req.done:
-                    pending_done.append(req)
-            self.cur_tok = nxt
-            for r in pending_done:
+                    self._fill_slot(slot, self.queue.get())
+            if self._active():
+                self._dispatch_chunk(inflight)
+            # Drain the pipeline: one chunk per iteration in steady state
+            # (keeping `pipeline_depth` queued), everything once idle.
+            while inflight and (
+                len(inflight) > self.pipeline_depth or not self._active()
+            ):
+                self._process_chunk(inflight, finished)
+            for r in finished:
                 yield r
-            pending_done = []
+            finished = []

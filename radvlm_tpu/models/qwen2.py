@@ -396,7 +396,9 @@ def unembed(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarra
             # layout doesn't apply — dequant-transpose instead.
             return hidden @ maybe_dequant(emb, hidden.dtype).T
         return hidden @ emb.T
-    return qmm(hidden, params["lm_head"]["kernel"])
+    # Logits keep weight-only precision (w8a8's per-token activation noise can
+    # flip near-tie argmax; every other matmul's error washes through norms).
+    return qmm(hidden, params["lm_head"]["kernel"], w8a8=False)
 
 
 def init_kv_cache(

@@ -96,15 +96,53 @@ def quantized_bytes(params: Any) -> int:
     return total
 
 
-def qmm(x: jnp.ndarray, w: Any) -> jnp.ndarray:
+def w8a8_enabled() -> bool:
+    """W8A8 prefill: ON by default when weights are already int8 (the
+    quantized serving configuration). RADVLM_W8A8=0 opts back into
+    weight-only (activations stay bf16, dequant-once matmul)."""
+    import os
+
+    return os.environ.get("RADVLM_W8A8", "1") != "0"
+
+
+def w8a8_matmul(x: jnp.ndarray, node: Dict[str, Any]) -> jnp.ndarray:
+    """x @ dequant(node) computed as int8 x int8 on the MXU with dynamic
+    per-token activation quantization.
+
+    The v5e MXU runs int8 at 2x the bf16 rate (394 vs 197 TOPS peak;
+    measured 195 vs 123 TF/s on the 7B mlp shape — 1.6x end to end with the
+    quant/dequant fused by XLA). Per-token symmetric scales bound the
+    activation quantization error the same way SmoothQuant-style W8A8 serving
+    stacks do; weight scales are the node's per-output-channel scales.
+
+    Equivalent role to the reference's bitsandbytes int8 inference path
+    (`model/builder.py:30-34`), but on the prefill hot loop."""
+    q, ws = node[Q_KEY], node[SCALE_KEY]  # [D, F] int8, [1, F] f32
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xs * ws.reshape(-1)).astype(x.dtype)
+
+
+def qmm(x: jnp.ndarray, w: Any, *, w8a8: Optional[bool] = None) -> jnp.ndarray:
     """x @ w where w is a dense kernel OR a quantized node.
 
     Quantized nodes dispatch to the Pallas int8 matmul for small row counts
-    (decode: weights stream as int8, dequant in VMEM) and to a one-shot
-    dequant + dense MXU matmul for large row counts (prefill/training)."""
+    (decode: weights stream as int8, dequant in VMEM); large row counts
+    (prefill) use int8 x int8 on the MXU with dynamic per-token activation
+    scales (`w8a8_matmul`, default) or a one-shot dequant + bf16 matmul
+    (RADVLM_W8A8=0, or w8a8=False at precision-critical call sites)."""
     if is_qnode(w):
-        from radvlm_tpu.ops.int8_matmul import qnode_matmul
+        from radvlm_tpu.ops.int8_matmul import _rows, qnode_matmul
 
+        use_w8a8 = w8a8_enabled() if w8a8 is None else w8a8
+        if use_w8a8 and w[Q_KEY].ndim == 2 and _rows(x) > 64:
+            return w8a8_matmul(x, w)
         return qnode_matmul(x, w)
     return x @ w
 
