@@ -123,6 +123,36 @@ class ProjectorConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ResamplerConfig:
+    """Vision-token resampler config (reference `multimodal_resampler/builder.py:21-33`).
+
+    kinds: "identity" (RadVLM flagship), "spatial_pool" (stride-pooled grid),
+    "perceiver" (Flamingo-style learned-latent cross-attention,
+    `multimodal_resampler/perceiver.py`), "masked_drop" (training-time random
+    token dropping, `multimodal_resampler/masked_drop.py`).
+    """
+
+    kind: str = "identity"
+    # spatial_pool settings (reference mm_spatial_pool_stride/mode)
+    stride: int = 2
+    mode: str = "average"  # "average" | "max"
+    # perceiver settings (reference mm_perceiver_depth/latents/ff_mult)
+    depth: int = 3
+    num_latents: int = 32
+    num_heads: int = 8
+    head_dim: int = 64
+    ff_mult: int = 4
+    # masked_drop settings (reference mm_mask_drop_ratio)
+    drop_ratio: float = 0.25
+
+    @property
+    def spatial(self) -> bool:
+        """Whether the output preserves a square spatial grid (required for
+        anyres unpad/newline merging)."""
+        return self.kind in ("identity", "spatial_pool", "masked_drop")
+
+
+@dataclasses.dataclass(frozen=True)
 class AnyResConfig:
     """AnyRes tiling policy (reference `mm_utils.py:119-293`, `llava_arch.py:350-406`).
 
@@ -164,12 +194,32 @@ class RadVLMConfig:
     text: Qwen2Config = dataclasses.field(default_factory=qwen2_7b)
     projector: ProjectorConfig = dataclasses.field(default_factory=ProjectorConfig)
     anyres: AnyResConfig = dataclasses.field(default_factory=AnyResConfig)
+    resampler: ResamplerConfig = dataclasses.field(default_factory=ResamplerConfig)
     # "anyres_max_9" | "anyres" | "pad" | "square"
     image_aspect_ratio: str = "anyres_max_9"
 
+    def __post_init__(self):
+        if self.image_aspect_ratio.startswith("anyres") and not self.resampler.spatial:
+            raise ValueError(
+                f"resampler {self.resampler.kind!r} destroys the spatial grid; "
+                "anyres unpad/newline merging requires a spatial resampler — "
+                "use image_aspect_ratio='pad' or 'square'"
+            )
+
     @property
     def tokens_per_tile(self) -> int:
-        return self.vision.tokens_per_tile
+        """Image tokens per tile AFTER resampling (what the LLM sees)."""
+        from radvlm_tpu.models.resampler import output_tokens
+
+        return output_tokens(self.resampler, self.vision.tokens_per_tile)
+
+    @property
+    def feature_grid_side(self) -> int:
+        """Side of the per-tile feature grid after resampling (spatial kinds)."""
+        import math
+
+        side = int(math.isqrt(self.tokens_per_tile))
+        return side
 
 
 def radvlm_7b() -> RadVLMConfig:

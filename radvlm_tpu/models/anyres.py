@@ -213,7 +213,15 @@ def single_tile_plan(
 ) -> MergePlan:
     """Plan for a base-resolution-only image (single-image op in llava_arch.py:407-412):
     729 tokens + one trailing newline token."""
-    tpt = tokens_per_side ** 2
+    return flat_tile_plan(tokens_per_side ** 2, max_tokens, newline)
+
+
+def flat_tile_plan(
+    tokens_per_tile: int, max_tokens: int, newline: bool = True
+) -> MergePlan:
+    """Identity plan over `tokens_per_tile` features (no spatial structure
+    assumed — used for non-grid resampler outputs, e.g. perceiver latents)."""
+    tpt = tokens_per_tile
     indices = np.full((max_tokens, 4), tpt, np.int32)
     weights = np.zeros((max_tokens, 4), np.float32)
     indices[:tpt, 0] = np.arange(tpt, dtype=np.int32)

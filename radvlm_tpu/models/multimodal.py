@@ -79,7 +79,10 @@ def build_sample(
     (image sentinel label is ignored; its span becomes IGNORE_INDEX).
     """
     anyres = cfg.anyres
-    tps = cfg.vision.patches_per_side
+    # Per-tile feature grid side AFTER resampling (spatial_pool shrinks it;
+    # perceiver has no grid and is confined to the non-anyres branch by
+    # RadVLMConfig.__post_init__).
+    tps = cfg.feature_grid_side
     tpt = cfg.tokens_per_tile
     use_anyres = cfg.image_aspect_ratio.startswith("anyres")
 
@@ -91,9 +94,9 @@ def build_sample(
             plan = compute_merge_plan(size, anyres, tps)
         else:
             tiles, size = preprocess_single_host(img, anyres)
-            from radvlm_tpu.models.anyres import single_tile_plan
+            from radvlm_tpu.models.anyres import flat_tile_plan
 
-            plan = single_tile_plan(tps, tpt + 1, newline=anyres.newline)
+            plan = flat_tile_plan(tpt, tpt + 1, newline=anyres.newline)
         tiles_list.append(tiles)
         plans.append(plan)
 

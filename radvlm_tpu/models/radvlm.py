@@ -32,8 +32,10 @@ Params = Dict[str, Any]
 
 
 def init_params(cfg: RadVLMConfig, key: jax.Array, dtype=jnp.float32) -> Params:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    return {
+    from radvlm_tpu.models import resampler as resampler_lib
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    params = {
         "vision_tower": towers.init_params(cfg.vision, k1, dtype),
         "projector": projector_lib.init_params(
             cfg.projector, towers.feature_size(cfg.vision), cfg.text.hidden_size,
@@ -45,6 +47,12 @@ def init_params(cfg: RadVLMConfig, key: jax.Array, dtype=jnp.float32) -> Params:
             / (cfg.text.hidden_size ** 0.5)
         ).astype(dtype),
     }
+    res = resampler_lib.init_params(
+        cfg.resampler, towers.feature_size(cfg.vision), k5, dtype
+    )
+    if res:
+        params["resampler"] = res
+    return params
 
 
 def fuse_for_inference(params: Params) -> Params:
@@ -72,10 +80,15 @@ def encode_tiles(
     """
     from radvlm_tpu.ops.image_ops import normalize_tiles_device
 
+    from radvlm_tpu.models import resampler as resampler_lib
+
     mean, std = towers.mean_std(cfg.vision)
     tiles = normalize_tiles_device(tiles, mean=mean, std=std)
     feats = towers.forward(
         params["vision_tower"], cfg.vision, tiles, remat=remat, attn_impl=attn_impl
+    )
+    feats = resampler_lib.forward(
+        params.get("resampler", {}), cfg.resampler, feats
     )
     return projector_lib.forward(params["projector"], cfg.projector, feats)
 

@@ -1,52 +1,139 @@
 """Vision-token resamplers (reduce tokens-per-tile before the projector).
 
-Rebuild of the reference's resampler builder (`finetuning/llava/model/
-multimodal_resampler/builder.py:21-33`: identity default, masked_drop,
-spatial_pool, perceiver, qformer). RadVLM itself uses the identity; the
-spatial_pool variant is implemented (it is the one the LLaVA family actually
-deploys for token reduction); perceiver/qformer remain future work (the
-reference carries ~1,600 vendored LoC it never enables).
+Rebuild of the reference's resampler family (`finetuning/llava/model/
+multimodal_resampler/builder.py:21-33`): identity (RadVLM flagship),
+spatial_pool (the LLaVA family's deployed token reduction), perceiver
+(Flamingo-style learned-latent cross-attention, `perceiver.py:30-127`), and
+masked_drop (training-time random token dropping, `masked_drop.py`). qformer
+remains unshipped (the reference vendors ~1,160 LoC it never enables; the
+perceiver covers the learned-query resampling role).
+
+Sits between the vision tower and the projector (`llava_arch.py:192-196`
+encode_images order: tower -> vision_resampler -> mm_projector). Non-spatial
+kinds (perceiver) are incompatible with anyres merging — enforced at config
+construction (`config.RadVLMConfig.__post_init__`).
 """
 
 from __future__ import annotations
 
-import dataclasses
 import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
+from radvlm_tpu.config import ResamplerConfig
 
-@dataclasses.dataclass(frozen=True)
-class ResamplerConfig:
-    kind: str = "identity"  # "identity" | "spatial_pool"
-    # spatial_pool settings (reference mm_spatial_pool_stride/mode)
-    stride: int = 2
-    mode: str = "average"  # "average" | "max"
+__all__ = ["ResamplerConfig", "init_params", "output_tokens", "forward"]
+
+Params = Dict[str, Any]
 
 
-def init_params(cfg: ResamplerConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
-    return {}  # both implemented kinds are parameter-free
+def _dense(key, shape, scale=0.02):
+    return jax.random.normal(key, shape, jnp.float32) * scale
+
+
+def init_params(
+    cfg: ResamplerConfig, dim: int, key: jax.Array, dtype=jnp.float32
+) -> Params:
+    """dim = vision tower feature width (perceiver operates at tower width,
+    reference `perceiver.py:139`)."""
+    if cfg.kind != "perceiver":
+        return {}  # identity / spatial_pool / masked_drop are parameter-free
+    L = cfg.depth
+    inner = cfg.num_heads * cfg.head_dim
+    keys = jax.random.split(key, 8)
+
+    def stack(shape, k):
+        return _dense(k, (L,) + shape).astype(dtype)
+
+    return {
+        "latents": jax.random.normal(keys[0], (cfg.num_latents, dim), jnp.float32).astype(dtype),
+        "layers": {
+            # PerceiverAttention: separate media/latent input norms, q from
+            # latents, kv from concat(media, latents), all bias-free.
+            "norm_media": {"scale": jnp.ones((L, dim), dtype), "bias": jnp.zeros((L, dim), dtype)},
+            "norm_latents": {"scale": jnp.ones((L, dim), dtype), "bias": jnp.zeros((L, dim), dtype)},
+            "to_q": stack((dim, inner), keys[1]),
+            "to_kv": stack((dim, 2 * inner), keys[2]),
+            "to_out": stack((inner, dim), keys[3]),
+            # FF: LN -> Linear(dim, dim*ff_mult) -> GELU -> Linear back (bias-free)
+            "ff_norm": {"scale": jnp.ones((L, dim), dtype), "bias": jnp.zeros((L, dim), dtype)},
+            "ff1": stack((dim, cfg.ff_mult * dim), keys[4]),
+            "ff2": stack((cfg.ff_mult * dim, dim), keys[5]),
+        },
+        "norm": {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)},
+    }
 
 
 def output_tokens(cfg: ResamplerConfig, tokens_per_tile: int) -> int:
-    if cfg.kind == "identity":
+    if cfg.kind in ("identity", "masked_drop"):
+        # masked_drop keeps the full grid at inference (drop is train-time only)
         return tokens_per_tile
+    if cfg.kind == "perceiver":
+        return cfg.num_latents
     side = int(math.isqrt(tokens_per_tile))
     return (side // cfg.stride) * (side // cfg.stride)
 
 
+def _perceiver_forward(params: Params, cfg: ResamplerConfig, feats: jnp.ndarray):
+    from radvlm_tpu.ops.attention import layer_norm
+
+    n, t, d = feats.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    scale = hd ** -0.5
+    latents = jnp.broadcast_to(
+        params["latents"][None], (n, cfg.num_latents, d)
+    ).astype(feats.dtype)
+
+    def body(latents, lp):
+        x = layer_norm(feats, lp["norm_media"]["scale"], lp["norm_media"]["bias"], 1e-5)
+        lat = layer_norm(latents, lp["norm_latents"]["scale"], lp["norm_latents"]["bias"], 1e-5)
+        q = (lat @ lp["to_q"]).reshape(n, -1, h, hd)
+        kv_in = jnp.concatenate([x, lat], axis=1)
+        kv = kv_in @ lp["to_kv"]
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(n, -1, h, hd)
+        v = v.reshape(n, -1, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(n, -1, h * hd)
+        latents = latents + out @ lp["to_out"]
+        y = layer_norm(latents, lp["ff_norm"]["scale"], lp["ff_norm"]["bias"], 1e-5)
+        y = jax.nn.gelu(y @ lp["ff1"], approximate=True) @ lp["ff2"]
+        return latents + y, None
+
+    latents, _ = jax.lax.scan(body, latents, params["layers"])
+    return layer_norm(latents, params["norm"]["scale"], params["norm"]["bias"], 1e-5)
+
+
 def forward(
-    params: Dict, cfg: ResamplerConfig, feats: jnp.ndarray
+    params: Params,
+    cfg: ResamplerConfig,
+    feats: jnp.ndarray,
+    *,
+    rng: Optional[jax.Array] = None,
+    training: bool = False,
 ) -> jnp.ndarray:
-    """feats: [N, T, D] per-tile vision features (T a square grid)."""
+    """feats: [N, T, D] per-tile vision features (T a square grid for the
+    spatial kinds). masked_drop needs `rng` when training."""
     if cfg.kind == "identity":
         return feats
+    if cfg.kind == "perceiver":
+        return _perceiver_forward(params, cfg, feats)
+    if cfg.kind == "masked_drop":
+        if not training or rng is None:
+            return feats
+        n, t, d = feats.shape
+        keep = max(1, int(round(t * (1.0 - cfg.drop_ratio))))
+        # independent random subset per tile, order preserved
+        noise = jax.random.uniform(rng, (n, t))
+        idx = jnp.sort(jnp.argsort(noise, axis=1)[:, :keep], axis=1)
+        return jnp.take_along_axis(feats, idx[..., None], axis=1)
     if cfg.kind != "spatial_pool":
         raise NotImplementedError(
-            f"resampler {cfg.kind!r} not implemented (reference ships but never "
-            "enables perceiver/qformer)"
+            f"resampler {cfg.kind!r} not implemented (qformer: the reference "
+            "ships but never enables it)"
         )
     n, t, d = feats.shape
     side = int(math.isqrt(t))
