@@ -56,11 +56,16 @@ class SigLIPConfig:
 
 @dataclasses.dataclass(frozen=True)
 class Qwen2Config:
-    """Qwen2 decoder config. Defaults = Qwen2-7B-Instruct (flagship LLM).
+    """GQA decoder config. Defaults = Qwen2-7B-Instruct (flagship LLM).
 
     Architecture contract: RMSNorm(eps), rotary embeddings with `rope_theta`, grouped
     query attention with QKV bias (o-proj without bias), SwiGLU MLP without bias,
     optional tied input/output embeddings (true for 0.5B).
+
+    The same dataclass parameterizes the Llama family (reference wraps one
+    model class per family, `language_model/llava_llama.py` etc.; here one
+    functional decoder covers both): `attention_bias=False` + llama3-style
+    frequency-dependent rope scaling via `rope_scaling_type="llama3"`.
     """
 
     vocab_size: int = 152064
@@ -71,10 +76,18 @@ class Qwen2Config:
     num_kv_heads: int = 4
     head_dim: int = 128
     rope_theta: float = 1_000_000.0
-    # Linear rope scaling factor (>1 stretches positions for context extension;
-    # reference flags `rope_scaling_factor/type`, train.py:101-102,1322-1332).
+    # Rope scaling for context extension (reference flags
+    # `rope_scaling_factor/type`, train.py:101-102,1322-1332):
+    # "linear": positions divided by `rope_scaling`;
+    # "llama3": frequency-dependent NTK remap (factor=rope_scaling,
+    #   low/high_freq_factor, original_max_position_embeddings below).
     rope_scaling: float = 1.0
+    rope_scaling_type: str = "linear"
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
     rms_norm_eps: float = 1e-6
+    attention_bias: bool = True  # Qwen2 yes; Llama no
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 32768
 
@@ -85,6 +98,28 @@ class Qwen2Config:
 
 def qwen2_7b() -> Qwen2Config:
     return Qwen2Config()
+
+
+def llama3_8b() -> Qwen2Config:
+    """Llama-3.1-8B-Instruct widths (the reference's llava_llama family)."""
+    return Qwen2Config(
+        vocab_size=128256,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=500_000.0,
+        rope_scaling=8.0,
+        rope_scaling_type="llama3",
+        rope_low_freq_factor=1.0,
+        rope_high_freq_factor=4.0,
+        rope_original_max_position=8192,
+        rms_norm_eps=1e-5,
+        attention_bias=False,
+        max_position_embeddings=131072,
+    )
 
 
 def qwen2_0_5b() -> Qwen2Config:

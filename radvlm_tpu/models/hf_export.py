@@ -39,7 +39,8 @@ def export_qwen2(params: Mapping[str, Any], prefix: str = "language_model.model.
         out[p + "post_attention_layernorm.weight"] = _np(lp["ln2"][i])
         for name in ("q", "k", "v"):
             out[p + f"self_attn.{name}_proj.weight"] = _lin(lp["attn"][name]["kernel"][i])
-            out[p + f"self_attn.{name}_proj.bias"] = _np(lp["attn"][name]["bias"][i])
+            if "bias" in lp["attn"][name]:  # absent for the Llama family
+                out[p + f"self_attn.{name}_proj.bias"] = _np(lp["attn"][name]["bias"][i])
         out[p + "self_attn.o_proj.weight"] = _lin(lp["attn"]["o"]["kernel"][i])
         out[p + "mlp.gate_proj.weight"] = _lin(lp["mlp"]["gate"]["kernel"][i])
         out[p + "mlp.up_proj.weight"] = _lin(lp["mlp"]["up"]["kernel"][i])

@@ -124,24 +124,22 @@ def import_qwen2(
         return jnp.stack([_vec(state, fmt.format(i), dtype) for i in range(L)])
 
     p = "text.layers.{}."
+
+    def attn_proj(name):
+        node = {"kernel": stack_lin(p + f"self_attn.{name}_proj.weight")}
+        if cfg.attention_bias:  # Llama family checkpoints carry no QKV bias
+            node["bias"] = stack_vec(p + f"self_attn.{name}_proj.bias")
+        return node
+
     params: Dict[str, Any] = {
         "embed": {"embedding": _vec(state, "text.embed_tokens.weight", dtype)},
         "layers": {
             "ln1": stack_vec(p + "input_layernorm.weight"),
             "ln2": stack_vec(p + "post_attention_layernorm.weight"),
             "attn": {
-                "q": {
-                    "kernel": stack_lin(p + "self_attn.q_proj.weight"),
-                    "bias": stack_vec(p + "self_attn.q_proj.bias"),
-                },
-                "k": {
-                    "kernel": stack_lin(p + "self_attn.k_proj.weight"),
-                    "bias": stack_vec(p + "self_attn.k_proj.bias"),
-                },
-                "v": {
-                    "kernel": stack_lin(p + "self_attn.v_proj.weight"),
-                    "bias": stack_vec(p + "self_attn.v_proj.bias"),
-                },
+                "q": attn_proj("q"),
+                "k": attn_proj("k"),
+                "v": attn_proj("v"),
                 "o": {"kernel": stack_lin(p + "self_attn.o_proj.weight")},
             },
             "mlp": {
@@ -359,7 +357,28 @@ def config_from_hf_dir(path: str) -> RadVLMConfig:
         data = json.load(f)
     text_cfg = data.get("text_config", data)
     vis_cfg = data.get("vision_config", {})
+    # Family dispatch: the one functional GQA decoder covers Qwen2 and Llama;
+    # Llama checkpoints carry no attention bias and may use llama3 rope scaling.
+    model_type = text_cfg.get("model_type", "qwen2")
+    rope_kwargs = {}
+    rope = text_cfg.get("rope_scaling")
+    if isinstance(rope, dict):
+        rtype = rope.get("rope_type", rope.get("type", "linear"))
+        if rtype == "llama3":
+            rope_kwargs = dict(
+                rope_scaling=rope.get("factor", 8.0),
+                rope_scaling_type="llama3",
+                rope_low_freq_factor=rope.get("low_freq_factor", 1.0),
+                rope_high_freq_factor=rope.get("high_freq_factor", 4.0),
+                rope_original_max_position=rope.get(
+                    "original_max_position_embeddings", 8192
+                ),
+            )
+        elif rtype == "linear":
+            rope_kwargs = dict(rope_scaling=rope.get("factor", 1.0))
     text = Qwen2Config(
+        attention_bias=text_cfg.get("attention_bias", model_type != "llama"),
+        **rope_kwargs,
         vocab_size=text_cfg.get("vocab_size", 152064),
         hidden_size=text_cfg.get("hidden_size", 3584),
         intermediate_size=text_cfg.get("intermediate_size", 18944),

@@ -52,9 +52,14 @@ def init_params(cfg: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
             "ln1": jnp.ones((L, d), dtype),
             "ln2": jnp.ones((L, d), dtype),
             "attn": {
-                "q": {"kernel": stack((d, h * hd), keys[1]), "bias": jnp.zeros((L, h * hd), dtype)},
-                "k": {"kernel": stack((d, hkv * hd), keys[2]), "bias": jnp.zeros((L, hkv * hd), dtype)},
-                "v": {"kernel": stack((d, hkv * hd), keys[3]), "bias": jnp.zeros((L, hkv * hd), dtype)},
+                # Qwen2 has QKV bias; the Llama family (attention_bias=False)
+                # omits the bias leaves entirely (HF-layout compatible).
+                "q": {"kernel": stack((d, h * hd), keys[1]),
+                      **({"bias": jnp.zeros((L, h * hd), dtype)} if cfg.attention_bias else {})},
+                "k": {"kernel": stack((d, hkv * hd), keys[2]),
+                      **({"bias": jnp.zeros((L, hkv * hd), dtype)} if cfg.attention_bias else {})},
+                "v": {"kernel": stack((d, hkv * hd), keys[3]),
+                      **({"bias": jnp.zeros((L, hkv * hd), dtype)} if cfg.attention_bias else {})},
                 "o": {"kernel": stack((h * hd, d), keys[4])},
             },
             "mlp": {
@@ -115,15 +120,12 @@ def fuse_projections(params: Params) -> Params:
         return jnp.concatenate(nodes, axis=-1)
 
     new_layers = dict(layers)
-    new_layers["attn"] = {
-        "qkv": {
-            "kernel": cat([attn[k]["kernel"] for k in ("q", "k", "v")]),
-            "bias": jnp.concatenate(
-                [attn[k]["bias"] for k in ("q", "k", "v")], axis=-1
-            ),
-        },
-        "o": attn["o"],
-    }
+    qkv = {"kernel": cat([attn[k]["kernel"] for k in ("q", "k", "v")])}
+    if "bias" in attn["q"]:
+        qkv["bias"] = jnp.concatenate(
+            [attn[k]["bias"] for k in ("q", "k", "v")], axis=-1
+        )
+    new_layers["attn"] = {"qkv": qkv, "o": attn["o"]}
     new_layers["mlp"] = {
         "gateup": {"kernel": cat([mlp["gate"]["kernel"], mlp["up"]["kernel"]])},
         "down": mlp["down"],
@@ -140,7 +142,9 @@ def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray,
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     attn = lp["attn"]
     if "qkv" in attn:
-        qkv = mm(y, attn["qkv"]["kernel"]) + take(attn["qkv"]["bias"])
+        qkv = mm(y, attn["qkv"]["kernel"])
+        if "bias" in attn["qkv"]:
+            qkv = qkv + take(attn["qkv"]["bias"])
         q, k, v = jnp.split(qkv, [h * hd, (h + hkv) * hd], axis=-1)
         q, k, v = (
             q.reshape(b, s, h, hd),
@@ -148,13 +152,27 @@ def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray,
             v.reshape(b, s, hkv, hd),
         )
     else:
-        q = (mm(y, attn["q"]["kernel"]) + take(attn["q"]["bias"])).reshape(b, s, h, hd)
-        k = (mm(y, attn["k"]["kernel"]) + take(attn["k"]["bias"])).reshape(b, s, hkv, hd)
-        v = (mm(y, attn["v"]["kernel"]) + take(attn["v"]["bias"])).reshape(b, s, hkv, hd)
-    if cfg.rope_scaling != 1.0:
+        def proj(node):
+            out = mm(y, node["kernel"])
+            if "bias" in node:  # Llama family: no attention bias
+                out = out + take(node["bias"])
+            return out
+
+        q = proj(attn["q"]).reshape(b, s, h, hd)
+        k = proj(attn["k"]).reshape(b, s, hkv, hd)
+        v = proj(attn["v"]).reshape(b, s, hkv, hd)
+    llama3 = None
+    if cfg.rope_scaling_type == "llama3":
+        llama3 = dict(
+            factor=cfg.rope_scaling,
+            low_freq_factor=cfg.rope_low_freq_factor,
+            high_freq_factor=cfg.rope_high_freq_factor,
+            original_max_position=cfg.rope_original_max_position,
+        )
+    elif cfg.rope_scaling != 1.0:  # "linear"
         positions = positions.astype(jnp.float32) / cfg.rope_scaling
-    q = apply_rope(q, positions, cfg.rope_theta)
-    k = apply_rope(k, positions, cfg.rope_theta)
+    q = apply_rope(q, positions, cfg.rope_theta, llama3)
+    k = apply_rope(k, positions, cfg.rope_theta, llama3)
     return q, k, v
 
 

@@ -184,22 +184,51 @@ def mha(
     return mha_reference(q, k, v, mask=mask, scale=scale)
 
 
+def llama3_scale_inv_freq(
+    inv_freq: jnp.ndarray,
+    *,
+    factor: float,
+    low_freq_factor: float,
+    high_freq_factor: float,
+    original_max_position: int,
+) -> jnp.ndarray:
+    """Llama-3.1 frequency-dependent rope remap (HF `_compute_llama3_parameters`):
+    long-wavelength components are divided by `factor`, short wavelengths kept,
+    mid-band smoothly interpolated."""
+    import numpy as _np
+
+    low_wavelen = original_max_position / low_freq_factor
+    high_wavelen = original_max_position / high_freq_factor
+    wavelen = 2.0 * _np.pi / inv_freq
+    scaled = jnp.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+    smooth = (original_max_position / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    smoothed = (1.0 - smooth) / factor * inv_freq + smooth * inv_freq
+    mid = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+    return jnp.where(mid, smoothed, scaled)
+
+
 def apply_rope(
     x: jnp.ndarray,
     positions: jnp.ndarray,
     theta: float,
+    llama3: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Rotary position embedding, HF 'split-half' convention.
 
     x: [B, S, H, D]; positions: [B, S] int32. Matches HF Qwen2/Llama rotate_half:
     rotated = (x * cos) + (rotate_half(x) * sin) with cos/sin built from
-    inv_freq = theta^(-2i/D) repeated over both halves.
+    inv_freq = theta^(-2i/D) repeated over both halves. `llama3` (kwargs for
+    `llama3_scale_inv_freq`) selects Llama-3.1 frequency scaling.
     """
     d = x.shape[-1]
     half = d // 2
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / d)
     )  # [half]
+    if llama3 is not None:
+        inv_freq = llama3_scale_inv_freq(inv_freq, **llama3)
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, half]
     cos = jnp.cos(freqs)[:, :, None, :]  # [B, S, 1, half]
     sin = jnp.sin(freqs)[:, :, None, :]
