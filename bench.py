@@ -29,10 +29,14 @@ BATCHES = int(os.environ.get("RADVLM_BENCH_BATCHES", "4"))
 NEW_TOKENS = int(os.environ.get("RADVLM_BENCH_NEW_TOKENS", "128"))
 
 
-def _random_quantized_params(cfg):
-    """Random params with quantizable kernels born int8, generated ON DEVICE
-    (host-side numpy generation + H2D transfer of ~8 GB measured minutes over
-    the tunnel; device-side jax.random.bits is seconds)."""
+def _random_quantized_params(cfg, bits: int = 8):
+    """Random params with quantizable kernels born int8/int4, generated ON
+    DEVICE (host-side numpy generation + H2D transfer of ~8 GB measured
+    minutes over the tunnel; device-side jax.random.bits is seconds).
+
+    bits=4: layer matmul kernels become nibble-packed int4 nodes with
+    group-128 scales (W4A16, `ops/int4_matmul.py`); embeddings/lm_head stay
+    int8 (mirrors quant.quantize_params(bits=4))."""
     import re
 
     import jax
@@ -40,6 +44,7 @@ def _random_quantized_params(cfg):
 
     from radvlm_tpu.models import radvlm
     from radvlm_tpu.ops import quant
+    from radvlm_tpu.ops.int4_matmul import GROUP, Q4_KEY
     from radvlm_tpu.parallel.sharding import path_str
 
     abstract = jax.eval_shape(
@@ -47,23 +52,41 @@ def _random_quantized_params(cfg):
     )
     keys = iter(jax.random.split(jax.random.key(0), 512))
 
+    def rand_i8(k, shape):
+        return jax.jit(
+            lambda kk, s=tuple(shape): jax.random.bits(kk, s, jnp.uint8).astype(
+                jnp.int8
+            )
+        )(k)
+
     def build(path, leaf):
         p = path_str(path)
         k = next(keys)
         if any(re.search(pat, p) for pat in quant.DEFAULT_PATTERNS):
-            axes = (-1,) if re.search(r"embed/embedding$", p) else (-2,)
-            # uint8 bits -> int8 (values -128..127; throughput is
-            # weight-value-independent, only the dtype/layout matters).
-            q = jax.jit(
-                lambda kk, shape=leaf.shape: jax.random.bits(
-                    kk, shape, jnp.uint8
-                ).astype(jnp.int8)
-            )(k)
+            is_embed = bool(re.search(r"embed/embedding$", p))
+            d = leaf.shape[-2]
+            if (
+                bits == 4
+                and not is_embed
+                and not p.endswith("lm_head/kernel")
+                and d % GROUP == 0
+            ):
+                packed_shape = list(leaf.shape)
+                packed_shape[-2] = d // 2
+                scale_shape = list(leaf.shape)
+                scale_shape[-2] = d // GROUP
+                return {
+                    Q4_KEY: rand_i8(k, packed_shape),
+                    quant.SCALE_KEY: jnp.full(scale_shape, 0.02 / 7.0, jnp.float32),
+                }
+            axes = (-1,) if is_embed else (-2,)
             scale_shape = list(leaf.shape)
             for a in axes:
                 scale_shape[a] = 1
-            scale = jnp.full(scale_shape, 0.02 / 127.0, jnp.float32)
-            return {quant.Q_KEY: q, quant.SCALE_KEY: scale}
+            return {
+                quant.Q_KEY: rand_i8(k, leaf.shape),
+                quant.SCALE_KEY: jnp.full(scale_shape, 0.02 / 127.0, jnp.float32),
+            }
         return jax.jit(
             lambda kk, shape=leaf.shape: jax.random.normal(
                 kk, shape, jnp.bfloat16
@@ -166,6 +189,9 @@ def main():
         # int8 weight-only quantization (ops/quant.py) halves residency. Build
         # the random weights already-quantized so the bf16 copy never exists.
         params = _random_quantized_params(cfg)
+    elif size.endswith("-int4"):
+        # W4A16: int4 decode weight stream (ops/int4_matmul.py), bf16 prefill.
+        params = _random_quantized_params(cfg, bits=4)
     else:
         params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     params = radvlm.fuse_for_inference(params)

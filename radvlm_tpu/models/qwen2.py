@@ -112,6 +112,15 @@ def fuse_projections(params: Params) -> Params:
         return params
 
     def cat(nodes):
+        from radvlm_tpu.ops.int4_matmul import Q4_KEY, is_q4node
+
+        if is_q4node(nodes[0]):
+            # int4 packs along the contraction axis; output-axis concat is
+            # valid for both the packed bytes and the group scales.
+            return {
+                Q4_KEY: jnp.concatenate([n[Q4_KEY] for n in nodes], axis=-1),
+                SCALE_KEY: jnp.concatenate([n[SCALE_KEY] for n in nodes], axis=-1),
+            }
         if is_qnode(nodes[0]):
             return {
                 Q_KEY: jnp.concatenate([n[Q_KEY] for n in nodes], axis=-1),
@@ -269,6 +278,38 @@ def _block_cached(
     hkv, hd = cfg.num_kv_heads, cfg.head_dim
     k_flat = k.reshape(b, s, hkv * hd).astype(ck_all.dtype)
     v_flat = v.reshape(b, s, hkv * hd).astype(cv_all.dtype)
+
+    from radvlm_tpu.parallel import sp_decode as spd
+
+    sp_ctx = spd.context()
+    if sp_ctx is not None and s == 1:
+        # Sequence-parallel decode: `ck_all`/`cv_all` are this shard's LOCAL
+        # cache block (running under shard_map over the seq axis). Write the
+        # new K/V on the owning shard only, then merge per-shard partial
+        # attention with the distributed flash-decoding lse combine.
+        _, axis_name = sp_ctx
+        s_local = ck_all.shape[2]
+        shard = jax.lax.axis_index(axis_name)
+        global_idx = jnp.asarray(cache_index)
+        if global_idx.ndim == 0:
+            global_idx = jnp.broadcast_to(global_idx, (b,))
+        local_idx = global_idx.astype(jnp.int32) - shard * s_local
+        in_range = (local_idx >= 0) & (local_idx < s_local)
+        rows = jnp.arange(b)
+        ck_all = spd.local_write(
+            ck_all, layer_idx, rows, local_idx, in_range, k_flat[:, 0]
+        )
+        cv_all = spd.local_write(
+            cv_all, layer_idx, rows, local_idx, in_range, v_flat[:, 0]
+        )
+        ck_i = jax.lax.dynamic_index_in_dim(ck_all, layer_idx, 0, keepdims=False)
+        cv_i = jax.lax.dynamic_index_in_dim(cv_all, layer_idx, 0, keepdims=False)
+        attn = spd.cached_attention_merge(
+            q, ck_i, cv_i, cache_segment_ids,
+            num_kv_heads=hkv, axis_name=axis_name,
+        )
+        return _finish_block(cfg, layers, res, attn, idx=layer_idx), ck_all, cv_all
+
     per_row = getattr(cache_index, "ndim", 0) == 1
     if per_row:
         # Continuous batching: each slot decodes at its own cache position —

@@ -62,16 +62,29 @@ def quantize_params(
     *,
     patterns: Tuple[str, ...] = DEFAULT_PATTERNS,
     embed_pattern: str = r"embed/embedding$",
+    bits: int = 8,
 ) -> Any:
     """Quantize matching kernels. Embeddings ([V, D]) use per-row scales
-    (channel_axis=0); matmul kernels ([..., in, out]) per-output-column."""
+    (channel_axis=0); matmul kernels ([..., in, out]) per-output-column.
+
+    bits=4 (the reference's bitsandbytes load_4bit analog, W4A16): layer
+    matmul kernels become nibble-packed int4 nodes with group-128 scales
+    (`ops/int4_matmul.py`); embeddings and the lm_head stay int8 (precision-
+    critical, and their access pattern isn't the decode weight stream)."""
     from radvlm_tpu.parallel.sharding import path_str
 
     def visit(path, leaf):
         p = path_str(path)
         if not any(re.search(pat, p) for pat in patterns):
             return leaf
-        axes = (-1,) if re.search(embed_pattern, p) else (-2,)
+        is_embed = bool(re.search(embed_pattern, p))
+        if bits == 4 and not is_embed and not p.endswith("lm_head/kernel"):
+            d = leaf.shape[-2]
+            from radvlm_tpu.ops.int4_matmul import GROUP, quantize_array_int4
+
+            if d % GROUP == 0:
+                return quantize_array_int4(leaf)
+        axes = (-1,) if is_embed else (-2,)
         return quantize_array(leaf, reduce_axes=axes)
 
     return jax.tree_util.tree_map_with_path(
@@ -82,6 +95,10 @@ def quantize_params(
 def maybe_dequant(tree: Any, dtype=jnp.bfloat16) -> Any:
     """Rebuild dense weights for every quantized node in `tree` (call at the top
     of a per-layer block so only that layer materializes)."""
+    from radvlm_tpu.ops.int4_matmul import dequantize_array_int4, is_q4node
+
+    if is_q4node(tree):
+        return dequantize_array_int4(tree, dtype)
     if is_qnode(tree):
         return dequantize_array(tree, dtype)
     if isinstance(tree, dict):
@@ -137,6 +154,10 @@ def qmm(x: jnp.ndarray, w: Any, *, w8a8: Optional[bool] = None) -> jnp.ndarray:
     (prefill) use int8 x int8 on the MXU with dynamic per-token activation
     scales (`w8a8_matmul`, default) or a one-shot dequant + bf16 matmul
     (RADVLM_W8A8=0, or w8a8=False at precision-critical call sites)."""
+    from radvlm_tpu.ops.int4_matmul import is_q4node, q4node_matmul
+
+    if is_q4node(w):  # W4A16: dequant-once (decode uses the stacked kernel)
+        return q4node_matmul(x, w)
     if is_qnode(w):
         from radvlm_tpu.ops.int8_matmul import _rows, qnode_matmul
 
@@ -154,6 +175,10 @@ def qmm_idx(x: jnp.ndarray, w: Any, layer_idx) -> jnp.ndarray:
     with the per-step layer index: quantized nodes hit the Pallas stacked-int8
     kernel (scalar-prefetched index, no slice materialization); dense kernels
     fall back to dynamic_index + MXU matmul (what scan-over-xs would do)."""
+    from radvlm_tpu.ops.int4_matmul import is_q4node, q4node_matmul_stacked
+
+    if is_q4node(w):
+        return q4node_matmul_stacked(x, w, layer_idx)
     if is_qnode(w):
         from radvlm_tpu.ops.int8_matmul import qnode_matmul_stacked
 
