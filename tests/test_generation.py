@@ -7,6 +7,7 @@ multimodal prompts with anyres image tokens and left-padded batching.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -55,6 +56,7 @@ def _teacher_forced(params, cfg, sample, steps):
     return toks
 
 
+@pytest.mark.slow
 def test_greedy_matches_teacher_forced(rng):
     cfg = cfglib.tiny_test_config()
     params = radvlm.init_params(cfg, jax.random.key(7))

@@ -59,6 +59,7 @@ def test_ring_packed_segments(rng):
     )
 
 
+@pytest.mark.slow
 def test_ring_grad_flows(rng):
     """Backward works through ppermute + cond (remat-style recompute)."""
     mesh = _mesh(4)
@@ -98,6 +99,7 @@ def test_merge_identity():
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l))
 
 
+@pytest.mark.slow
 def test_ring_flash_impl_grad_parity(rng):
     """The TPU local path (impl="flash", Pallas kernel in interpret mode) is
     differentiable end to end through the ring merge — the shipped SP training
@@ -192,6 +194,7 @@ def test_zigzag_matches_full_causal(rng, gqa):
     )
 
 
+@pytest.mark.slow
 def test_zigzag_grad_parity(rng):
     from radvlm_tpu.parallel.ring import (
         inverse_zigzag_indices,

@@ -86,6 +86,7 @@ def test_loader_shapes(llava_data):
         assert (b["labels"] != -100).sum() > 0
 
 
+@pytest.mark.slow
 def test_train_and_resume(llava_data, tmp_path):
     data_path, img_root = llava_data
     cfg = cfglib.tiny_test_config(vocab_size=300)
@@ -165,6 +166,7 @@ def test_loader_packing(llava_data):
         assert (b["labels"] != -100).sum() > 0
 
 
+@pytest.mark.slow
 def test_lora_train_driver(llava_data, tmp_path):
     """LoRA mode: adapters train, TrainState holds only adapters (adapter-only
     checkpointing), base params frozen."""
@@ -197,6 +199,7 @@ def test_lora_train_driver(llava_data, tmp_path):
     assert float(jnp.abs(state.params[some_key]["b"]).max()) > 0
 
 
+@pytest.mark.slow
 def test_convert_cli_roundtrip(llava_data, tmp_path):
     """Train 1 step -> orbax checkpoint -> convert CLI -> HF dir -> reimport."""
     data_path, img_root = llava_data

@@ -33,6 +33,7 @@ def make_batch(cfg, rng, batch=4, text_len=16):
     return multimodal.collate(samples, pad_to_multiple=8)
 
 
+@pytest.mark.slow
 def test_train_step_8dev_mesh(rng):
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     cfg = cfglib.tiny_test_config()
@@ -60,6 +61,7 @@ def test_train_step_8dev_mesh(rng):
     assert float(metrics["grad_norm"]) > 0
 
 
+@pytest.mark.slow
 def test_train_step_sequence_parallel(rng):
     """Full SFT step with ring attention over a seq axis: mesh
     (data=1, fsdp=2, seq=2, tensor=2) on 8 virtual devices. The seq-parallel
@@ -95,6 +97,7 @@ def test_train_step_sequence_parallel(rng):
         enable_ring_attention(None)
 
 
+@pytest.mark.slow
 def test_train_step_zigzag_sequence_parallel(rng):
     """The shipped SP default: zigzag schedule with host-side batch permutation
     + pre-shifted labels. Loss must match the plain (seq=1) mesh."""
