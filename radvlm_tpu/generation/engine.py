@@ -157,6 +157,74 @@ def make_sp_prefill_fn(
     return prefill_fn
 
 
+def make_sp_generate_fn(
+    cfg: RadVLMConfig,
+    mesh,
+    gen: "GenerationConfig",
+    *,
+    axis_name: str = "seq",
+    local_impl: str = "flash",
+):
+    """Fully sequence-parallel generation for long multimodal contexts:
+    ring-attention prefill (`make_sp_prefill_fn`) + cache-sharded decode
+    (`parallel.sp_decode.make_sp_decode_step`). The KV cache never exists
+    unsharded — at 32k context and 7B it is ~1.9 GB/sequence, so sharding it
+    across the seq axis is what lets long-context batches fit a slice.
+
+    Returns generate(params, batch, rng) -> {"tokens": [B, max_new],
+    "num_tokens": [B]} matching `make_generate_fn`'s contract (left-padded
+    prompts)."""
+    import numpy as np
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from radvlm_tpu.parallel.sp_decode import make_sp_decode_step
+
+    sp_prefill = make_sp_prefill_fn(cfg, mesh, axis_name=axis_name,
+                                    local_impl=local_impl)
+    sp_step = make_sp_decode_step(cfg.text, mesh, axis_name=axis_name)
+    cache_spec = NamedSharding(mesh, P(None, None, axis_name, None))
+    seg_spec = NamedSharding(mesh, P(None, axis_name))
+    n_seq = mesh.shape[axis_name]
+
+    def generate(params, batch, rng):
+        b, l = batch["tokens"].shape
+        max_len = l + gen.max_new_tokens
+        if max_len % n_seq:
+            max_len += n_seq - max_len % n_seq
+        cache, cache_seg, logits = sp_prefill(params, batch, max_len)
+        cache = tuple(jax.device_put(c, cache_spec) for c in cache)
+        cache_seg = jax.device_put(cache_seg, seg_spec)
+        lengths = batch["lengths"]
+        rng, sub = jax.random.split(rng)
+        tok = sample_token(logits, gen, sub)
+        out_toks = [tok]
+        num = np.full((b,), gen.max_new_tokens, np.int32)
+        done = np.zeros((b,), bool)
+        eos = np.asarray(list(gen.eos_token_ids), np.int32)
+        for step in range(gen.max_new_tokens - 1):
+            th = np.asarray(tok)
+            newly = ~done & np.isin(th, eos)
+            num[newly] = step + 1
+            done |= newly
+            if done.all():
+                break
+            cache, cache_seg, lg = sp_step(
+                params["text"], cache, cache_seg, tok, lengths + step,
+                l + step,
+            )
+            rng, sub = jax.random.split(rng)
+            tok = sample_token(lg, gen, sub)
+            out_toks.append(tok)
+        toks = jnp.stack(out_toks, axis=1)
+        pad = gen.max_new_tokens - toks.shape[1]
+        if pad:
+            toks = jnp.pad(toks, ((0, 0), (0, pad)))
+        return {"tokens": toks, "num_tokens": jnp.asarray(num)}
+
+    return generate
+
+
 def decode_step(
     params: Params,
     cfg: RadVLMConfig,
