@@ -48,7 +48,22 @@ Sample = Dict[str, Any]
 
 
 def load_image(path: str) -> np.ndarray:
-    """JPEG/PNG -> uint8 [H, W, 3] RGB numpy."""
+    """JPEG/PNG -> uint8 [H, W, 3] RGB numpy.
+
+    RADVLM_NATIVE_JPEG=1 routes .jpg/.jpeg through the C++ libjpeg decoder
+    (`native/jpeg.cc`, GIL-free in the prefetch pool); PIL remains the default
+    and the fallback for other formats / decode errors."""
+    if os.environ.get("RADVLM_NATIVE_JPEG") == "1" and path.lower().endswith(
+        (".jpg", ".jpeg")
+    ):
+        try:
+            from radvlm_tpu import native
+
+            if native.jpeg_available():
+                with open(path, "rb") as f:
+                    return native.decode_jpeg(f.read())
+        except (ValueError, RuntimeError, OSError):
+            pass  # fall through to PIL
     from PIL import Image
 
     with Image.open(path) as im:

@@ -65,6 +65,72 @@ def available() -> bool:
     return _load() is not None
 
 
+# ---------------------------------------------------------------------------
+# Native JPEG decode (libjpeg) — the ingest-path analog of the anyres tiler.
+# ---------------------------------------------------------------------------
+
+_JPEG_SO = os.path.join(_DIR, "libjpegdec.so")
+_jpeg_lib: Optional[ctypes.CDLL] = None
+_jpeg_tried = False
+
+
+def _build_jpeg() -> bool:
+    src = os.path.join(_DIR, "jpeg.cc")
+    cmd = ["c++", "-O3", "-shared", "-fPIC", src, "-o", _JPEG_SO, "-ljpeg"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:
+        log.info("native jpeg build failed (falling back to PIL): %s", e)
+        return False
+
+
+def _load_jpeg() -> Optional[ctypes.CDLL]:
+    global _jpeg_lib, _jpeg_tried
+    if _jpeg_lib is not None or _jpeg_tried:
+        return _jpeg_lib
+    _jpeg_tried = True
+    src = os.path.join(_DIR, "jpeg.cc")
+    if not os.path.exists(_JPEG_SO) or os.path.getmtime(_JPEG_SO) < os.path.getmtime(src):
+        if not _build_jpeg():
+            return None
+    try:
+        lib = ctypes.CDLL(_JPEG_SO)
+    except OSError as e:
+        log.info("native jpeg load failed: %s", e)
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.jpeg_info.argtypes = [u8p, ctypes.c_int, ip, ip]
+    lib.jpeg_info.restype = ctypes.c_int
+    lib.jpeg_decode_rgb.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
+    lib.jpeg_decode_rgb.restype = ctypes.c_int
+    _jpeg_lib = lib
+    return _jpeg_lib
+
+
+def jpeg_available() -> bool:
+    return _load_jpeg() is not None
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes -> uint8 [H, W, 3] RGB (grayscale expanded). Raises on
+    malformed input; runs outside the GIL (prefetch-pool friendly)."""
+    lib = _load_jpeg()
+    if lib is None:
+        raise RuntimeError("native jpeg library unavailable")
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.jpeg_info(buf, len(buf), ctypes.byref(h), ctypes.byref(w)) != 0:
+        raise ValueError("invalid JPEG header")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.jpeg_decode_rgb(buf, len(buf), out, out.size)
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
 def anyres_tiles(
     img: np.ndarray,
     tile_size: int,
