@@ -90,6 +90,20 @@ class Qwen2Config:
     attention_bias: bool = True  # Qwen2 yes; Llama no
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 32768
+    # Mixture-of-experts (Qwen2-MoE family — the reference's LlavaQwenMoe,
+    # `language_model/llava_qwen_moe.py`; supports-but-never-trains). 0 = dense.
+    # Every layer is sparse when enabled (the flagship MoE configs use
+    # decoder_sparse_step=1 and empty mlp_only_layers).
+    num_experts: int = 0
+    num_experts_per_tok: int = 4
+    moe_intermediate_size: int = 0
+    shared_expert_intermediate_size: int = 0
+    norm_topk_prob: bool = False
+    # 0 -> exact dense-combine (eval/parity); >0 -> GShard-style capacity
+    # dispatch (training/EP: tokens over capacity are dropped, the standard
+    # sparse-training recipe).
+    moe_capacity_factor: float = 0.0
+    router_aux_coef: float = 0.001
 
     @property
     def q_per_kv(self) -> int:

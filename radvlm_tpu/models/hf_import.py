@@ -142,11 +142,15 @@ def import_qwen2(
                 "v": attn_proj("v"),
                 "o": {"kernel": stack_lin(p + "self_attn.o_proj.weight")},
             },
-            "mlp": {
-                "gate": {"kernel": stack_lin(p + "mlp.gate_proj.weight")},
-                "up": {"kernel": stack_lin(p + "mlp.up_proj.weight")},
-                "down": {"kernel": stack_lin(p + "mlp.down_proj.weight")},
-            },
+            "mlp": (
+                _import_moe_mlp(state, cfg, p, dtype)
+                if cfg.num_experts
+                else {
+                    "gate": {"kernel": stack_lin(p + "mlp.gate_proj.weight")},
+                    "up": {"kernel": stack_lin(p + "mlp.up_proj.weight")},
+                    "down": {"kernel": stack_lin(p + "mlp.down_proj.weight")},
+                }
+            ),
         },
         "norm": _vec(state, "text.norm.weight", dtype),
     }
@@ -235,6 +239,43 @@ def import_siglip(
         },
     }
     return params
+
+
+def _import_moe_mlp(state, cfg, p: str, dtype):
+    """Qwen2-MoE sparse block (HF Qwen2MoeForCausalLM layout): per-layer
+    router `mlp.gate`, per-expert `mlp.experts.{i}.*_proj`, shared expert +
+    sigmoid gate. Experts stack along a leading E axis ([L, E, in, out]) so
+    the expert dimension can shard over the mesh's `expert` axis."""
+    L, E = cfg.num_layers, cfg.num_experts
+
+    def stack_lin(fmt):
+        return jnp.stack([_lin(state, fmt.format(i), dtype) for i in range(L)])
+
+    def expert_stack(name):
+        return jnp.stack([
+            jnp.stack([
+                _lin(state, p.format(i) + f"mlp.experts.{e}.{name}.weight", dtype)
+                for e in range(E)
+            ])
+            for i in range(L)
+        ])  # [L, E, in, out]
+
+    return {
+        "moe": {
+            "router": {"kernel": stack_lin(p + "mlp.gate.weight")},
+            "experts": {
+                "gate": expert_stack("gate_proj"),
+                "up": expert_stack("up_proj"),
+                "down": expert_stack("down_proj"),
+            },
+            "shared": {
+                "gate": {"kernel": stack_lin(p + "mlp.shared_expert.gate_proj.weight")},
+                "up": {"kernel": stack_lin(p + "mlp.shared_expert.up_proj.weight")},
+                "down": {"kernel": stack_lin(p + "mlp.shared_expert.down_proj.weight")},
+            },
+            "shared_gate": {"kernel": stack_lin(p + "mlp.shared_expert_gate.weight")},
+        }
+    }
 
 
 def import_clip(

@@ -70,6 +70,28 @@ def init_params(cfg: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
         },
         "norm": jnp.ones((d,), dtype),
     }
+    if cfg.num_experts:
+        # Qwen2-MoE: sparse expert MLPs + always-on shared expert with a
+        # sigmoid gate; the dense "mlp" subtree is replaced wholesale.
+        e, m = cfg.num_experts, cfg.moe_intermediate_size
+        ms = cfg.shared_expert_intermediate_size
+        mkeys = jax.random.split(keys[9], 8)
+        params["layers"]["mlp"] = {
+            "moe": {
+                "router": {"kernel": stack((d, e), mkeys[0])},
+                "experts": {
+                    "gate": _dense(mkeys[1], (L, e, d, m)).astype(dtype),
+                    "up": _dense(mkeys[2], (L, e, d, m)).astype(dtype),
+                    "down": _dense(mkeys[3], (L, e, m, d)).astype(dtype),
+                },
+                "shared": {
+                    "gate": {"kernel": stack((d, ms), mkeys[4])},
+                    "up": {"kernel": stack((d, ms), mkeys[5])},
+                    "down": {"kernel": stack((ms, d), mkeys[6])},
+                },
+                "shared_gate": {"kernel": stack((d, 1), mkeys[7])},
+            }
+        }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = {"kernel": _dense(keys[8], (d, cfg.vocab_size)).astype(dtype)}
     return params
@@ -185,14 +207,99 @@ def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray,
     return q, k, v
 
 
+def _moe_mlp(cfg: Qwen2Config, moe: Params, y: jnp.ndarray, mm, take):
+    """Qwen2-MoE sparse block (HF `Qwen2MoeSparseMoeBlock` semantics): softmax
+    router over `num_experts`, top-k per token (optionally renormalized),
+    sparse expert SwiGLUs, plus an always-on shared expert scaled by a sigmoid
+    gate. Returns (out [b, s, d], aux_loss scalar).
+
+    Two compute modes (cfg.moe_capacity_factor):
+    - 0 (exact): every expert processes every token, combined with the sparse
+      top-k weights — bitwise the reference's per-expert loop, used for
+      parity/eval and tiny decode batches;
+    - >0 (capacity): GShard-style static dispatch — top-k assignments ranked
+      rank-major, positions by running count per expert, tokens past capacity
+      C = ceil(T*k/E * factor) dropped. All shapes static; the expert
+      dimension shards over the mesh's `expert` axis (sharding rules map the
+      [L, E, d, m] tables to P(None, "expert", ...) and XLA inserts the
+      dispatch/combine all-to-alls).
+
+    Aux = Switch/GShard load-balancing loss E * sum_e f_e * P_e over the
+    top-k assignment fractions f and mean router probs P."""
+    b, s, d = y.shape
+    t = b * s
+    x = y.reshape(t, d)
+    e, k = cfg.num_experts, cfg.num_experts_per_tok
+    logits = mm(y, moe["router"]["kernel"]).reshape(t, e)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    vals, idx = jax.lax.top_k(probs, k)  # [T, k]
+    if cfg.norm_topk_prob:
+        vals = vals / jnp.maximum(vals.sum(-1, keepdims=True), 1e-20)
+    vals = vals.astype(x.dtype)
+    wg = take(moe["experts"]["gate"])  # [E, d, m]
+    wu = take(moe["experts"]["up"])
+    wd = take(moe["experts"]["down"])  # [E, m, d]
+
+    oh = jax.nn.one_hot(idx, e, dtype=jnp.float32)  # [T, k, E]
+    if cfg.moe_capacity_factor <= 0:
+        h = jnp.einsum("td,edm->tem", x, wg)
+        u = jnp.einsum("td,edm->tem", x, wu)
+        eo = jnp.einsum("tem,emd->ted", jax.nn.silu(h) * u, wd)
+        w_te = jnp.einsum("tke,tk->te", oh.astype(vals.dtype), vals)
+        out = jnp.einsum("ted,te->td", eo, w_te)
+    else:
+        import math as _math
+
+        cap = max(1, int(_math.ceil(t * k / e * cfg.moe_capacity_factor)))
+        # rank-major priority: all rank-0 picks first, then rank-1, ...
+        ohm = oh.transpose(1, 0, 2).reshape(k * t, e)
+        before = jnp.cumsum(ohm, axis=0) - ohm
+        my_pos = (
+            jnp.sum(before * ohm, axis=-1).reshape(k, t).T.astype(jnp.int32)
+        )  # [T, k]
+        keep = (my_pos < cap).astype(x.dtype)
+        pos_oh = jax.nn.one_hot(my_pos, cap, dtype=x.dtype)  # [T, k, C]
+        # [T, E, C] dispatch/combine tensors
+        disp = jnp.einsum(
+            "tke,tkc,tk->tec", oh.astype(x.dtype), pos_oh, keep
+        )
+        comb = jnp.einsum(
+            "tke,tkc,tk->tec", oh.astype(x.dtype), pos_oh, keep * vals
+        )
+        xe = jnp.einsum("tec,td->ecd", disp, x)
+        h = jnp.einsum("ecd,edm->ecm", xe, wg)
+        u = jnp.einsum("ecd,edm->ecm", xe, wu)
+        eo = jnp.einsum("ecm,emd->ecd", jax.nn.silu(h) * u, wd)
+        out = jnp.einsum("tec,ecd->td", comb, eo)
+
+    # shared expert with sigmoid gate
+    sh = jax.nn.silu(mm(y, moe["shared"]["gate"]["kernel"])) * mm(
+        y, moe["shared"]["up"]["kernel"]
+    )
+    sh = mm(sh, moe["shared"]["down"]["kernel"]).reshape(t, d)
+    sgate = jax.nn.sigmoid(
+        mm(y, moe["shared_gate"]["kernel"]).reshape(t, 1).astype(jnp.float32)
+    ).astype(x.dtype)
+    out = out + sgate * sh
+
+    # Switch/GShard load-balancing aux: f_e = fraction of tokens picking
+    # expert e (any rank), P_e = mean router prob; loss = E * sum f_e P_e.
+    aux = (e * jnp.sum(probs.mean(0) * oh.sum(1).mean(0))).astype(jnp.float32)
+    return out.reshape(b, s, d), aux
+
+
 def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray,
-                  attn: jnp.ndarray, idx=None):
+                  attn: jnp.ndarray, idx=None, with_aux: bool = False):
     mm, take = _mm_take(idx)
     b, s = attn.shape[:2]
     x = res + mm(attn.reshape(b, s, -1), lp["attn"]["o"]["kernel"])
     res = x
     y = rms_norm(x, take(lp["ln2"]), cfg.rms_norm_eps)
     mlp = lp["mlp"]
+    if "moe" in mlp:
+        out, aux = _moe_mlp(cfg, mlp["moe"], y, mm, take)
+        out = res + out
+        return (out, aux) if with_aux else out
     if "gateup" in mlp:
         gu = mm(y, mlp["gateup"]["kernel"])
         gate, up = jnp.split(gu, 2, axis=-1)
@@ -200,7 +307,8 @@ def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray,
     else:
         gate = jax.nn.silu(mm(y, mlp["gate"]["kernel"]))
         up = mm(y, mlp["up"]["kernel"])
-    return res + mm(gate * up, mlp["down"]["kernel"])
+    out = res + mm(gate * up, mlp["down"]["kernel"])
+    return (out, jnp.float32(0.0)) if with_aux else out
 
 
 def _block(
@@ -211,11 +319,13 @@ def _block(
     segment_ids: Optional[jnp.ndarray],
     attn_impl: str,
     collect_kv: bool = False,
+    with_aux: bool = False,
 ):
     """One decoder block, no cache. x:[B,S,D]. With collect_kv, also returns the
     roped (k, v) as flat [B, S, Hkv*D] pairs — scan stacks them into a ready KV
     cache with zero copies (the prefill fast path: carrying a preallocated cache
     through the scan measured 2.6x slower from per-layer buffer copies).
+    With with_aux, also returns the MoE router aux loss (0.0 for dense).
 
     Quantized kernels pass through to `quant.qmm` at each matmul site (dequant
     happens per-matmul in the dense path or in-VMEM in the int8 kernel)."""
@@ -229,14 +339,24 @@ def _block(
         causal=True,
         impl=attn_impl,
     )
-    out = _finish_block(cfg, lp, res, attn)
+    out = _finish_block(cfg, lp, res, attn, with_aux=with_aux)
+    aux = None
+    if with_aux:
+        out, aux = out
+    ys = None
     if collect_kv:
         b, s = x.shape[:2]
         hkv_d = cfg.num_kv_heads * cfg.head_dim
-        return out, (
+        ys = (
             k.reshape(b, s, hkv_d).astype(jnp.bfloat16),
             v.reshape(b, s, hkv_d).astype(jnp.bfloat16),
         )
+    if collect_kv and with_aux:
+        return out, (ys, aux)
+    if collect_kv:
+        return out, ys
+    if with_aux:
+        return out, aux
     return out
 
 
@@ -387,6 +507,7 @@ def forward(
     remat: bool = False,
     return_hidden: bool = False,
     collect_kv: bool = False,
+    return_aux: bool = False,
 ):
     """Run the decoder stack.
 
@@ -396,8 +517,12 @@ def forward(
     offset; cache_segment_ids: [B, Smax] segment ids of cache contents (callers keep
     them updated).
 
-    Returns (logits_or_hidden [B,S,V|D], new_kv_cache or None).
+    Returns (logits_or_hidden [B,S,V|D], new_kv_cache or None); with
+    return_aux (training, no-cache path only) additionally the mean per-layer
+    MoE router load-balancing loss as a third element.
     """
+    if return_aux and kv_cache is not None:
+        raise ValueError("return_aux is a training-path (no-cache) feature")
     x = input_embeds
     layer_params = params["layers"]
 
@@ -423,25 +548,34 @@ def forward(
         new_cache = (ck_all, cv_all)
     else:
         def body_nocache(carry, lp):
-            if collect_kv:
-                return _block(
-                    cfg, lp, carry, positions, segment_ids, attn_impl,
-                    collect_kv=True,
-                )
-            return _block(cfg, lp, carry, positions, segment_ids, attn_impl), None
+            out = _block(
+                cfg, lp, carry, positions, segment_ids, attn_impl,
+                collect_kv=collect_kv, with_aux=return_aux,
+            )
+            if collect_kv or return_aux:
+                return out
+            return out, None
 
         if remat:
             body_nocache = jax.checkpoint(
                 body_nocache, policy=jax.checkpoint_policies.nothing_saveable
             )
         x, collected = jax.lax.scan(body_nocache, x, layer_params)
-        new_cache = collected if collect_kv else None
+        aux = None
+        if collect_kv and return_aux:
+            new_cache, aux = collected
+        elif collect_kv:
+            new_cache = collected
+        elif return_aux:
+            new_cache, aux = None, collected
+        else:
+            new_cache = None
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    if return_hidden:
-        return x, new_cache
-    logits = unembed(params, cfg, x)
-    return logits, new_cache
+    out = x if return_hidden else unembed(params, cfg, x)
+    if return_aux:
+        return out, new_cache, jnp.mean(aux)
+    return out, new_cache
 
 
 def unembed(params: Params, cfg: Qwen2Config, hidden: jnp.ndarray) -> jnp.ndarray:

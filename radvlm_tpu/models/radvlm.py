@@ -137,12 +137,14 @@ def forward(
     cache_segment_ids=None,
     return_hidden: bool = False,
     collect_kv: bool = False,
+    return_aux: bool = False,
 ):
     """Full multimodal forward.
 
     batch keys: tiles [B,T,ts,ts,3], merge_indices/weights [B,N,4], tokens [B,L],
     img_src [B,L], positions [B,L], segment_ids [B,L].
-    Returns (logits [B,L,V], kv_cache').
+    Returns (logits [B,L,V], kv_cache'); with return_aux (MoE training) also
+    the router load-balancing loss.
     """
     b, t = batch["tiles"].shape[:2]
     flat_tiles = batch["tiles"].reshape((b * t,) + batch["tiles"].shape[2:])
@@ -166,6 +168,7 @@ def forward(
         remat=remat,
         return_hidden=return_hidden,
         collect_kv=collect_kv,
+        return_aux=return_aux,
     )
 
 
@@ -184,8 +187,18 @@ def loss_fn(
     Batches carrying "labels_next" instead of "labels" are PRE-SHIFTED on the
     host (labels_next[i] supervises logits[i]) — the zigzag sequence-parallel
     layout permutes positions, so the shift must happen before permutation
-    (`parallel/ring.zigzag_shift_batch`); the loss is then positionwise."""
-    logits, _ = forward(params, cfg, batch, remat=remat, attn_impl=attn_impl)
+    (`parallel/ring.zigzag_shift_batch`); the loss is then positionwise.
+
+    MoE configs add router_aux_coef x the load-balancing loss (HF
+    `load_balancing_loss_func` role)."""
+    moe_aux = bool(cfg.text.num_experts) and cfg.text.router_aux_coef > 0
+    if moe_aux:
+        logits, _, aux = forward(
+            params, cfg, batch, remat=remat, attn_impl=attn_impl,
+            return_aux=True,
+        )
+    else:
+        logits, _ = forward(params, cfg, batch, remat=remat, attn_impl=attn_impl)
     if "labels_next" in batch:
         shift_logits = logits
         shift_labels = batch["labels_next"]
@@ -201,4 +214,9 @@ def loss_fn(
     total = jnp.sum(nll * mask)
     count = jnp.maximum(jnp.sum(mask), 1)
     loss = total / count
-    return loss, {"loss": loss, "tokens": count}
+    metrics = {"loss": loss, "tokens": count}
+    if moe_aux:
+        loss = loss + cfg.text.router_aux_coef * aux
+        metrics["moe_aux"] = aux
+        metrics["loss"] = loss
+    return loss, metrics

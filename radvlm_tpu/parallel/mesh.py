@@ -22,7 +22,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "seq", "tensor")
+AXES = ("data", "fsdp", "seq", "tensor", "expert")
 
 
 def make_mesh(

@@ -30,6 +30,14 @@ _RULES: List[Tuple[str, P]] = [
     (r"text/layers/attn/o/kernel$", P(None, "tensor", "fsdp")),
     (r"text/layers/mlp/(gate|up)/kernel$", P(None, "fsdp", "tensor")),
     (r"text/layers/mlp/down/kernel$", P(None, "tensor", "fsdp")),
+    # MoE (expert parallelism): expert tables shard over the `expert` axis —
+    # XLA inserts the dispatch/combine all-to-alls from these annotations.
+    (r"text/layers/mlp/moe/router/kernel$", P(None, "fsdp", None)),
+    (r"text/layers/mlp/moe/experts/(gate|up)$", P(None, "expert", "fsdp", "tensor")),
+    (r"text/layers/mlp/moe/experts/down$", P(None, "expert", "tensor", "fsdp")),
+    (r"text/layers/mlp/moe/shared/(gate|up)/kernel$", P(None, "fsdp", "tensor")),
+    (r"text/layers/mlp/moe/shared/down/kernel$", P(None, "tensor", "fsdp")),
+    (r"text/layers/mlp/moe/shared_gate/kernel$", P(None, "fsdp", None)),
     (r"text/lm_head/kernel$", P("fsdp", "tensor")),
     # --- SigLIP tower ---
     (r"vision_tower/patch_embed/kernel$", P(None, "fsdp")),
