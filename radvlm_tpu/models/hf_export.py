@@ -42,9 +42,24 @@ def export_qwen2(params: Mapping[str, Any], prefix: str = "language_model.model.
             if "bias" in lp["attn"][name]:  # absent for the Llama family
                 out[p + f"self_attn.{name}_proj.bias"] = _np(lp["attn"][name]["bias"][i])
         out[p + "self_attn.o_proj.weight"] = _lin(lp["attn"]["o"]["kernel"][i])
-        out[p + "mlp.gate_proj.weight"] = _lin(lp["mlp"]["gate"]["kernel"][i])
-        out[p + "mlp.up_proj.weight"] = _lin(lp["mlp"]["up"]["kernel"][i])
-        out[p + "mlp.down_proj.weight"] = _lin(lp["mlp"]["down"]["kernel"][i])
+        if "moe" in lp["mlp"]:
+            moe = lp["mlp"]["moe"]
+            out[p + "mlp.gate.weight"] = _lin(moe["router"]["kernel"][i])
+            n_exp = moe["experts"]["gate"].shape[1]
+            for e in range(n_exp):
+                ep = p + f"mlp.experts.{e}."
+                out[ep + "gate_proj.weight"] = _lin(moe["experts"]["gate"][i, e])
+                out[ep + "up_proj.weight"] = _lin(moe["experts"]["up"][i, e])
+                out[ep + "down_proj.weight"] = _lin(moe["experts"]["down"][i, e])
+            sh = moe["shared"]
+            out[p + "mlp.shared_expert.gate_proj.weight"] = _lin(sh["gate"]["kernel"][i])
+            out[p + "mlp.shared_expert.up_proj.weight"] = _lin(sh["up"]["kernel"][i])
+            out[p + "mlp.shared_expert.down_proj.weight"] = _lin(sh["down"]["kernel"][i])
+            out[p + "mlp.shared_expert_gate.weight"] = _lin(moe["shared_gate"]["kernel"][i])
+        else:
+            out[p + "mlp.gate_proj.weight"] = _lin(lp["mlp"]["gate"]["kernel"][i])
+            out[p + "mlp.up_proj.weight"] = _lin(lp["mlp"]["up"]["kernel"][i])
+            out[p + "mlp.down_proj.weight"] = _lin(lp["mlp"]["down"]["kernel"][i])
     out[prefix + "norm.weight"] = _np(params["norm"])
     if "lm_head" in params:
         head_prefix = prefix.replace(".model.", ".")

@@ -184,3 +184,19 @@ def test_expert_parallel_train_step(rng):
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
         assert "moe_aux" in metrics and np.isfinite(float(metrics["moe_aux"]))
+
+
+def test_moe_export_roundtrip(hf_model):
+    """export_qwen2 of a MoE tree re-imports bit-exactly (HF Qwen2MoE names)."""
+    from radvlm_tpu.models import hf_export
+
+    state = hf_import.normalize_keys(hf_model.state_dict())
+    params = hf_import.import_qwen2(state, TINY, dtype=jnp.float32)
+    exported = hf_export.export_qwen2(params, prefix="model.")
+    back = hf_import.import_qwen2(
+        hf_import.normalize_keys(exported), TINY, dtype=jnp.float32
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, back,
+    )
