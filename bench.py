@@ -122,7 +122,12 @@ def _run_continuous(cfg, params, gen, size, slots):
     from radvlm_tpu.models import multimodal
 
     n_reqs = int(os.environ.get("RADVLM_BENCH_REQS", str(max(BATCH * BATCHES, 4 * slots))))
+    # Prompt buckets: anyres CXR prompts measure 2983-3739 tokens (mean 3398);
+    # bucketed prefill pads each request to the smallest fitting bucket
+    # instead of a blanket 4096 (~15% prefill FLOPs saved). All bucket graphs
+    # compile during warmup().
     pad_len = 4096
+    buckets = (3072, 3456, 3840, pad_len)
     max_len = pad_len + NEW_TOKENS
     rng = np.random.default_rng(0)
 
@@ -136,35 +141,41 @@ def _run_continuous(cfg, params, gen, size, slots):
     steps_per_sync = int(os.environ.get("RADVLM_BENCH_STEPS_PER_SYNC", "16"))
     pipeline_depth = int(os.environ.get("RADVLM_BENCH_PIPELINE_DEPTH", "4"))
 
-    def make_batcher():
-        return ContinuousBatcher(
-            params, cfg, gen, num_slots=slots, max_len=max_len,
-            prompt_buckets=(pad_len,), pad_tiles=6,
-            steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
-        )
-
-    # Warmup/compile: run a few requests end to end (prefill graph, decode
-    # graph, insert graph).
+    # ONE batcher for warmup + timed run (a second instance would hold a
+    # second multi-GB KV cache next to the weights — measured intermittent
+    # OOM on 16 GB HBM); warmup() compiles every bucket's fill graph + the
+    # decode chunk and resets slot state.
+    b = ContinuousBatcher(
+        params, cfg, gen, num_slots=slots, max_len=max_len,
+        prompt_buckets=buckets, pad_tiles=6,
+        steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
+    )
     t0 = time.perf_counter()
-    b = make_batcher()
-    for _ in range(2):
-        b.submit(make_sample(), NEW_TOKENS)
-    for _ in b.run():
-        pass
+    b.warmup()
     compile_s = time.perf_counter() - t0
+    # Timed run. Submissions stream from a feeder thread (collate + H2D
+    # happen during the engine's device waits — the production arrival
+    # pattern) after a 2x-slots head start fills the pipeline.
+    import threading
 
-    # Timed run: fresh batcher, same compiled graphs. Drop the warmup
-    # batcher's device buffers FIRST — two live KV caches (2 x 3.9 GB at 16
-    # slots) next to the 7.5 GB weights intermittently OOM a 16 GB chip.
-    b.cache = b.cache_seg = b.cur_tok = None
-    del b
-    b = make_batcher()
     t_start = time.perf_counter()
     done_at = []
-    for i in range(n_reqs):
+    head = min(2 * slots, n_reqs)
+    for _ in range(head):
         b.submit(make_sample(), NEW_TOKENS)
-    for _req in b.run():
-        done_at.append(time.perf_counter() - t_start)
+
+    def feed():
+        for _ in range(n_reqs - head):
+            b.submit(make_sample(), NEW_TOKENS)
+
+    feeder = threading.Thread(target=feed)
+    feeder.start()
+    while len(done_at) < n_reqs:  # re-enter if the engine drains early
+        for _req in b.run():
+            done_at.append(time.perf_counter() - t_start)
+        if len(done_at) < n_reqs:
+            time.sleep(0.01)
+    feeder.join()
     total = time.perf_counter() - t_start
 
     n_chips = jax.device_count()

@@ -48,6 +48,12 @@ class Request:
     # until the next chunk readback so _fill_slot never blocks on the device
     # (reading it eagerly would stall the pipelined decode queue).
     tok0_dev: Optional[Any] = None
+    # Pre-collated device batch + real (unpadded) length, built at submit()
+    # time: host collate and the H2D tile transfer happen on the submitting
+    # thread and pipeline ahead of the engine loop instead of stalling a
+    # refill between decode chunks.
+    dev_batch: Optional[Any] = None
+    real_len: int = 0
 
 
 class ContinuousBatcher:
@@ -181,12 +187,58 @@ class ContinuousBatcher:
         return self._fill_fns[bucket]
 
     # ------------------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile every prompt-bucket fill graph + the decode chunk up front.
+
+        Call once after construction (serving startup / bench warmup): a
+        bucket whose first request arrives mid-stream would otherwise stall
+        the pipeline for its XLA compile. Uses a text-only dummy sample per
+        bucket and resets all slot state afterwards."""
+        import collections
+
+        import jax
+        import jax.numpy as jnp
+
+        for bucket in self.prompt_buckets:
+            sample = multimodal.build_sample(list(range(2, 8)), [], self.cfg)
+            hb = multimodal.collate(
+                [sample], pad_len=bucket, pad_tiles=self.pad_tiles,
+                pad_to_multiple=128, left_pad=True,
+            )
+            batch = {k: jnp.asarray(v) for k, v in hb.items()}
+            l = batch["tokens"].shape[1]
+            self._rng, sub = jax.random.split(self._rng)
+            self.cache, self.cache_seg, self.cur_tok, _ = self._fill_fn(l)(
+                self.params, self.cache, self.cache_seg, self.cur_tok,
+                batch, 0, sub,
+            )
+        infl: "collections.deque" = collections.deque()
+        self._dispatch_chunk(infl)
+        self._process_chunk(infl, [])
+        # reset all device/host slot state touched by the dummies
+        self.cache_seg = jnp.zeros_like(self.cache_seg)
+        self.cur_tok = jnp.zeros_like(self.cur_tok)
+        self.slot_len[:] = 0
+        self.slot_real_len[:] = 0
+        self.slot_req = [None] * self.num_slots
+
     def submit(self, sample: multimodal.MMSample,
                max_new_tokens: Optional[int] = None) -> Request:
+        import jax.numpy as jnp
+
         req = Request(
             uid=next(self._uid), sample=sample,
             max_new_tokens=max_new_tokens or self.gen.max_new_tokens,
         )
+        # Collate + start the H2D transfer NOW (async): by the time the
+        # engine loop refills a slot, the tiles are already on device.
+        bucket = self._bucket_for(sample.length)
+        host_batch = multimodal.collate(
+            [sample], pad_len=bucket, pad_tiles=self.pad_tiles,
+            pad_to_multiple=128, left_pad=True,
+        )
+        req.real_len = int(host_batch["lengths"][0])
+        req.dev_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         self.queue.put(req)
         return req
 
@@ -200,13 +252,17 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
-        bucket = self._bucket_for(req.sample.length)
-        host_batch = multimodal.collate(
-            [req.sample], pad_len=bucket, pad_tiles=self.pad_tiles,
-            pad_to_multiple=128, left_pad=True,
-        )
-        real_len = int(host_batch["lengths"][0])  # host-known; no device sync
-        batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+        if req.dev_batch is not None:  # pre-collated at submit()
+            batch, real_len = req.dev_batch, req.real_len
+            req.dev_batch = None  # release after fill
+        else:
+            bucket = self._bucket_for(req.sample.length)
+            host_batch = multimodal.collate(
+                [req.sample], pad_len=bucket, pad_tiles=self.pad_tiles,
+                pad_to_multiple=128, left_pad=True,
+            )
+            real_len = int(host_batch["lengths"][0])  # host-known; no sync
+            batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         l = batch["tokens"].shape[1]
         self._rng, sub = jax.random.split(self._rng)
         self.cache, self.cache_seg, self.cur_tok, tok0 = self._fill_fn(l)(

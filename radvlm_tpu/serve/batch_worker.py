@@ -54,6 +54,9 @@ class BatchWorker:
             prompt_buckets=(prompt_bucket,),
             attn_impl=runner.attn_impl,
         )
+        # Compile all fill/decode graphs at startup: the first live request
+        # should stream immediately, not sit behind a minutes-long XLA compile.
+        self.batcher.warmup()
         self._events: Dict[int, threading.Event] = {}
         self._lock = threading.Lock()
         self._engine_thread = threading.Thread(target=self._engine_loop, daemon=True)
