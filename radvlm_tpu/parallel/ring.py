@@ -351,7 +351,7 @@ def ring_attention_sharded(q, k, v, q_segment_ids, kv_segment_ids, *,
     (data, fsdp), sequence over the ring axis, heads over tensor."""
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh, axis_name, impl, schedule = get_ring_context()
     b, s = q.shape[:2]
@@ -373,7 +373,7 @@ def ring_attention_sharded(q, k, v, q_segment_ids, kv_segment_ids, *,
     fn = shard_map(
         positional, mesh=mesh,
         in_specs=(spec_q, spec_q, spec_q, spec_seg, spec_seg),
-        out_specs=spec_q, check_rep=False,
+        out_specs=spec_q, check_vma=False,
     )
     return fn(q, k, v, q_segment_ids, kv_segment_ids)
 
@@ -388,7 +388,7 @@ def make_ring_attention(mesh, *, axis_name: str = "seq", impl: str = "flash",
     must already be in zigzag layout (`zigzag_indices`).
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec4 = P(None, axis_name, None, None)
     spec2 = P(None, axis_name)
@@ -406,5 +406,5 @@ def make_ring_attention(mesh, *, axis_name: str = "seq", impl: str = "flash",
         mesh=mesh,
         in_specs=(spec4, spec4, spec4, spec2, spec2),
         out_specs=spec4,
-        check_rep=False,
+        check_vma=False,
     )
