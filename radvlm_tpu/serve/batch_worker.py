@@ -160,23 +160,50 @@ class BatchWorker:
         if not self.worker_address:
             self.worker_address = f"http://localhost:{port}"
         if self.controller_address:
-            import requests
-
-            requests.post(
-                self.controller_address + "/register_worker",
-                json={
-                    "worker_name": self.worker_address,
-                    "model_names": self.model_names,
-                    "speed": 2.0,  # batcher worker advertises higher speed
-                    "queue_length": self.queue_length(),
-                },
-                timeout=30,
-            )
+            self._register()
+            # Heartbeat loop (found live: register-once workers expire after
+            # HEARTBEAT_EXPIRATION on the controller and every proxied request
+            # then 503s — same contract as serve/worker.py heartbeat_loop).
+            threading.Thread(target=self._heartbeat_loop, daemon=True).start()
         if background:
             t = threading.Thread(target=server.serve_forever, daemon=True)
             t.start()
             return port
         server.serve_forever()
+
+    def _register(self):
+        import requests
+
+        requests.post(
+            self.controller_address + "/register_worker",
+            json={
+                "worker_name": self.worker_address,
+                "model_names": self.model_names,
+                "speed": 2.0,  # batcher worker advertises higher speed
+                "queue_length": self.queue_length(),
+            },
+            timeout=30,
+        )
+
+    def _heartbeat_loop(self):
+        import requests
+
+        from radvlm_tpu.serve.worker import HEARTBEAT_INTERVAL
+
+        while not self._stop.wait(HEARTBEAT_INTERVAL):
+            try:
+                r = requests.post(
+                    self.controller_address + "/receive_heart_beat",
+                    json={
+                        "worker_name": self.worker_address,
+                        "queue_length": self.queue_length(),
+                    },
+                    timeout=10,
+                )
+                if not r.json().get("exist"):
+                    self._register()
+            except Exception as e:
+                log.warning("heartbeat failed: %s", e)
 
     def shutdown(self):
         self._stop.set()

@@ -69,3 +69,62 @@ def test_concurrent_requests():
     status = requests.post(addr + "/worker_get_status", json={}, timeout=30).json()
     assert status["model_names"] == ["tiny"]
     worker.shutdown()
+
+
+def test_heartbeat_keeps_registration_alive(monkeypatch):
+    """Found by driving the live stack: a register-once batch worker expires
+    after HEARTBEAT_EXPIRATION on the controller and every proxied request
+    503s. The worker must heartbeat (and re-register when the controller
+    forgot it)."""
+    import time
+
+    from radvlm_tpu.serve import worker as worker_mod
+    from radvlm_tpu.serve.controller import Registry
+
+    monkeypatch.setattr(worker_mod, "HEARTBEAT_INTERVAL", 0.05)
+
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    runner = VLMRunner(
+        params=params, cfg=cfg, tokenizer=ByteTokenizer(),
+        max_new_tokens=2, batch_size=2, pad_to_multiple=8, attn_impl="xla",
+    )
+
+    registry = Registry()
+    beats = []
+
+    class FakeResp:
+        def json(self):
+            return {"exist": True}
+
+    def fake_post(url, json=None, timeout=None):
+        if url.endswith("/receive_heart_beat"):
+            beats.append(json["worker_name"])
+            registry.heartbeat(json["worker_name"], json["queue_length"])
+        elif url.endswith("/register_worker"):
+            registry.register(
+                json["worker_name"], json["model_names"],
+                speed=json.get("speed", 1.0),
+                queue_length=json.get("queue_length", 0),
+            )
+        return FakeResp()
+
+    import requests as requests_mod
+
+    monkeypatch.setattr(requests_mod, "post", fake_post)
+
+    w = BatchWorker(
+        runner, model_names=["tiny"], num_slots=2, max_len=256,
+        prompt_bucket=64,
+        controller_address="http://fake", worker_address="http://w1",
+    )
+    try:
+        port = w.serve_forever(port=0, background=True)
+        assert port
+        deadline = time.time() + 5
+        while len(beats) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert len(beats) >= 2, "worker never heartbeat"
+        assert registry.get_worker_address("tiny") == "http://w1"
+    finally:
+        w.shutdown()
