@@ -9,10 +9,13 @@ disturbing the others:
 - the shared cache is the framework's stacked [L, B, Smax, Hkv*D] layout; a new
   request prefills in a batch-1 jit (vision tower + prompt) into a fresh cache
   that is spliced into its slot with one dynamic_update_slice per k/v;
-- the decode step runs ALL slots with per-slot write indices and rope positions
-  (scatter writes in `qwen2._block_cached`, segment-id masking in the Pallas
-  decode kernel — inactive slots carry segment id 0 everywhere and decode
-  garbage harmlessly);
+- the decode step runs ALL slots with per-slot write indices and rope
+  positions (scatter writes in `qwen2._block_cached`); inactive/finished
+  slots keep computing, and correctness comes from DISCARD + OVERWRITE, not
+  segment masking: readback drops tokens whose slot was refilled since
+  dispatch (snapshot identity check in `_process_chunk`) and `_fill_fn`
+  splices the ENTIRE cache + segment row on refill, erasing any garbage the
+  stale slot wrote;
 - everything is fixed-shape: one prefill graph per prompt bucket, one decode
   graph total.
 
@@ -226,9 +229,27 @@ class ContinuousBatcher:
                max_new_tokens: Optional[int] = None) -> Request:
         import jax.numpy as jnp
 
+        # Reject prompts the cache cannot hold: collate pads an over-bucket
+        # prompt to its real length (rounded to 128), and once that reaches
+        # max_len the prefill crashes on a negative pad — killing run() and,
+        # in serving, the engine daemon thread (code-review repro). Prompts
+        # between the largest bucket and max_len still work (they compile a
+        # one-off fill graph for their padded length).
+        largest = self.prompt_buckets[-1]
+        padded = largest if sample.length <= largest else -(-sample.length // 128) * 128
+        if padded > self.max_len:
+            raise ValueError(
+                f"prompt pads to {padded} tokens but the cache holds "
+                f"{self.max_len} — truncate the prompt or raise max_len"
+            )
+        if max_new_tokens is None:
+            max_new_tokens = self.gen.max_new_tokens
+        # 0/negative would silently fall back (falsy) or never terminate; the
+        # engine always emits the prefill token, so the effective floor is 1.
+        max_new_tokens = max(1, int(max_new_tokens))
         req = Request(
             uid=next(self._uid), sample=sample,
-            max_new_tokens=max_new_tokens or self.gen.max_new_tokens,
+            max_new_tokens=max_new_tokens,
         )
         # Collate + start the H2D transfer NOW (async): by the time the
         # engine loop refills a slot, the tiles are already on device.

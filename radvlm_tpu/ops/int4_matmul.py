@@ -12,8 +12,10 @@ step); int4 halves the bytes of int8 again:
 
 Kernel layout mirrors `ops/int8_matmul.py` (stacked variant with a
 scalar-prefetched layer index; grid over output blocks):
-  - q4_all: [L, D/2, F] int8, byte i packs rows (2i) in the low nibble and
-    (2i+1) in the high nibble (sign-extended on unpack);
+  - q4_all: [L, D/2, F] int8, CONCAT layout — byte i packs row i in the low
+    nibble and row i + D/2 in the high nibble (sign-extended on unpack), so
+    the kernel rebuilds [D, F] with two shifts + one contiguous concat and
+    no sublane interleave (see `pack_int4`);
   - scale_all: [L, D/128, F] f32;
   - per block: unpack nibbles with arithmetic shifts, broadcast group scales
     over their 128 rows, dequantize in VMEM, one MXU dot.
@@ -22,7 +24,6 @@ scalar-prefetched layer index; grid over output blocks):
 from __future__ import annotations
 
 import functools
-import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -33,8 +34,6 @@ from jax.experimental.pallas import tpu as pltpu
 Q4_KEY = "__q4__"
 SCALE_KEY = "__scale__"  # shared name with ops.quant int8 nodes
 GROUP = 128
-
-_TILE_BYTES = 4 * 1024 * 1024
 
 
 def is_q4node(x: Any) -> bool:
@@ -93,14 +92,6 @@ def dequantize_array_int4(node: Dict[str, jnp.ndarray], dtype=jnp.bfloat16):
     return (q * s_full).astype(dtype)
 
 
-def _pick_bf(d: int, f: int, block_f: int) -> int:
-    max_bf = max(128, (_TILE_BYTES // max(d, 1)) // 128 * 128)
-    bf = min(block_f, max_bf, f)
-    while f % bf:
-        bf //= 2
-    return max(bf, 1)
-
-
 def _kernel_stacked(lidx_ref, x_ref, q_ref, s_ref, o_ref, *, group: int):
     del lidx_ref
     x = x_ref[...]  # [B, D]
@@ -143,7 +134,14 @@ def int4_matmul_stacked(
         b = 8
     if out_dtype is None:
         out_dtype = x.dtype
-    bf = _pick_bf(d, f, block_f or int(os.environ.get("RADVLM_INT8_BLOCK_F", "512")))
+    # Block policy shared with the int8 kernel (RADVLM_INT8_BLOCK_F, 4 MB
+    # weight-tile cap). The unpack's in-VMEM intermediates are wider per
+    # element than int8's, but Mosaic streams them (512-wide blocks on the
+    # 18944-deep 7B down-projection measured correct and faster than the
+    # narrower blocks a strict materialized-intermediate budget would pick).
+    from radvlm_tpu.ops.int8_matmul import _default_block_f, _pick_bf
+
+    bf = _pick_bf(d, f, block_f or _default_block_f())
     nf = f // bf
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -84,8 +84,17 @@ def cached_attention_merge(
     valid = (cache_seg_local != 0)[:, None, None, :]
     scores = jnp.where(valid, scores, -jnp.inf)
     m_local = jnp.max(scores, axis=-1)  # [B, hkv, qpk]
-    m_safe = jnp.where(jnp.isfinite(m_local), m_local, 0.0)
-    p = jnp.where(valid, jnp.exp(scores - m_safe[..., None]), 0.0)
+    # Empty-shard sentinel must sit BELOW any real score: with 0.0 a shard of
+    # pure padding inflates pmax and the rescale weights exp(m - m_global)
+    # underflow to zero when valid scores are very negative (code-review
+    # repro: all-left-pad shard zeroed the merged output).
+    neg_big = jnp.float32(-jnp.finfo(jnp.float32).max)
+    m_safe = jnp.where(jnp.isfinite(m_local), m_local, neg_big)
+    p = jnp.where(
+        valid,
+        jnp.exp(scores - jnp.maximum(m_safe, neg_big / 2)[..., None]),
+        0.0,
+    )
     l_local = jnp.sum(p, axis=-1)  # [B, hkv, qpk]
     o_local = jnp.einsum("bkgs,bskd->bkgd", p, v.astype(jnp.float32))
 
@@ -159,7 +168,10 @@ def make_sp_decode_step(cfg, mesh, *, axis_name: str = "seq"):
         check_vma=False,
     )
 
-    @jax.jit
+    # Donate cache + segments: without aliasing, every token would COPY the
+    # multi-GB sharded cache (the cost SP decode exists to avoid); callers
+    # rebind (cache, cache_seg) each step (make_sp_generate_fn does).
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def step(params, cache, cache_seg, tok, positions, cache_index):
         ck, cv = cache
         ck, cv, cache_seg, logits = mapped(

@@ -64,15 +64,26 @@ class BatchWorker:
         self._engine_thread.start()
 
     def _engine_loop(self):
-        """Drive the batcher forever; signal request completion events."""
+        """Drive the batcher forever; signal request completion events.
+
+        The loop must survive any per-batch exception: an engine crash here
+        would silently kill the daemon thread and leave every future request
+        hanging until its HTTP timeout."""
         while not self._stop.is_set():
             progressed = False
-            for req in self.batcher.run():
-                progressed = True
+            try:
+                for req in self.batcher.run():
+                    progressed = True
+                    with self._lock:
+                        ev = self._events.get(req.uid)
+                    if ev:
+                        ev.set()
+            except Exception:
+                log.exception("batcher engine error; continuing")
+                # Unblock every waiter: their requests died with this batch.
                 with self._lock:
-                    ev = self._events.get(req.uid)
-                if ev:
-                    ev.set()
+                    for ev in self._events.values():
+                        ev.set()
             if not progressed:
                 time.sleep(0.005)
 
@@ -86,9 +97,12 @@ class BatchWorker:
         ids = multimodal.tokenize_with_images(tok.encode, prompt)
         sample = multimodal.build_sample(ids, images, self.runner.cfg)
         ev = threading.Event()
-        req = self.batcher.submit(
-            sample, max_new_tokens=int(params_req.get("max_new_tokens", 256))
-        )
+        try:
+            req = self.batcher.submit(
+                sample, max_new_tokens=int(params_req.get("max_new_tokens", 256))
+            )
+        except ValueError as e:  # e.g. prompt exceeds the largest bucket
+            return {"text": f"error: {e}", "error_code": 1}
         with self._lock:
             self._events[req.uid] = ev
         ok = ev.wait(timeout=600)

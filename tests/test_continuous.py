@@ -97,3 +97,33 @@ def test_cache_full_caps_request(rng):
     batcher2.submit(_mk_sample(cfg, rng, 6))
     done2 = list(batcher2.run())
     assert len(done2[0].emitted) == 4  # 131 - 128 + 1
+
+
+def test_submit_rejects_overlong_prompt(rng):
+    """A prompt longer than the largest bucket must be rejected at submit
+    (falling through would crash prefill with a negative pad and kill the
+    serving engine loop — code-review repro)."""
+    import jax
+
+    from radvlm_tpu import config as cfglib
+    from radvlm_tpu.config import IMAGE_TOKEN_INDEX
+    from radvlm_tpu.generation.continuous import ContinuousBatcher
+    from radvlm_tpu.generation.engine import GenerationConfig
+    from radvlm_tpu.models import multimodal, radvlm
+
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    b = ContinuousBatcher(
+        params, cfg, GenerationConfig(max_new_tokens=4, eos_token_ids=()),
+        num_slots=2, max_len=160, prompt_buckets=(128,),
+    )
+    img = rng.integers(0, 255, size=(64, 56, 3), dtype=np.uint8)
+    ids = [5, IMAGE_TOKEN_INDEX] + list(rng.integers(2, 400, size=200))
+    long_sample = multimodal.build_sample(ids, [img], cfg)
+    assert long_sample.length > 128
+    with pytest.raises(ValueError, match="cache holds"):
+        b.submit(long_sample, 4)
+    # max_new_tokens=0 is clamped (falsy-zero would silently become default)
+    short = multimodal.build_sample([5, 6, 7], [], cfg)
+    req = b.submit(short, 0)
+    assert req.max_new_tokens == 1

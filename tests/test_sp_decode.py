@@ -115,3 +115,47 @@ def test_sp_generate_matches_plain_engine(rng, sp_cleanup):
     np.testing.assert_array_equal(
         np.asarray(out_p["num_tokens"]), np.asarray(out_s["num_tokens"])
     )
+
+
+def test_sp_decode_heavily_left_padded(rng, sp_cleanup):
+    """An all-padding shard must not poison the merge (code-review repro: the
+    0.0 empty-shard sentinel inflated the global max and underflowed the
+    rescale weights when valid scores were very negative)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    # tiny prompt, heavy left pad: several shards hold only padding
+    sample = multimodal.build_sample(
+        [5] + list(rng.integers(2, 400, size=6)), [], cfg
+    )
+    batch = {k: jnp.asarray(v) for k, v in multimodal.collate(
+        [sample], pad_len=256, pad_to_multiple=256, left_pad=True
+    ).items()}
+    max_len = 256 + 64
+
+    cache, cache_seg, logits = engine.prefill(
+        params, cfg, batch, max_len, attn_impl="xla"
+    )
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    lengths = batch["lengths"]
+    l = batch["tokens"].shape[1]
+
+    cache_p, seg_p = cache, cache_seg
+    cache_p, seg_p, lg_plain = engine.decode_step(
+        params, cfg, cache_p, seg_p, tok, lengths, l, attn_impl="xla"
+    )
+
+    mesh = make_mesh({"seq": 8})
+    sp_step = make_sp_decode_step(cfg.text, mesh)
+    cache_spec = NamedSharding(mesh, P(None, None, "seq", None))
+    seg_spec = NamedSharding(mesh, P(None, "seq"))
+    ck = jax.device_put(cache[0], cache_spec)
+    cv = jax.device_put(cache[1], cache_spec)
+    seg_s = jax.device_put(cache_seg, seg_spec)
+    (ck, cv), seg_s, lg_sp = sp_step(
+        params["text"], (ck, cv), seg_s, tok, lengths, l
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_sp), np.asarray(lg_plain), atol=5e-4, rtol=2e-3
+    )
