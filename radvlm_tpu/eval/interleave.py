@@ -90,11 +90,19 @@ def evaluate_results(preds: Sequence[Dict]) -> Dict[str, Dict[str, float]]:
     out = {}
     for ds, items in by_dataset.items():
         qtype = items[0].get("question_type", "open-ended")
-        if qtype == "open-ended":
-            metrics, _ = evaluate_rouge(items)
-        elif qtype == "multi-choice" or ds == "nlrv2":
-            # image-choice datasets share the letter-accuracy scorer
+        # Image-choice benchmarks (answers are candidate-image letters) and
+        # nlrv2 (the reference's literal spelling; accept nlvr2 too) always
+        # use the letter-accuracy scorer, whatever their question_type says
+        # (`evaluate_interleave.py:181-199`).
+        choice = (
+            qtype == "multi-choice"
+            or ds in ("nlrv2", "nlvr2")
+            or ds in IMAGE_CHOICE_DATASETS
+        )
+        if choice:
             metrics, _ = evaluate_multichoice(items)
+        elif qtype == "open-ended":
+            metrics, _ = evaluate_rouge(items)
         else:
             metrics = {"error": f"question_type {qtype!r} not supported"}
         out[ds] = metrics

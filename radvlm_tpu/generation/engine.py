@@ -142,17 +142,26 @@ def make_sp_prefill_fn(
         return prefill(params, cfg, batch, max_len, attn_impl="ring")
 
     def prefill_fn(params, batch, max_len: int):
+        # Save/restore the process-global ring context: a mid-training eval
+        # pass must not clobber the trainer's registered zigzag schedule
+        # (code-review finding).
+        import radvlm_tpu.parallel.ring as ring_mod
+
+        prev = ring_mod._RING_CONTEXT
         enable_ring_attention(
             mesh, axis_name=axis_name, impl=local_impl, schedule="contiguous"
         )
-        b, l = batch["tokens"].shape
-        n_seq = mesh.shape[axis_name]
-        if l % n_seq:
-            raise ValueError(
-                f"padded prompt length {l} not divisible by seq axis {n_seq}"
-            )
-        batch = jax.device_put(batch, in_shard(batch))
-        return _pf(params, batch, max_len)
+        try:
+            b, l = batch["tokens"].shape
+            n_seq = mesh.shape[axis_name]
+            if l % n_seq:
+                raise ValueError(
+                    f"padded prompt length {l} not divisible by seq axis {n_seq}"
+                )
+            batch = jax.device_put(batch, in_shard(batch))
+            return _pf(params, batch, max_len)
+        finally:
+            ring_mod._RING_CONTEXT = prev
 
     return prefill_fn
 
@@ -218,8 +227,15 @@ def make_sp_generate_fn(
             out_toks.append(tok)
         toks = jnp.stack(out_toks, axis=1)
         pad = gen.max_new_tokens - toks.shape[1]
+        pad_id = gen.pad_token_id or 0
         if pad:
-            toks = jnp.pad(toks, ((0, 0), (0, pad)))
+            toks = jnp.pad(toks, ((0, 0), (0, pad)), constant_values=pad_id)
+        # Positions past each row's emitted count hold garbage sampled tokens
+        # (rows that hit eos early keep decoding until the batch breaks);
+        # replace with pad so consumers masking by pad_token_id match
+        # `make_generate_fn`'s contract.
+        mask = jnp.arange(gen.max_new_tokens)[None, :] < jnp.asarray(num)[:, None]
+        toks = jnp.where(mask, toks, pad_id)
         return {"tokens": toks, "num_tokens": jnp.asarray(num)}
 
     return generate

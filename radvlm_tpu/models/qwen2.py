@@ -157,10 +157,15 @@ def fuse_projections(params: Params) -> Params:
             [attn[k]["bias"] for k in ("q", "k", "v")], axis=-1
         )
     new_layers["attn"] = {"qkv": qkv, "o": attn["o"]}
-    new_layers["mlp"] = {
-        "gateup": {"kernel": cat([mlp["gate"]["kernel"], mlp["up"]["kernel"]])},
-        "down": mlp["down"],
-    }
+    if "moe" in mlp:
+        # MoE blocks have no dense gate/up pair to fuse (experts stay in
+        # their [L, E, ...] tables); only the attention projections fuse.
+        new_layers["mlp"] = mlp
+    else:
+        new_layers["mlp"] = {
+            "gateup": {"kernel": cat([mlp["gate"]["kernel"], mlp["up"]["kernel"]])},
+            "down": mlp["down"],
+        }
     out = dict(params)
     out["layers"] = new_layers
     return out

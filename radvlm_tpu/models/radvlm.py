@@ -71,6 +71,7 @@ def encode_tiles(
     *,
     remat: bool = False,
     attn_impl: str = "auto",
+    resampler_rng=None,
 ) -> jnp.ndarray:
     """[N, ts, ts, 3] -> [N, 729, D_text]: vision tower + projector, one batch.
 
@@ -88,7 +89,8 @@ def encode_tiles(
         params["vision_tower"], cfg.vision, tiles, remat=remat, attn_impl=attn_impl
     )
     feats = resampler_lib.forward(
-        params.get("resampler", {}), cfg.resampler, feats
+        params.get("resampler", {}), cfg.resampler, feats,
+        rng=resampler_rng, training=resampler_rng is not None,
     )
     return projector_lib.forward(params["projector"], cfg.projector, feats)
 
@@ -138,6 +140,7 @@ def forward(
     return_hidden: bool = False,
     collect_kv: bool = False,
     return_aux: bool = False,
+    resampler_rng=None,
 ):
     """Full multimodal forward.
 
@@ -149,7 +152,8 @@ def forward(
     b, t = batch["tiles"].shape[:2]
     flat_tiles = batch["tiles"].reshape((b * t,) + batch["tiles"].shape[2:])
     tile_feats = encode_tiles(
-        params, cfg, flat_tiles, remat=remat, attn_impl=attn_impl
+        params, cfg, flat_tiles, remat=remat, attn_impl=attn_impl,
+        resampler_rng=resampler_rng,
     ).reshape(b, t, cfg.tokens_per_tile, -1)
     merged = merge_image_features(
         params, tile_feats, batch["merge_indices"], batch["merge_weights"]
@@ -179,6 +183,7 @@ def loss_fn(
     *,
     remat: bool = True,
     attn_impl: str = "auto",
+    rng=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Next-token cross entropy with IGNORE_INDEX masking (train.py supervised
     masking contract; labels already shifted-compatible: labels[i] supervises
@@ -195,10 +200,13 @@ def loss_fn(
     if moe_aux:
         logits, _, aux = forward(
             params, cfg, batch, remat=remat, attn_impl=attn_impl,
-            return_aux=True,
+            return_aux=True, resampler_rng=rng,
         )
     else:
-        logits, _ = forward(params, cfg, batch, remat=remat, attn_impl=attn_impl)
+        logits, _ = forward(
+            params, cfg, batch, remat=remat, attn_impl=attn_impl,
+            resampler_rng=rng,
+        )
     if "labels_next" in batch:
         shift_logits = logits
         shift_labels = batch["labels_next"]

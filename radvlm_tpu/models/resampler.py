@@ -124,12 +124,13 @@ def forward(
     if cfg.kind == "masked_drop":
         if not training or rng is None:
             return feats
-        n, t, d = feats.shape
-        keep = max(1, int(round(t * (1.0 - cfg.drop_ratio))))
-        # independent random subset per tile, order preserved
-        noise = jax.random.uniform(rng, (n, t))
-        idx = jnp.sort(jnp.argsort(noise, axis=1)[:, :keep], axis=1)
-        return jnp.take_along_axis(feats, idx[..., None], axis=1)
+        # Static-shape adaptation of the reference's masked_drop (which
+        # REMOVES a random token subset — incompatible with the precomputed
+        # anyres merge plans): zero a random drop_ratio subset per tile
+        # instead. Same regularization role, shapes unchanged.
+        n, t, _ = feats.shape
+        keep_mask = jax.random.uniform(rng, (n, t)) >= cfg.drop_ratio
+        return feats * keep_mask[..., None].astype(feats.dtype)
     if cfg.kind != "spatial_pool":
         raise NotImplementedError(
             f"resampler {cfg.kind!r} not implemented (qformer: the reference "
@@ -140,7 +141,10 @@ def forward(
     assert side * side == t, f"spatial_pool needs a square grid, got {t}"
     s = cfg.stride
     out = side // s
-    x = feats[:, : out * s * side].reshape(n, side, side, d)
+    # reshape the FULL grid, then crop rows/cols that don't fill a stride
+    # (pre-slicing the flat tokens broke the reshape whenever side % s != 0,
+    # e.g. the flagship 27x27 grid with stride 2 — code-review finding).
+    x = feats.reshape(n, side, side, d)
     x = x[:, : out * s, : out * s].reshape(n, out, s, out, s, d)
     if cfg.mode == "average":
         return x.mean(axis=(2, 4)).reshape(n, out * out, d)

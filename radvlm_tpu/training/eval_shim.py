@@ -39,9 +39,17 @@ class LmmsEvalArgs:
 
 def build_command(args: LmmsEvalArgs) -> List[str]:
     """argv for the lmms-eval launch (list form: no shell injection, unlike
-    the reference's shell=True f-string)."""
-    cmd = [
-        "python", "-m", "lmms_eval",
+    the reference's shell=True f-string). Multi-process runs launch through
+    accelerate, matching the reference (`llava_trainer_eval.py:9`)."""
+    if args.eval_num_processes > 1:
+        launcher = [
+            "accelerate", "launch",
+            "--num_processes", str(args.eval_num_processes),
+            "-m", "lmms_eval",
+        ]
+    else:
+        launcher = ["python", "-m", "lmms_eval"]
+    cmd = launcher + [
         "--model", args.model,
         "--model_args", args.model_args,
         "--tasks", args.task_names,
@@ -49,9 +57,11 @@ def build_command(args: LmmsEvalArgs) -> List[str]:
         "--output_path", args.output_path,
         "--log_samples",  # required: results.json is parsed afterwards
     ]
-    if args.limit:
+    # `is not None`, not truthiness: limit=0 / num_fewshot=0 are meaningful
+    # (0-shot is a different protocol than the task default).
+    if args.limit is not None:
         cmd += ["--limit", str(args.limit)]
-    if args.num_fewshot:
+    if args.num_fewshot is not None:
         cmd += ["--num_fewshot", str(args.num_fewshot)]
     if args.gen_kwargs:
         cmd += ["--gen_kwargs", args.gen_kwargs]

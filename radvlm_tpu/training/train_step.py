@@ -72,9 +72,20 @@ def make_train_step(
     """Build the jitted train step. Batch arrays must already be device_put with the
     batch shardings (leading dim over data+fsdp)."""
 
+    # Stochastic train-time resampling (masked_drop) needs a per-step rng;
+    # fold the step counter so the stream is deterministic and resumable.
+    needs_rng = cfg.resampler.kind == "masked_drop"
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng = (
+            jax.random.fold_in(jax.random.key(0), state.step)
+            if needs_rng else None
+        )
+
         def loss_fn(params):
-            return radvlm.loss_fn(params, cfg, batch, remat=remat, attn_impl=attn_impl)
+            return radvlm.loss_fn(
+                params, cfg, batch, remat=remat, attn_impl=attn_impl, rng=rng
+            )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -200,3 +200,20 @@ def test_moe_export_roundtrip(hf_model):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params, back,
     )
+
+
+def test_moe_fuse_projections(hf_model):
+    """fuse_projections on a MoE tree fuses attention only and keeps the
+    sparse block (code-review finding: KeyError 'gate' on the default eval
+    fuse path); fused forward matches unfused."""
+    state = hf_import.normalize_keys(hf_model.state_dict())
+    params = hf_import.import_qwen2(state, TINY, dtype=jnp.float32)
+    fused = qwen2.fuse_projections(params)
+    assert "qkv" in fused["layers"]["attn"]
+    assert "moe" in fused["layers"]["mlp"]
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, TINY.vocab_size, size=(1, 24))
+    a, _ = _forward(params, ids)
+    b, _ = _forward(fused, ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)

@@ -38,15 +38,67 @@ def test_perceiver_output_and_determinism(rng):
 
 def test_masked_drop_train_vs_infer(rng):
     cfg = ResamplerConfig(kind="masked_drop", drop_ratio=0.5)
-    feats = jnp.asarray(rng.normal(size=(2, 16, 4)), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(2, 64, 4)) + 3.0, jnp.float32)
     # inference: identity
     out = resampler.forward({}, cfg, feats)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(feats))
-    # training: keeps ceil(16 * 0.5) tokens, each an original token, order kept
-    out = resampler.forward({}, cfg, feats, rng=jax.random.key(1), training=True)
-    assert out.shape == (2, 8, 4)
-    rows = {tuple(r) for r in np.asarray(feats[0]).round(5)}
-    assert all(tuple(r) in rows for r in np.asarray(out[0]).round(5))
+    # training: shape preserved (static-shape zero-mask adaptation of the
+    # reference's token removal); each token either intact or zeroed
+    out = np.asarray(
+        resampler.forward({}, cfg, feats, rng=jax.random.key(1), training=True)
+    )
+    assert out.shape == (2, 64, 4)
+    zeroed = (out == 0).all(axis=-1)
+    kept = ~zeroed
+    assert 0.2 < zeroed.mean() < 0.8  # ~drop_ratio of tokens zeroed
+    np.testing.assert_array_equal(out[kept], np.asarray(feats)[kept])
+
+
+def test_masked_drop_active_in_train_step(rng):
+    """The train step actually applies masked_drop (code-review finding: the
+    rng was never plumbed, so training silently ran with 0% drop)."""
+    import dataclasses
+
+    import optax
+
+    from radvlm_tpu.models import radvlm as radvlm_mod
+    from radvlm_tpu.parallel import sharding as shardlib
+    from radvlm_tpu.parallel.mesh import make_mesh
+    from radvlm_tpu.training.train_step import init_train_state, make_train_step
+
+    base = cfglib.tiny_test_config()
+    cfg = dataclasses.replace(
+        base, resampler=ResamplerConfig(kind="masked_drop", drop_ratio=0.9)
+    )
+    params = radvlm_mod.init_params(cfg, jax.random.key(0))
+    mesh = make_mesh({"fsdp": -1})
+
+    img = rng.integers(0, 255, size=(64, 56, 3), dtype=np.uint8)
+    ids = [5, IMAGE_TOKEN_INDEX] + list(rng.integers(2, 400, size=12))
+    sample = multimodal.build_sample(ids, [img], cfg, labels=None)
+    batch = multimodal.collate([sample] * 8, pad_to_multiple=128)
+    batch["labels"] = batch["tokens"]
+
+    tx = optax.adam(1e-3)
+    with mesh:
+        state = init_train_state(mesh, params, tx)
+        step = make_train_step(cfg, tx, remat=False, attn_impl="xla")
+        db = {
+            k: jax.device_put(
+                jnp.asarray(v), shardlib.batch_shardings(mesh, {k: v})[k]
+            )
+            for k, v in batch.items()
+        }
+        # same batch through the PLAIN loss (no rng) BEFORE the step (the
+        # step donates state.params, which alias `params` on a 1-device put)
+        plain, _ = radvlm_mod.loss_fn(
+            params, cfg, {k: jnp.asarray(v) for k, v in batch.items()},
+            remat=False, attn_impl="xla",
+        )
+        plain = float(plain)
+        _, m1 = step(state, db)
+        # a 90% token drop must move the loss vs the drop-free forward
+        assert abs(float(m1["loss"]) - plain) > 1e-6
 
 
 def test_perceiver_rejects_anyres():
