@@ -33,7 +33,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from radvlm_tpu.data import instructions as instr_lib
-from radvlm_tpu.data.wbf import weighted_boxes_fusion
+from radvlm_tpu.data.wbf import fuse_annotator_boxes, weighted_boxes_fusion
 
 DATA_DIR = os.environ.get("DATA_DIR")
 
@@ -251,7 +251,12 @@ class ChestImaGenomeDataset(MIMICCXRDataset):
         ids = pd.read_csv(os.path.join(splits, f"{name}.csv"))
 
         # Missing scene-graph cache (some silver ids ship without graphs).
-        cache = os.path.join(self.chestima_root, "silver_dataset", "missing_ids.json")
+        # Per-split file: a shared cache computed from one split's dicom_ids
+        # would let another split's graph-less samples through the filter and
+        # crash __getitem__ mid-epoch (code-review finding).
+        cache = os.path.join(
+            self.chestima_root, "silver_dataset", f"missing_ids_{name}.json"
+        )
         if os.path.exists(cache):
             missing = set(_read_json(cache))
         else:
@@ -520,22 +525,31 @@ def _vindr_load_fused(root: str, split: str):
 
     fused: Dict[str, List[Tuple[str, List[float]]]] = defaultdict(list)
     image_ids: List[str] = []
+    seen: set = set()
     for (image_id, class_name), grp in ann.groupby(["image_id", "class_name"]):
-        if image_id not in fused:
+        if image_id not in seen:  # `in fused` misses rows that never insert
+            seen.add(image_id)
             image_ids.append(image_id)
+        fused[image_id]  # touch: image exists even with no boxes
         if class_name == "No finding":
-            fused[image_id]  # touch: image exists with no boxes
             continue
         w, h = res.get(image_id, [1024, 1024])
-        raw = grp[["x_min", "y_min", "x_max", "y_max"]].dropna().to_numpy(float)
-        if not len(raw):
+        sub = grp.dropna(subset=["x_min", "y_min", "x_max", "y_max"])
+        if not len(sub):
             continue
+        raw = sub[["x_min", "y_min", "x_max", "y_max"]].to_numpy(float)
         norm = raw / np.asarray([w, h, w, h], float)
-        boxes, _, _ = weighted_boxes_fusion(
-            [norm.tolist()], [[1.0] * len(norm)], [[0] * len(norm)], iou_thr=0.1
+        # Per-ANNOTATOR lists, the reference's apply_wbf grouping
+        # (`utils.py:112-132`): WBF treats each outer list as one model.
+        rads = (
+            sub["rad_id"].tolist() if "rad_id" in sub.columns
+            else [0] * len(sub)
         )
-        for b in boxes:
-            fused[image_id].append((class_name, [round(c, 4) for c in b.tolist()]))
+        boxes, _ = fuse_annotator_boxes(
+            norm.tolist(), [0] * len(norm), rads, iou_thr=0.1
+        )
+        for b in np.asarray(boxes):
+            fused[image_id].append((class_name, [round(float(c), 4) for c in b]))
     return fused, image_ids
 
 

@@ -36,7 +36,11 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tupl
 import numpy as np
 
 from radvlm_tpu.config import RadVLMConfig
-from radvlm_tpu.generation.engine import GenerationConfig, prefill, sample_token
+from radvlm_tpu.generation.engine import (
+    GenerationConfig,
+    prefill,
+    sample_token_vec,
+)
 from radvlm_tpu.models import multimodal, qwen2
 
 
@@ -57,6 +61,12 @@ class Request:
     # refill between decode chunks.
     dev_batch: Optional[Any] = None
     real_len: int = 0
+    # Set when the engine aborted while this request was in flight; consumers
+    # must not present `emitted` (possibly truncated) as a successful result.
+    error: Optional[str] = None
+    # Per-request sampling params (None -> the engine GenerationConfig's).
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
 
 
 class ContinuousBatcher:
@@ -96,6 +106,9 @@ class ContinuousBatcher:
         self.cache = qwen2.init_kv_cache(cfg.text, num_slots, max_len)
         self.cache_seg = jnp.zeros((num_slots, max_len), jnp.int32)
         self.cur_tok = jnp.zeros((num_slots,), jnp.int32)
+        # per-slot sampling params (requests may override the engine default)
+        self.slot_temp = jnp.full((num_slots,), gen.temperature, jnp.float32)
+        self.slot_top_p = jnp.full((num_slots,), gen.top_p, jnp.float32)
         # Host slot state (incremental counters — no per-step device readback
         # or O(slots x max_len) scans).
         self.slot_req: List[Optional[Request]] = [None] * num_slots
@@ -117,7 +130,8 @@ class ContinuousBatcher:
         K = self.steps_per_sync
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def step_chunk(params, cache, cache_seg, tok, positions, write_idx, rng):
+        def step_chunk(params, cache, cache_seg, tok, positions, write_idx,
+                       slot_temp, slot_top_p, rng):
             """K decode steps in ONE dispatch (lax.scan), returning all K
             sampled tokens [B, K].
 
@@ -144,7 +158,10 @@ class ContinuousBatcher:
                     cache_segment_ids=cache_seg,
                     attn_impl=self.attn_impl,
                 )
-                nxt = sample_token(logits[:, 0], self.gen, sub)
+                nxt = sample_token_vec(
+                    logits[:, 0], slot_temp, slot_top_p, sub,
+                    top_k=self.gen.top_k,
+                )
                 positions = positions + 1
                 write_idx = jnp.minimum(write_idx + 1, self.max_len - 1)
                 return (cache, cache_seg, nxt, positions, write_idx, rng), nxt
@@ -170,12 +187,18 @@ class ContinuousBatcher:
             cfg, attn_impl, max_len = self.cfg, self.attn_impl, self.max_len
             gen = self.gen
 
-            @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
-            def fill(params, shared_cache, cache_seg, cur_tok, batch, slot, rng):
+            @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+            def fill(params, shared_cache, cache_seg, cur_tok, slot_temp,
+                     slot_top_p, batch, slot, rng, temp, top_p):
                 cache1, seg1, last_logits = prefill(
                     params, cfg, batch, max_len, attn_impl=attn_impl
                 )
-                tok0 = sample_token(last_logits, gen, rng)[0]
+                tok0 = sample_token_vec(
+                    last_logits, temp[None], top_p[None], rng,
+                    top_k=gen.top_k,
+                )[0]
+                slot_temp = slot_temp.at[slot].set(temp)
+                slot_top_p = slot_top_p.at[slot].set(top_p)
                 ck, cv = shared_cache
                 nk, nv = cache1
                 ck = jax.lax.dynamic_update_slice(ck, nk, (0, slot, 0, 0))
@@ -184,7 +207,7 @@ class ContinuousBatcher:
                     cache_seg, seg1, (slot, 0)
                 )
                 cur_tok = cur_tok.at[slot].set(tok0)
-                return (ck, cv), cache_seg, cur_tok, tok0
+                return (ck, cv), cache_seg, cur_tok, slot_temp, slot_top_p, tok0
 
             self._fill_fns[bucket] = fill
         return self._fill_fns[bucket]
@@ -211,9 +234,11 @@ class ContinuousBatcher:
             batch = {k: jnp.asarray(v) for k, v in hb.items()}
             l = batch["tokens"].shape[1]
             self._rng, sub = jax.random.split(self._rng)
-            self.cache, self.cache_seg, self.cur_tok, _ = self._fill_fn(l)(
+            (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
+             self.slot_top_p, _) = self._fill_fn(l)(
                 self.params, self.cache, self.cache_seg, self.cur_tok,
-                batch, 0, sub,
+                self.slot_temp, self.slot_top_p, batch, 0, sub,
+                jnp.float32(self.gen.temperature), jnp.float32(self.gen.top_p),
             )
         infl: "collections.deque" = collections.deque()
         self._dispatch_chunk(infl)
@@ -226,7 +251,9 @@ class ContinuousBatcher:
         self.slot_req = [None] * self.num_slots
 
     def submit(self, sample: multimodal.MMSample,
-               max_new_tokens: Optional[int] = None) -> Request:
+               max_new_tokens: Optional[int] = None, *,
+               temperature: Optional[float] = None,
+               top_p: Optional[float] = None) -> Request:
         import jax.numpy as jnp
 
         # Reject prompts the cache cannot hold: collate pads an over-bucket
@@ -250,6 +277,7 @@ class ContinuousBatcher:
         req = Request(
             uid=next(self._uid), sample=sample,
             max_new_tokens=max_new_tokens,
+            temperature=temperature, top_p=top_p,
         )
         # Collate + start the H2D transfer NOW (async): by the time the
         # engine loop refills a slot, the tiles are already on device.
@@ -286,9 +314,13 @@ class ContinuousBatcher:
             batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         l = batch["tokens"].shape[1]
         self._rng, sub = jax.random.split(self._rng)
-        self.cache, self.cache_seg, self.cur_tok, tok0 = self._fill_fn(l)(
-            self.params, self.cache, self.cache_seg, self.cur_tok, batch,
-            slot, sub,
+        temp = self.gen.temperature if req.temperature is None else req.temperature
+        top_p = self.gen.top_p if req.top_p is None else req.top_p
+        (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
+         self.slot_top_p, tok0) = self._fill_fn(l)(
+            self.params, self.cache, self.cache_seg, self.cur_tok,
+            self.slot_temp, self.slot_top_p, batch, slot, sub,
+            jnp.float32(temp), jnp.float32(top_p),
         )
         # Cap the request so cache writes never pass max_len: emitting N tokens
         # writes indices [l, l+N-2] (ADVICE r1: clamping the write index
@@ -336,7 +368,8 @@ class ContinuousBatcher:
         self._rng, sub = jax.random.split(self._rng)
         self.cache, self.cache_seg, self.cur_tok, toks = self._step_fn(
             self.params, self.cache, self.cache_seg, self.cur_tok,
-            jnp.asarray(positions), jnp.asarray(write_idx), sub,
+            jnp.asarray(positions), jnp.asarray(write_idx),
+            self.slot_temp, self.slot_top_p, sub,
         )
         self.slot_len += self.steps_per_sync
         self.slot_real_len += self.steps_per_sync

@@ -39,6 +39,37 @@ class GenerationConfig:
     top_p: float = 1.0  # 1 -> disabled
 
 
+def sample_token_vec(
+    logits: jnp.ndarray,
+    temperature: jnp.ndarray,  # [B] f32; <=0 -> greedy for that row
+    top_p: jnp.ndarray,  # [B] f32; >=1 -> disabled for that row
+    rng: jax.Array,
+    *,
+    top_k: int = 0,  # scalar (shape-static); 0 -> disabled
+) -> jnp.ndarray:
+    """Per-ROW temperature/top-p sampling for the continuous engine: each
+    slot serves a different request with its own sampling params (the
+    threaded worker honors per-request temperature/top_p; the shared-batch
+    engine must too)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    l = logits.astype(jnp.float32) / t
+    if top_k > 0:
+        kth = jax.lax.top_k(l, top_k)[0][:, -1:]
+        l = jnp.where(l < kth, -jnp.inf, l)
+    p = jnp.maximum(top_p, 1e-6)[:, None]
+    sorted_logits = jnp.sort(l, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < p  # first token always kept (0 < p)
+    threshold = jnp.min(
+        jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    l = jnp.where(l < threshold, -jnp.inf, l)
+    sampled = jax.random.categorical(rng, l, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
 def sample_token(
     logits: jnp.ndarray, gen: GenerationConfig, rng: jax.Array
 ) -> jnp.ndarray:

@@ -137,7 +137,8 @@ def resize_vocab_for_hf(
     """
     rng = np.random.default_rng(seed)
 
-    def grow(key: str, n_new: int, like: np.ndarray):
+    def grow(key: str, n_new: int):
+        orig_dtype = state[key].dtype
         w = state[key].astype(np.float32)
         mu = w.mean(axis=0)
         centered = w - mu
@@ -148,7 +149,9 @@ def resize_vocab_for_hf(
             sigma * 1e-5 + np.eye(d, dtype=np.float32) * 1e-12
         )
         new_rows = mu + rng.standard_normal((n_new, d)).astype(np.float32) @ chol.T
-        state[key] = np.concatenate([w, new_rows.astype(w.dtype)], axis=0)
+        # back to the CHECKPOINT dtype (w.dtype here is the f32 working copy;
+        # using it stored grown embeddings as f32 in an otherwise-f16 file)
+        state[key] = np.concatenate([w, new_rows], axis=0).astype(orig_dtype)
 
     embed_key = "language_model.model.embed_tokens.weight"
     vocab = state[embed_key].shape[0]
@@ -156,10 +159,10 @@ def resize_vocab_for_hf(
     target = -(-target // pad_to_multiple) * pad_to_multiple
     n_new = target - vocab
     if n_new > 0:
-        grow(embed_key, n_new, state[embed_key])
+        grow(embed_key, n_new)
         head_key = "language_model.lm_head.weight"
         if head_key in state:
-            grow(head_key, n_new, state[head_key])
+            grow(head_key, n_new)
     return target
 
 
@@ -207,7 +210,7 @@ def save_radvlm_hf(params, cfg: RadVLMConfig, path: str,
         "video_token_index": video_token_index,
         "tie_word_embeddings": cfg.text.tie_word_embeddings,
         "text_config": {
-            "model_type": "qwen2",
+            "model_type": "qwen2_moe" if cfg.text.num_experts else "qwen2",
             "vocab_size": vocab,
             "hidden_size": cfg.text.hidden_size,
             "intermediate_size": cfg.text.intermediate_size,
@@ -219,6 +222,18 @@ def save_radvlm_hf(params, cfg: RadVLMConfig, path: str,
             "rms_norm_eps": cfg.text.rms_norm_eps,
             "tie_word_embeddings": cfg.text.tie_word_embeddings,
             "max_position_embeddings": cfg.text.max_position_embeddings,
+            # MoE fields (weights export under mlp.experts.*/mlp.gate; the
+            # config must agree or HF instantiates a dense decoder)
+            **({
+                "num_experts": cfg.text.num_experts,
+                "num_experts_per_tok": cfg.text.num_experts_per_tok,
+                "moe_intermediate_size": cfg.text.moe_intermediate_size,
+                "shared_expert_intermediate_size":
+                    cfg.text.shared_expert_intermediate_size,
+                "norm_topk_prob": cfg.text.norm_topk_prob,
+                "decoder_sparse_step": 1,
+                "mlp_only_layers": [],
+            } if cfg.text.num_experts else {}),
         },
         "vision_config": {
             "model_type": "siglip_vision_model",

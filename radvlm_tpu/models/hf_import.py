@@ -417,9 +417,21 @@ def config_from_hf_dir(path: str) -> RadVLMConfig:
             )
         elif rtype == "linear":
             rope_kwargs = dict(rope_scaling=rope.get("factor", 1.0))
+    moe_kwargs = {}
+    if text_cfg.get("num_experts"):  # qwen2_moe checkpoints
+        moe_kwargs = dict(
+            num_experts=text_cfg["num_experts"],
+            num_experts_per_tok=text_cfg.get("num_experts_per_tok", 4),
+            moe_intermediate_size=text_cfg.get("moe_intermediate_size", 0),
+            shared_expert_intermediate_size=text_cfg.get(
+                "shared_expert_intermediate_size", 0
+            ),
+            norm_topk_prob=text_cfg.get("norm_topk_prob", False),
+        )
     text = Qwen2Config(
         attention_bias=text_cfg.get("attention_bias", model_type != "llama"),
         **rope_kwargs,
+        **moe_kwargs,
         vocab_size=text_cfg.get("vocab_size", 152064),
         hidden_size=text_cfg.get("hidden_size", 3584),
         intermediate_size=text_cfg.get("intermediate_size", 18944),
@@ -435,14 +447,28 @@ def config_from_hf_dir(path: str) -> RadVLMConfig:
         tie_word_embeddings=text_cfg.get("tie_word_embeddings", False),
         max_position_embeddings=text_cfg.get("max_position_embeddings", 32768),
     )
-    vision = SigLIPConfig(
-        hidden_size=vis_cfg.get("hidden_size", 1152),
-        intermediate_size=vis_cfg.get("intermediate_size", 4304),
-        num_layers=vis_cfg.get("num_hidden_layers", 26),
-        num_heads=vis_cfg.get("num_attention_heads", 16),
-        image_size=vis_cfg.get("image_size", 384),
-        patch_size=vis_cfg.get("patch_size", 14),
-    )
+    if vis_cfg.get("model_type") == "clip_vision_model":
+        from radvlm_tpu.models.clip import CLIPVisionConfig
+
+        # select_layer=-2 contract: run one fewer layer than pretrained
+        # (`clip_encoder.py:24-33`, mirrored in models/clip.py).
+        vision = CLIPVisionConfig(
+            hidden_size=vis_cfg.get("hidden_size", 1024),
+            intermediate_size=vis_cfg.get("intermediate_size", 4096),
+            num_layers=vis_cfg.get("num_hidden_layers", 24) - 1,
+            num_heads=vis_cfg.get("num_attention_heads", 16),
+            image_size=vis_cfg.get("image_size", 336),
+            patch_size=vis_cfg.get("patch_size", 14),
+        )
+    else:
+        vision = SigLIPConfig(
+            hidden_size=vis_cfg.get("hidden_size", 1152),
+            intermediate_size=vis_cfg.get("intermediate_size", 4304),
+            num_layers=vis_cfg.get("num_hidden_layers", 26),
+            num_heads=vis_cfg.get("num_attention_heads", 16),
+            image_size=vis_cfg.get("image_size", 384),
+            patch_size=vis_cfg.get("patch_size", 14),
+        )
     # Anyres policy from the HF fields (`image_grid_pinpoints` lists
     # (height, width) pixel candidates = grid cells x tile size;
     # `vision_aspect_ratio` carries the anyres_max_N token cap).

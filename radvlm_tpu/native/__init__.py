@@ -12,6 +12,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -22,6 +23,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libanyres.so")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_build_lock = threading.Lock()  # serialize first-use builds across threads
 
 
 def _build() -> bool:
@@ -39,13 +41,20 @@ def _build() -> bool:
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-        os.path.join(_DIR, "anyres.cc")
-    ):
-        if not _build():
+    with _build_lock:  # two prefetch threads must not race the c++ build
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        src = os.path.join(_DIR, "anyres.cc")
+        # source may be absent in a built deployment: a prebuilt .so is used
+        # as-is (getmtime on the missing source crashed available())
+        stale = os.path.exists(src) and (
+            not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(src)
+        )
+        if not os.path.exists(_SO) and not os.path.exists(src):
+            return None
+        if stale and not _build():
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -87,12 +96,18 @@ def _build_jpeg() -> bool:
 
 def _load_jpeg() -> Optional[ctypes.CDLL]:
     global _jpeg_lib, _jpeg_tried
-    if _jpeg_lib is not None or _jpeg_tried:
-        return _jpeg_lib
-    _jpeg_tried = True
-    src = os.path.join(_DIR, "jpeg.cc")
-    if not os.path.exists(_JPEG_SO) or os.path.getmtime(_JPEG_SO) < os.path.getmtime(src):
-        if not _build_jpeg():
+    with _build_lock:
+        if _jpeg_lib is not None or _jpeg_tried:
+            return _jpeg_lib
+        _jpeg_tried = True
+        src = os.path.join(_DIR, "jpeg.cc")
+        stale = os.path.exists(src) and (
+            not os.path.exists(_JPEG_SO)
+            or os.path.getmtime(_JPEG_SO) < os.path.getmtime(src)
+        )
+        if not os.path.exists(_JPEG_SO) and not os.path.exists(src):
+            return None
+        if stale and not _build_jpeg():
             return None
     try:
         lib = ctypes.CDLL(_JPEG_SO)

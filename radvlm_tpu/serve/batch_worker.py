@@ -78,9 +78,16 @@ class BatchWorker:
                         ev = self._events.get(req.uid)
                     if ev:
                         ev.set()
-            except Exception:
+            except Exception as e:
                 log.exception("batcher engine error; continuing")
-                # Unblock every waiter: their requests died with this batch.
+                # Fail every in-flight request EXPLICITLY (marking error so
+                # waiters don't present truncated emissions as success), then
+                # unblock the waiters.
+                for req in list(self.batcher.slot_req):
+                    if req is not None:
+                        req.error = f"engine error: {e}"
+                        req.done = True
+                self.batcher.slot_req = [None] * self.batcher.num_slots
                 with self._lock:
                     for ev in self._events.values():
                         ev.set()
@@ -99,15 +106,37 @@ class BatchWorker:
         ev = threading.Event()
         try:
             req = self.batcher.submit(
-                sample, max_new_tokens=int(params_req.get("max_new_tokens", 256))
+                sample,
+                max_new_tokens=int(params_req.get("max_new_tokens", 256)),
+                # per-request sampling (same protocol fields serve/worker.py
+                # honors; each slot samples with its own params)
+                temperature=(
+                    float(params_req["temperature"])
+                    if "temperature" in params_req else None
+                ),
+                top_p=(
+                    float(params_req["top_p"])
+                    if "top_p" in params_req else None
+                ),
             )
         except ValueError as e:  # e.g. prompt exceeds the largest bucket
             return {"text": f"error: {e}", "error_code": 1}
         with self._lock:
             self._events[req.uid] = ev
-        ok = ev.wait(timeout=600)
+        # The event can be registered AFTER the engine already finished the
+        # request (submit -> engine completes -> we register): wait in short
+        # intervals and also trust req.done so that race never shows as a
+        # spurious 600s timeout (code-review finding).
+        deadline = time.time() + 600
+        ok = False
+        while time.time() < deadline:
+            if ev.wait(timeout=1.0) or req.done:
+                ok = True
+                break
         with self._lock:
             self._events.pop(req.uid, None)
+        if req.error:
+            return {"text": f"error: {req.error}", "error_code": 1}
         if not ok:
             return {"text": "timeout", "error_code": 4}
         stops = list(self.runner.template.stop_strings) + list(

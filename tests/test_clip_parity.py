@@ -126,3 +126,28 @@ def test_radvlm_end_to_end_with_clip_tower(rng):
     logits, _ = radvlm.forward(params, cfg, batch, attn_impl="xla")
     assert logits.shape[0] == 1 and logits.shape[-1] == cfg.text.vocab_size
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_config_from_hf_dir_clip(tmp_path):
+    """A clip_vision_model vision_config builds a CLIPVisionConfig (with the
+    select_layer=-2 drop) instead of silently misconfiguring SigLIP."""
+    import json
+
+    cfg_dict = {
+        "model_type": "llava_onevision",
+        "text_config": {"model_type": "qwen2", "vocab_size": 128,
+                        "hidden_size": 32, "intermediate_size": 64,
+                        "num_hidden_layers": 2, "num_attention_heads": 4,
+                        "num_key_value_heads": 2, "head_dim": 8},
+        "vision_config": {
+            "model_type": "clip_vision_model",
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 3, "num_attention_heads": 2,
+            "image_size": 42, "patch_size": 14,
+        },
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg_dict))
+    cfg = hf_import.config_from_hf_dir(str(tmp_path))
+    assert towers.kind(cfg.vision) == "clip"
+    assert cfg.vision.num_layers == 2  # pretrained 3 minus select_layer=-2 drop
+    assert cfg.vision.image_size == 42

@@ -127,3 +127,38 @@ def test_submit_rejects_overlong_prompt(rng):
     short = multimodal.build_sample([5, 6, 7], [], cfg)
     req = b.submit(short, 0)
     assert req.max_new_tokens == 1
+
+
+def test_per_request_sampling_params(rng):
+    """Slots honor per-request temperature: a greedy request in the same
+    batch as a hot-temperature request still decodes greedily (matching the
+    static engine), while the hot request actually samples."""
+    import jax
+
+    from radvlm_tpu import config as cfglib
+    from radvlm_tpu.generation.continuous import ContinuousBatcher
+    from radvlm_tpu.generation.engine import GenerationConfig
+    from radvlm_tpu.models import multimodal, radvlm
+
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    gen = GenerationConfig(max_new_tokens=8, eos_token_ids=(), temperature=0.0)
+    b = ContinuousBatcher(params, cfg, gen, num_slots=2, max_len=256,
+                          prompt_buckets=(128,))
+    img = rng.integers(0, 255, size=(64, 56, 3), dtype=np.uint8)
+    ids = [5, IMAGE_TOKEN_INDEX] + list(rng.integers(2, 400, size=8))
+    sample = multimodal.build_sample(ids, [img], cfg)
+
+    greedy_req = b.submit(sample, 8)  # engine default: greedy
+    hot_req = b.submit(sample, 8, temperature=5.0, top_p=1.0)
+    done = {r.uid: r.emitted for r in b.run()}
+    assert len(done) == 2
+
+    # reference greedy result from a fresh greedy-only batcher
+    b2 = ContinuousBatcher(params, cfg, gen, num_slots=2, max_len=256,
+                          prompt_buckets=(128,))
+    ref = b2.submit(sample, 8)
+    list(b2.run())
+    assert done[greedy_req.uid] == ref.emitted
+    # the hot-temperature slot diverges from greedy with overwhelming odds
+    assert done[hot_req.uid] != ref.emitted

@@ -308,7 +308,8 @@ def test_chest_imagenome(mimic_root, tmp_path):
     assert all(0.0 <= c <= 1.0 for c in box)  # normalized by Columns/Rows
     assert s["label"] in s["instr"]["question"] or s["label"] in s["instr"]["answer"]
     # missing-ids cache got created
-    assert os.path.exists(ima / "silver_dataset" / "missing_ids.json")
+    # per-split cache (a shared one leaked one split's missing set into another)
+    assert os.path.exists(ima / "silver_dataset" / "missing_ids_train.json")
 
 
 # ---------------------------------------------------------------------------

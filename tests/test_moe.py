@@ -217,3 +217,31 @@ def test_moe_fuse_projections(hf_model):
     a, _ = _forward(params, ids)
     b, _ = _forward(fused, ids)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_config_from_hf_dir_moe(tmp_path):
+    """config_from_hf_dir maps qwen2_moe text_config fields (code-review
+    finding: every MoE checkpoint crashed in the dense import branch)."""
+    import json
+
+    cfg_dict = {
+        "model_type": "llava_onevision",
+        "text_config": {
+            "model_type": "qwen2_moe",
+            "vocab_size": 128, "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "head_dim": 8, "rope_theta": 10000.0,
+            "num_experts": 4, "num_experts_per_tok": 2,
+            "moe_intermediate_size": 48,
+            "shared_expert_intermediate_size": 56,
+            "norm_topk_prob": True,
+        },
+        "vision_config": {},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg_dict))
+    cfg = hf_import.config_from_hf_dir(str(tmp_path))
+    assert cfg.text.num_experts == 4
+    assert cfg.text.num_experts_per_tok == 2
+    assert cfg.text.moe_intermediate_size == 48
+    assert cfg.text.shared_expert_intermediate_size == 56
+    assert cfg.text.norm_topk_prob is True
