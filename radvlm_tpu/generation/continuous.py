@@ -118,7 +118,7 @@ class ContinuousBatcher:
         self._uid = itertools.count(1)  # thread-safe-enough uid source
 
         self._fill_fns: Dict[int, Callable] = {}
-        self._step_fn = self._build_step()
+        self._step_fns = self._build_step()
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -129,9 +129,7 @@ class ContinuousBatcher:
 
         K = self.steps_per_sync
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step_chunk(params, cache, cache_seg, tok, positions, write_idx,
-                       slot_temp, slot_top_p, rng):
+        def make_chunk(use_sampling: bool):
             """K decode steps in ONE dispatch (lax.scan), returning all K
             sampled tokens [B, K].
 
@@ -140,40 +138,55 @@ class ContinuousBatcher:
             step pays a host round-trip (measured ~30x slowdown through the
             axon tunnel). Chunked decode keeps the device busy for K tokens
             per dispatch; `run()` additionally chains chunks without readback
-            while no slot can possibly finish (JetStream-style decode loop)."""
-            b = tok.shape[0]
+            while no slot can possibly finish (JetStream-style decode loop).
 
-            def body(carry, k):
-                cache, cache_seg, tok, positions, write_idx, rng = carry
-                cache_seg = cache_seg.at[jnp.arange(b), write_idx].set(1)
-                embeds = qwen2.embed_tokens(params["text"], tok[:, None])
-                rng, sub = jax.random.split(rng)
-                logits, cache = qwen2.forward(
-                    params["text"], cfg.text,
-                    input_embeds=embeds,
-                    positions=positions[:, None],
-                    segment_ids=jnp.ones((b, 1), jnp.int32),
-                    kv_cache=cache,
-                    cache_index=write_idx,
-                    cache_segment_ids=cache_seg,
-                    attn_impl=self.attn_impl,
+            TWO compiled variants: the pure-greedy path (eval/serving default)
+            uses a single argmax; the sampling path pays the per-row
+            temperature/top-p machinery (a full-vocab sort per step — measured
+            ~12% off e2e throughput when taken unconditionally). The host
+            picks per chunk by whether any ACTIVE slot samples."""
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def step_chunk(params, cache, cache_seg, tok, positions, write_idx,
+                           slot_temp, slot_top_p, rng):
+                b = tok.shape[0]
+
+                def body(carry, k):
+                    cache, cache_seg, tok, positions, write_idx, rng = carry
+                    cache_seg = cache_seg.at[jnp.arange(b), write_idx].set(1)
+                    embeds = qwen2.embed_tokens(params["text"], tok[:, None])
+                    rng, sub = jax.random.split(rng)
+                    logits, cache = qwen2.forward(
+                        params["text"], cfg.text,
+                        input_embeds=embeds,
+                        positions=positions[:, None],
+                        segment_ids=jnp.ones((b, 1), jnp.int32),
+                        kv_cache=cache,
+                        cache_index=write_idx,
+                        cache_segment_ids=cache_seg,
+                        attn_impl=self.attn_impl,
+                    )
+                    if use_sampling:
+                        nxt = sample_token_vec(
+                            logits[:, 0], slot_temp, slot_top_p, sub,
+                            top_k=self.gen.top_k,
+                        )
+                    else:
+                        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                    positions = positions + 1
+                    write_idx = jnp.minimum(write_idx + 1, self.max_len - 1)
+                    return (cache, cache_seg, nxt, positions, write_idx, rng), nxt
+
+                (cache, cache_seg, tok, _, _, _), toks = jax.lax.scan(
+                    body,
+                    (cache, cache_seg, tok, positions, write_idx, rng),
+                    jnp.arange(K),
                 )
-                nxt = sample_token_vec(
-                    logits[:, 0], slot_temp, slot_top_p, sub,
-                    top_k=self.gen.top_k,
-                )
-                positions = positions + 1
-                write_idx = jnp.minimum(write_idx + 1, self.max_len - 1)
-                return (cache, cache_seg, nxt, positions, write_idx, rng), nxt
+                return cache, cache_seg, tok, jnp.swapaxes(toks, 0, 1)
 
-            (cache, cache_seg, tok, _, _, _), toks = jax.lax.scan(
-                body,
-                (cache, cache_seg, tok, positions, write_idx, rng),
-                jnp.arange(K),
-            )
-            return cache, cache_seg, tok, jnp.swapaxes(toks, 0, 1)
+            return step_chunk
 
-        return step_chunk
+        return {False: make_chunk(False), True: make_chunk(True)}
 
     def _fill_fn(self, bucket: int):
         """ONE jitted dispatch per refill: prefill the prompt, sample the
@@ -349,6 +362,16 @@ class ContinuousBatcher:
         if req.done:
             self.slot_req[slot] = None
 
+    def _sampling_active(self) -> bool:
+        """True when any active slot needs the sampling chunk variant."""
+        for r in self.slot_req:
+            if r is None:
+                continue
+            t = self.gen.temperature if r.temperature is None else r.temperature
+            if t > 0.0:
+                return True
+        return False
+
     def _active(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is not None]
 
@@ -366,7 +389,8 @@ class ContinuousBatcher:
         # slots decode garbage, so clamping their stale index is harmless.
         write_idx = np.minimum(self.slot_len, self.max_len - 1).astype(np.int32)
         self._rng, sub = jax.random.split(self._rng)
-        self.cache, self.cache_seg, self.cur_tok, toks = self._step_fn(
+        step_fn = self._step_fns[self._sampling_active()]
+        self.cache, self.cache_seg, self.cur_tok, toks = step_fn(
             self.params, self.cache, self.cache_seg, self.cur_tok,
             jnp.asarray(positions), jnp.asarray(write_idx),
             self.slot_temp, self.slot_top_p, sub,
