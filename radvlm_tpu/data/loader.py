@@ -58,9 +58,13 @@ class LlavaJsonDataset:
         `train.py:1040-1058`): ~chars/4 text tokens + a fixed image budget."""
         cell = self.cells[i]
         text_chars = sum(len(c["value"]) for c in cell["conversations"])
-        img_tokens = (
-            self.cfg.tokens_per_tile * 5 if cell.get("image") else 0
+        image = cell.get("image")
+        # per-IMAGE budget: a multi-image cell bucketed as one image would
+        # overflow its bucket and get hard-clipped (supervision silently lost)
+        n_images = len(image) if isinstance(image, (list, tuple)) else (
+            1 if image else 0
         )
+        img_tokens = self.cfg.tokens_per_tile * 5 * n_images
         return text_chars // 4 + img_tokens + 64
 
     def __getitem__(self, i: int) -> multimodal.MMSample:
@@ -165,6 +169,13 @@ def bucketed_batches(
             batches.append((b, [int(x) for x in idxs[s:s + batch_size]]))
     order = rng.permutation(len(batches))
     batches = [batches[i] for i in order]
+    # Every process MUST see the same number of batches: the pjit step runs
+    # cross-host collectives, so unequal counts deadlock the job at epoch end.
+    # Pad by wrapping (the reference DistributedSampler's repeat-to-even
+    # semantics) before the strided shard.
+    if process_count > 1 and len(batches) % process_count:
+        pad = process_count - len(batches) % process_count
+        batches = batches + batches[:pad]
     return batches[process_index::process_count]
 
 
@@ -198,7 +209,7 @@ class PrefetchLoader:
         # (segment-id isolation; see multimodal.pack_samples) — fills bucket
         # rows with the mixture's short samples instead of padding.
         self.pack_factor = pack_factor
-        self._pos_rng = np.random.default_rng(seed ^ 0x9E3779B9)
+        self._pos_seed = seed ^ 0x9E3779B9
         self._lengths = [
             dataset.estimated_length(i) for i in range(len(dataset))
         ]
@@ -226,8 +237,18 @@ class PrefetchLoader:
             samples.append(s)
         if not samples:
             raise RuntimeError(f"entire batch failed to load: {idxs}")
-        while len(samples) < len(idxs):  # keep the batch shape static
-            samples.append(samples[-1])
+        if len(samples) < len(idxs):
+            # Shape-only filler: duplicate the last good sample but strip its
+            # supervision (labels all IGNORE) — a verbatim duplicate would
+            # double that sample's gradient weight in the loss.
+            from radvlm_tpu.config import IGNORE_INDEX
+
+            filler = dataclasses.replace(
+                samples[-1],
+                labels=np.full_like(samples[-1].labels, IGNORE_INDEX),
+            )
+            while len(samples) < len(idxs):  # keep the batch shape static
+                samples.append(filler)
         if self.pack_factor > 1:
             samples = self._pack_rows(samples, bucket)
         batch = multimodal.collate(
@@ -241,7 +262,11 @@ class PrefetchLoader:
             for key in ("tokens", "img_src", "labels", "segment_ids", "positions"):
                 batch[key] = batch[key][:, : bucket.max_len]
         if self.pos_skip_range > 0:
-            batch = apply_pos_skipping(batch, self._pos_rng, self.pos_skip_range)
+            # per-BATCH generator derived from the plan entry: _build runs on
+            # pool threads and a shared np Generator is neither thread-safe
+            # nor deterministic under varying completion order
+            rng = np.random.default_rng((self._pos_seed, b, idxs[0]))
+            batch = apply_pos_skipping(batch, rng, self.pos_skip_range)
         return batch
 
     def _pack_rows(self, samples, bucket: Bucket):
@@ -287,6 +312,19 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            """q.put that re-checks `stop` while the queue is full — a plain
+            blocking put deadlocks the producer (and leaks the whole thread
+            pool + queued batches) when the consumer abandons the epoch
+            mid-stream (e.g. max_steps)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             # Sliding window of outstanding builds (bounds memory: completed
             # batches only live in `q`, at most `prefetch` + window of them).
@@ -302,17 +340,21 @@ class PrefetchLoader:
                     if stop.is_set():
                         return
                     try:
-                        q.put(fut.result())
+                        item = fut.result()
                     except Exception as e:
-                        q.put(e)
+                        item = e
+                    if not put_checked(item):
+                        return
                 for fut in pending:
                     if stop.is_set():
                         return
                     try:
-                        q.put(fut.result())
+                        item = fut.result()
                     except Exception as e:
-                        q.put(e)
-            q.put(None)
+                        item = e
+                    if not put_checked(item):
+                        return
+            put_checked(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -213,6 +213,45 @@ GT_FIELDS = {
 }
 
 
+def _allgather_objects(objs):
+    """Gather arbitrary python objects (result dicts with STRING leaves and
+    ragged per-process counts) across hosts.
+
+    `multihost_utils.process_allgather` only handles uniform numeric arrays —
+    feeding it the result dicts crashes on str leaves and ragged lengths
+    (code-review repro). Serialize to JSON bytes, allgather the (padded)
+    uint8 buffers plus their lengths, deserialize everything.
+    Role of the reference's accelerate `gather_object`
+    (`evaluate_instructions.py:265-266`)."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(
+        _json.dumps(
+            objs, default=lambda o: o.tolist() if hasattr(o, "tolist") else str(o)
+        ).encode("utf-8"),
+        dtype=np.uint8,
+    )
+    lengths = multihost_utils.process_allgather(
+        jnp.asarray([payload.size], jnp.int32)
+    )
+    lengths = np.asarray(lengths).reshape(-1)
+    max_len = int(lengths.max())
+    padded = np.zeros((max_len,), np.uint8)
+    padded[: payload.size] = payload
+    gathered = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(padded))
+    ).reshape(len(lengths), max_len)
+    out = []
+    for row, n in zip(gathered, lengths):
+        out.extend(_json.loads(bytes(row[: int(n)]).decode("utf-8")))
+    return out
+
+
 def _run_continuous(
     runner: VLMRunner, dataset, task: str, my_indices, progress
 ) -> List[Dict]:
@@ -225,17 +264,24 @@ def _run_continuous(
         eos_token_ids=runner.tokenizer.eos_token_ids,
         pad_token_id=runner.tokenizer.pad_token_id,
     )
-    # Build all prompts first so the cache length covers the longest one.
-    prepared = []
-    for i in my_indices:
-        s = dataset[i]
+    # Pass 1 — bucket sizing only: build each sample, keep its LENGTH, drop
+    # the tiles/raw image immediately. Holding the whole shard's raw images +
+    # tiled samples resident (the previous approach) is O(dataset) host RAM —
+    # tens of GB on the 3,314-study report-gen split (code-review finding).
+    def build_mm(i):
+        s = dict(dataset[i])  # shallow copy: never mutate the adapter's dict
         prompt = runner.build_prompt("<image>\n" + s["instr"]["question"])
+        img = s.pop("img")  # drop OUR reference to the raw pixels after tiling
         mm = multimodal.build_sample(
             multimodal.tokenize_with_images(runner.tokenizer.encode, prompt),
-            [s["img"]], runner.cfg,
+            [img], runner.cfg,
         )
-        prepared.append((s, mm))
-    longest = max((mm.length for _, mm in prepared), default=128)
+        return s, mm
+
+    longest = 128
+    for i in my_indices:
+        _, mm = build_mm(i)
+        longest = max(longest, mm.length)
     bucket = -(-longest // 128) * 128
     max_len = bucket + (-(-runner.max_new_tokens // 128) * 128)
     batcher = ContinuousBatcher(
@@ -245,23 +291,38 @@ def _run_continuous(
         prompt_buckets=(bucket,),
         attn_impl=runner.attn_impl,
     )
+    # Pass 2 — submit in WAVES (submit() transfers batches to device
+    # immediately; a whole-shard upfront submission would pin the full
+    # split's collated batches in HBM). Each wave keeps the slots several
+    # refills deep, then drains before the next.
+    import itertools
+
+    wave = max(4 * runner.batch_size, 8)
     meta: Dict[int, Dict] = {}
-    for s, mm in prepared:
-        req = batcher.submit(mm)
-        meta[req.uid] = s
     results = []
-    for done, req in enumerate(batcher.run()):
-        s = meta[req.uid]
-        text = runner.tokenizer.decode(req.emitted)
-        cell = {
-            "output": trim_at_stop_strings(text, runner.template.stop_strings),
-            "instr": s["instr"],
-        }
-        for f in GT_FIELDS[task]:
-            cell[f] = s.get(f)
-        results.append(cell)
-        if progress:
-            progress(done + 1, len(my_indices))
+    it = iter(my_indices)
+    while True:
+        chunk = list(itertools.islice(it, wave))
+        if not chunk:
+            break
+        for i in chunk:
+            s, mm = build_mm(i)
+            req = batcher.submit(mm)
+            meta[req.uid] = s
+        for req in batcher.run():
+            s = meta.pop(req.uid)
+            text = runner.tokenizer.decode(req.emitted)
+            cell = {
+                "output": trim_at_stop_strings(
+                    text, runner.template.stop_strings
+                ),
+                "instr": s["instr"],
+            }
+            for f in GT_FIELDS[task]:
+                cell[f] = s.get(f)
+            results.append(cell)
+            if progress:
+                progress(len(results), len(my_indices))
     return results
 
 
@@ -313,10 +374,7 @@ def run_task(
                 progress(min(start + bs, len(my_indices)), len(my_indices))
 
     if pcount > 1:
-        from jax.experimental import multihost_utils
-
-        gathered = multihost_utils.process_allgather(results)
-        results = [r for proc in gathered for r in proc]
+        results = _allgather_objects(results)
 
     metric_task = METRIC_TASK_ALIAS.get(task, task)
     metrics = metrics_lib.evaluate_results(

@@ -137,13 +137,18 @@ class ModelWorker:
         )
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-        if self._stream_fns is None:
-            self._stream_fns = make_stream_fns(
-                self.runner.cfg, attn_impl=self.runner.attn_impl
-            )
-
         with self._lock:
+            # Init under the lock: two concurrent first requests would each
+            # pay the multi-minute compile and one result would be discarded.
+            if self._stream_fns is None:
+                self._stream_fns = make_stream_fns(
+                    self.runner.cfg, attn_impl=self.runner.attn_impl
+                )
             self.active += 1
+            # Per-request rng: wall-clock seconds collide across concurrent
+            # requests (identical "samples" at temperature > 0).
+            self._req_counter = getattr(self, "_req_counter", 0) + 1
+            rng = jax.random.key(self._req_counter)
         t0 = time.perf_counter()
         n_tok = 0
         try:
@@ -151,16 +156,17 @@ class ModelWorker:
             for tok_np in stream_generate(
                 self.runner.params, self.runner.cfg, batch, gen,
                 stream_fns=self._stream_fns,
-                rng=jax.random.key(int(time.time()) & 0x7FFFFFFF),
+                rng=rng,
             ):
                 t = int(tok_np[0])
                 n_tok += 1
                 if t in gen.eos_token_ids:
                     break
                 out_ids.append(t)
-                text = trim_at_stop_strings(tok.decode(out_ids), stops)
+                raw = tok.decode(out_ids)  # decode ONCE per step
+                text = trim_at_stop_strings(raw, stops)
                 yield {"text": text, "error_code": 0}
-                if text != tok.decode(out_ids):  # a stop string fired
+                if text != raw:  # a stop string fired
                     break
             dt = time.perf_counter() - t0
             log.info("generated %d tokens in %.2fs (%.1f tok/s)",
