@@ -326,7 +326,10 @@ class MAIRA2Baseline(BaselineModel):
                 pred[0][1], self.processor.adjust_box_for_original_image_size,
                 width=w, height=h,
             )
-        except Exception:
+        # ONLY the expected grounded-sequence parse failures: a bare except
+        # silently recorded real errors (API drift, OOM) as "no boxes",
+        # zeroing the benchmark column with no signal.
+        except (ValueError, IndexError, TypeError, KeyError):
             return ""
 
 

@@ -123,6 +123,13 @@ def _fwd_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
+        if mask is not None:
+            # Zero masked entries EXPLICITLY: on a fully-masked row every
+            # s == m_new == DEFAULT_MASK_VALUE, so exp(s - m_new) = 1 and the
+            # row would accumulate l = sum-of-ones — output mean(v) and a
+            # finite lse instead of the documented (0, -inf) contract that the
+            # ring merge's guards rely on (code-review repro).
+            p = jnp.where(mask, p, 0.0)
         l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
 
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)

@@ -118,7 +118,7 @@ def make_dpo_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def dpo_cell_to_batches(cell: Dict[str, Any], dataset=None) -> Tuple[Dict, Dict]:
+def dpo_cell_to_batches(cell: Dict[str, Any]) -> Tuple[Dict, Dict]:
     """Split a DPO llava cell ({"prompt", "chosen", "rejected", "image"}) into
     chosen/rejected conversation cells (`train_dpo.py` DPODataset contract)."""
     base = {"image": cell.get("image")}
@@ -192,9 +192,26 @@ def _build_pair_batch(dataset, idxs, bucket):
         rejected.append(r)
     if not chosen:
         raise RuntimeError(f"entire dpo batch failed to load: {idxs}")
-    while len(chosen) < len(idxs):
-        chosen.append(chosen[-1])
-        rejected.append(rejected[-1])
+    if len(chosen) < len(idxs):
+        # Shape-only filler: strip supervision so the duplicated pair carries
+        # ZERO gradient (sequence_logprob sums an empty label mask; a verbatim
+        # duplicate doubled that pair's weight — same contract as the SFT
+        # loader's filler).
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        from radvlm_tpu.config import IGNORE_INDEX
+
+        fc = _dc.replace(
+            chosen[-1], labels=_np.full_like(chosen[-1].labels, IGNORE_INDEX)
+        )
+        fr = _dc.replace(
+            rejected[-1], labels=_np.full_like(rejected[-1].labels, IGNORE_INDEX)
+        )
+        while len(chosen) < len(idxs):
+            chosen.append(fc)
+            rejected.append(fr)
     collate = lambda ss: multimodal.collate(
         ss, pad_len=bucket.max_len, pad_tiles=bucket.max_tiles,
         pad_to_multiple=128,
@@ -222,6 +239,11 @@ def train_dpo(
     `run` is a `training.loop.RunConfig` whose data_path points at a preference
     json: a list of {"prompt", "chosen", "rejected", "image"?} cells.
     """
+    if dict(run.mesh_shape or {}).get("seq", 1) > 1:
+        raise ValueError(
+            "train_dpo does not wire ring attention for a seq>1 mesh (the SFT "
+            "driver does); use a (data, fsdp, tensor) mesh for DPO"
+        )
     import json
     import logging
     import time

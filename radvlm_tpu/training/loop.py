@@ -176,7 +176,7 @@ def train(
                 state, metrics = step_fn(state, batch)
             step += 1
             batch_in_epoch += 1
-            tokens_seen += int(host_batch["segment_ids"].sum())
+            tokens_seen += int((host_batch["segment_ids"] != 0).sum())
             if step % run.log_every == 0:
                 now = time.perf_counter()
                 m = {k: float(v) for k, v in metrics.items()}

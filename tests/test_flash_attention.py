@@ -221,3 +221,27 @@ def test_segment_ids_small_block_raises(rng):
     with pytest.raises(ValueError, match="multiples of 128"):
         flash_attention(q, q, q, q_segment_ids=seg, kv_segment_ids=seg,
                         causal=True, interpret=True)
+
+
+def test_fully_masked_rows_contract(rng):
+    """Padding rows (segment id 0 everywhere) must emit ZERO output and -inf
+    lse — the ring merge's guards depend on it (code-review repro: masked
+    entries hit exp(s - m) = 1 and the row silently averaged V)."""
+    from radvlm_tpu.ops.flash_attention import flash_attention_with_lse
+
+    b, s, h, d = 1, 256, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    seg = np.ones((b, s), np.int32)
+    seg[:, 128:] = 0  # second half fully padding
+    seg = jnp.asarray(seg)
+    o, lse = flash_attention_with_lse(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(o[:, 128:]), 0.0)
+    assert np.all(np.isneginf(np.asarray(lse)[:, :, 128:]))
+    # real rows unaffected
+    assert np.isfinite(np.asarray(lse)[:, :, :128]).all()
+    assert np.abs(np.asarray(o[:, :128])).max() > 0
