@@ -102,16 +102,25 @@ def run_continuous(cfg, params, gen, size):
     preprocessing + all prefills + all decodes for RADVLM_BENCH_REQS images."""
     import jax
 
-    slots = int(os.environ.get("RADVLM_BENCH_SLOTS", "16"))
-    # On RESOURCE_EXHAUSTED (HBM fragmentation can make 16 slots borderline
-    # next to 7.5 GB of weights) retry once at 12 slots so the driver always
-    # records a number.
+    slots = int(os.environ.get("RADVLM_BENCH_SLOTS", "24"))
+    # On RESOURCE_EXHAUSTED (HBM fragmentation can make the default slot count
+    # borderline next to 7.5 GB of weights) retry once at fewer slots so the
+    # driver always records a number. The retry runs OUTSIDE the except block:
+    # `e.__traceback__` pins the failed frame's ContinuousBatcher (multi-GB KV
+    # cache) in HBM, so freeing it first is what lets the retry fit.
+    oom = False
     try:
         _run_continuous(cfg, params, gen, size, slots)
     except jax.errors.JaxRuntimeError as e:
         if "RESOURCE_EXHAUSTED" not in str(e) or slots <= 12:
             raise
-        _run_continuous(cfg, params, gen, size, 12)
+        oom = True
+        del e
+    if oom:
+        import gc
+
+        gc.collect()
+        _run_continuous(cfg, params, gen, size, max(12, slots // 2))
 
 
 def _run_continuous(cfg, params, gen, size, slots):

@@ -175,7 +175,11 @@ def bucketed_batches(
     # semantics) before the strided shard.
     if process_count > 1 and len(batches) % process_count:
         pad = process_count - len(batches) % process_count
-        batches = batches + batches[:pad]
+        # Wrap modularly: pad can exceed len(batches) (fewer batches than
+        # processes on a tiny dataset), and `batches[:pad]` would under-pad,
+        # leaving per-process counts unequal — a cross-host collective
+        # deadlock at epoch end.
+        batches = batches + [batches[i % len(batches)] for i in range(pad)]
     return batches[process_index::process_count]
 
 

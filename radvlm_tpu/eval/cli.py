@@ -63,6 +63,10 @@ def main(argv=None):
         params=params, cfg=cfg, tokenizer=tok,
         max_new_tokens=args.max_new_tokens, batch_size=args.batch_size,
     )
+    # The runner holds fused copies of the q/k/v/gate/up kernels; dropping the
+    # unfused tree here frees its device buffers (~8.5 GB at 7B bf16 —
+    # keeping both resident OOMs next to the KV cache on a 16 GB chip).
+    del params
     dataset = build_task_dataset(args.task, args.data_dir)
     _, metrics = run_task(
         runner, dataset, args.task,

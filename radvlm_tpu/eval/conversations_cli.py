@@ -42,6 +42,7 @@ def main(argv=None):
         params=params, cfg=cfg, tokenizer=tok,
         max_new_tokens=args.max_new_tokens, batch_size=1,
     )
+    del params  # runner holds the fused copy; avoid double weight residency
 
     kind = "grounded" if args.grounded else "standard"
     dataset = ds.MIMICCXRDataset(

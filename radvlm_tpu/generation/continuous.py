@@ -254,7 +254,13 @@ class ContinuousBatcher:
                 jnp.float32(self.gen.temperature), jnp.float32(self.gen.top_p),
             )
         infl: "collections.deque" = collections.deque()
-        self._dispatch_chunk(infl)
+        # Compile BOTH decode-chunk variants: with no active slots
+        # _sampling_active() is False, so an unforced dispatch only compiles
+        # the greedy variant and the first temperature>0 request would stall
+        # every slot on the sampling variant's XLA compile mid-stream.
+        self._dispatch_chunk(infl, force_sampling=False)
+        self._dispatch_chunk(infl, force_sampling=True)
+        self._process_chunk(infl, [])
         self._process_chunk(infl, [])
         # reset all device/host slot state touched by the dummies
         self.cache_seg = jnp.zeros_like(self.cache_seg)
@@ -375,7 +381,7 @@ class ContinuousBatcher:
     def _active(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is not None]
 
-    def _dispatch_chunk(self, inflight) -> None:
+    def _dispatch_chunk(self, inflight, force_sampling: Optional[bool] = None) -> None:
         """Queue one K-step decode chunk on the device (no host sync).
 
         The chunk covers ALL slots (inactive ones compute garbage under
@@ -389,7 +395,10 @@ class ContinuousBatcher:
         # slots decode garbage, so clamping their stale index is harmless.
         write_idx = np.minimum(self.slot_len, self.max_len - 1).astype(np.int32)
         self._rng, sub = jax.random.split(self._rng)
-        step_fn = self._step_fns[self._sampling_active()]
+        sampling = (
+            self._sampling_active() if force_sampling is None else force_sampling
+        )
+        step_fn = self._step_fns[sampling]
         self.cache, self.cache_seg, self.cur_tok, toks = step_fn(
             self.params, self.cache, self.cache_seg, self.cur_tok,
             jnp.asarray(positions), jnp.asarray(write_idx),

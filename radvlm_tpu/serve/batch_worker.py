@@ -80,14 +80,22 @@ class BatchWorker:
                         ev.set()
             except Exception as e:
                 log.exception("batcher engine error; continuing")
-                # Fail every in-flight request EXPLICITLY (marking error so
-                # waiters don't present truncated emissions as success), then
-                # unblock the waiters.
+                # Fail every in-flight AND still-queued request EXPLICITLY
+                # (marking error so waiters don't present truncated emissions
+                # — or, for queued-but-never-filled requests, empty text — as
+                # success), then unblock the waiters.
                 for req in list(self.batcher.slot_req):
                     if req is not None:
                         req.error = f"engine error: {e}"
                         req.done = True
                 self.batcher.slot_req = [None] * self.batcher.num_slots
+                while True:
+                    try:
+                        req = self.batcher.queue.get_nowait()
+                    except Exception:
+                        break
+                    req.error = f"engine error: {e}"
+                    req.done = True
                 with self._lock:
                     for ev in self._events.values():
                         ev.set()

@@ -69,6 +69,9 @@ def main(argv=None):
         params=params, cfg=cfg, tokenizer=tok,
         max_new_tokens=args.max_new_tokens,
     )
+    # The runner fused its own copy of the projections; free the unfused tree
+    # (double residency of q/k/v/gate/up kernels OOMs a 16 GB chip at 7B).
+    del params
     model_names = [n.strip() for n in args.model_names.split(",") if n.strip()]
 
     if args.engine == "continuous":

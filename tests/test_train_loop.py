@@ -66,6 +66,16 @@ def test_bucketing():
     p1 = bucketed_batches([100] * 8, 2, buckets=buckets, process_index=1, process_count=2)
     seen = [tuple(i) for _, i in p0 + p1]
     assert len(seen) == 4 and len(set(seen)) == 4
+    # fewer batches than processes: the modular wrap must still equalize
+    # per-process counts (pad > len(batches) regression — an under-pad left
+    # counts unequal and deadlocked cross-host collectives at epoch end)
+    per_proc = [
+        bucketed_batches([100] * 2, 2, buckets=buckets,
+                         process_index=i, process_count=4)
+        for i in range(4)
+    ]
+    counts = [len(p) for p in per_proc]
+    assert counts == [1, 1, 1, 1]
 
 
 def test_loader_shapes(llava_data):
