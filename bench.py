@@ -154,10 +154,14 @@ def _run_continuous(cfg, params, gen, size, slots):
     # second multi-GB KV cache next to the weights — measured intermittent
     # OOM on 16 GB HBM); warmup() compiles every bucket's fill graph + the
     # decode chunk and resets slot state.
+    # int8 KV cache: bench default ON (halves cache residency + decode
+    # attention bytes -> 24+ slots fit where bf16 OOM'd at 24).
+    kv_quant = os.environ.get("RADVLM_KV_INT8", "1") == "1"
     b = ContinuousBatcher(
         params, cfg, gen, num_slots=slots, max_len=max_len,
         prompt_buckets=buckets, pad_tiles=6,
         steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
+        kv_quant=kv_quant,
     )
     t0 = time.perf_counter()
     b.warmup()
@@ -197,6 +201,7 @@ def _run_continuous(cfg, params, gen, size, slots):
         "decode_tokens_per_sec": round(n_reqs * NEW_TOKENS / total, 1),
         "model": f"radvlm-{size}",
         "engine": "continuous",
+        "kv_cache": "int8" if kv_quant else "bf16",
         "slots": slots,
         "requests": n_reqs,
         "new_tokens": NEW_TOKENS,

@@ -86,7 +86,10 @@ class ContinuousBatcher:
         seed: int = 0,
         steps_per_sync: int = 8,
         pipeline_depth: int = 2,
+        kv_quant: Optional[bool] = None,
     ):
+        import os
+
         import jax
         import jax.numpy as jnp
 
@@ -101,9 +104,19 @@ class ContinuousBatcher:
         self.steps_per_sync = max(1, steps_per_sync)
         self.pipeline_depth = max(0, pipeline_depth)
         self._rng = jax.random.key(seed)
+        # int8 KV cache (per-token/kv-head scales, ops/kv_quant.py): halves
+        # cache residency + decode-attention HBM traffic — 2x the slots on a
+        # 16 GB chip. None -> RADVLM_KV_INT8 env (bench/serving set it).
+        if kv_quant is None:
+            kv_quant = os.environ.get("RADVLM_KV_INT8", "0") == "1"
+        self.kv_quant = bool(kv_quant)
 
         # Device state.
-        self.cache = qwen2.init_kv_cache(cfg.text, num_slots, max_len)
+        self.cache = (
+            qwen2.init_kv_cache_q8(cfg.text, num_slots, max_len)
+            if self.kv_quant
+            else qwen2.init_kv_cache(cfg.text, num_slots, max_len)
+        )
         self.cache_seg = jnp.zeros((num_slots, max_len), jnp.int32)
         self.cur_tok = jnp.zeros((num_slots,), jnp.int32)
         # per-slot sampling params (requests may override the engine default)
@@ -199,12 +212,14 @@ class ContinuousBatcher:
         if bucket not in self._fill_fns:
             cfg, attn_impl, max_len = self.cfg, self.attn_impl, self.max_len
             gen = self.gen
+            cache_format = "int8" if self.kv_quant else "bf16"
 
             @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
             def fill(params, shared_cache, cache_seg, cur_tok, slot_temp,
                      slot_top_p, batch, slot, rng, temp, top_p):
                 cache1, seg1, last_logits = prefill(
-                    params, cfg, batch, max_len, attn_impl=attn_impl
+                    params, cfg, batch, max_len, attn_impl=attn_impl,
+                    cache_format=cache_format,
                 )
                 tok0 = sample_token_vec(
                     last_logits, temp[None], top_p[None], rng,
@@ -212,15 +227,19 @@ class ContinuousBatcher:
                 )[0]
                 slot_temp = slot_temp.at[slot].set(temp)
                 slot_top_p = slot_top_p.at[slot].set(top_p)
-                ck, cv = shared_cache
-                nk, nv = cache1
-                ck = jax.lax.dynamic_update_slice(ck, nk, (0, slot, 0, 0))
-                cv = jax.lax.dynamic_update_slice(cv, nv, (0, slot, 0, 0))
+                # Splice every cache component into the slot. Offset
+                # (0, slot, 0, 0) is correct for both layouts: slot is dim 1
+                # of the int8 k/v [L, B, S, Hkv*D] AND the scales
+                # [L, B, Hkv, S].
+                new_cache = tuple(
+                    jax.lax.dynamic_update_slice(sh, nw, (0, slot, 0, 0))
+                    for sh, nw in zip(shared_cache, cache1)
+                )
                 cache_seg = jax.lax.dynamic_update_slice(
                     cache_seg, seg1, (slot, 0)
                 )
                 cur_tok = cur_tok.at[slot].set(tok0)
-                return (ck, cv), cache_seg, cur_tok, slot_temp, slot_top_p, tok0
+                return new_cache, cache_seg, cur_tok, slot_temp, slot_top_p, tok0
 
             self._fill_fns[bucket] = fill
         return self._fill_fns[bucket]

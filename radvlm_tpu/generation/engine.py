@@ -101,11 +101,15 @@ def prefill(
     *,
     attn_impl: str = "auto",
     cache_dtype=jnp.bfloat16,
+    cache_format: str = "bf16",
 ):
     """Encode images + run the prompt through the decoder, filling the KV cache.
 
     batch: left-padded collate() output with padded length L <= max_len.
     Returns (cache, cache_segment_ids [B, max_len], last_logits [B, V]).
+    cache_format="int8": the returned cache is the 4-tuple int8 layout
+    (k, v int8 + per-(token, kv-head) scales, `ops/kv_quant.py`) — prompt K/V
+    are quantized once here, in the same jit as the prefill.
     """
     b, l = batch["tokens"].shape
     seg = batch["segment_ids"]
@@ -125,11 +129,27 @@ def prefill(
         return_hidden=True,
         collect_kv=True,
     )
-    ck, cv = qwen2.init_kv_cache(cfg.text, b, max_len, cache_dtype)
-    ck = jax.lax.dynamic_update_slice(ck, ks.astype(ck.dtype), (0, 0, 0, 0))
-    cv = jax.lax.dynamic_update_slice(cv, vs.astype(cv.dtype), (0, 0, 0, 0))
+    if cache_format == "int8":
+        from radvlm_tpu.ops.kv_quant import quantize_kv
+
+        hkv = cfg.text.num_kv_heads
+        kq, ksc = quantize_kv(ks, hkv)
+        vq, vsc = quantize_kv(vs, hkv)
+        ck, cv, kscale, vscale = qwen2.init_kv_cache_q8(cfg.text, b, max_len)
+        cache = (
+            jax.lax.dynamic_update_slice(ck, kq, (0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cv, vq, (0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(kscale, ksc, (0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(vscale, vsc, (0, 0, 0, 0)),
+        )
+    else:
+        ck, cv = qwen2.init_kv_cache(cfg.text, b, max_len, cache_dtype)
+        cache = (
+            jax.lax.dynamic_update_slice(ck, ks.astype(ck.dtype), (0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cv, vs.astype(cv.dtype), (0, 0, 0, 0)),
+        )
     logits = qwen2.unembed(params["text"], cfg.text, hidden[:, l - 1])
-    return (ck, cv), cache_seg, logits
+    return cache, cache_seg, logits
 
 
 def make_sp_prefill_fn(

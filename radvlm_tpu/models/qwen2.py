@@ -370,8 +370,7 @@ def _block_cached(
     layers: Params,  # FULL stacked layer tree (scan closes over it)
     layer_idx: jnp.ndarray,
     x: jnp.ndarray,
-    ck_all: jnp.ndarray,  # [L, B, Smax, Hkv*D] — full stacked cache (carry)
-    cv_all: jnp.ndarray,
+    cache: Tuple[jnp.ndarray, ...],  # (ck, cv) bf16 or (ck, cv, ks, vs) int8
     positions: jnp.ndarray,
     segment_ids: Optional[jnp.ndarray],
     cache_index,
@@ -393,21 +392,37 @@ def _block_cached(
     kernel, which scalar-prefetches the index into its BlockSpec maps and DMAs
     exactly one layer's int8 bytes — no dynamic-slice copy, no bf16 dequant
     round trip through HBM. Small leaves (norms, biases) slice on the fly.
+
+    int8 KV mode (4-tuple cache: int8 k/v + per-(token, kv-head) scales
+    [L, B, Hkv, Smax]): writes quantize the new row (`ops/kv_quant`), reads
+    hit the q8 decode kernel with dequant folded into the score/PV math —
+    the cache never exists in bf16 (halved HBM stream + residency).
     """
     if attn_impl == "ring":
         attn_impl = "auto"  # ring applies to training prefill, not cached decode
+    quantized = len(cache) == 4
+    if quantized:
+        ck_all, cv_all, ks_all, vs_all = cache
+    else:
+        ck_all, cv_all = cache
     res = x
     y = rms_norm(x, _take(layers["ln1"], layer_idx), cfg.rms_norm_eps)
     q, k, v = _qkv(cfg, layers, y, positions, idx=layer_idx)
     b, s = x.shape[:2]
     hkv, hd = cfg.num_kv_heads, cfg.head_dim
-    k_flat = k.reshape(b, s, hkv * hd).astype(ck_all.dtype)
-    v_flat = v.reshape(b, s, hkv * hd).astype(cv_all.dtype)
+    kv_el = jnp.bfloat16 if quantized else ck_all.dtype
+    k_flat = k.reshape(b, s, hkv * hd).astype(kv_el)
+    v_flat = v.reshape(b, s, hkv * hd).astype(kv_el)
 
     from radvlm_tpu.parallel import sp_decode as spd
 
     sp_ctx = spd.context()
     if sp_ctx is not None and s == 1:
+        if quantized:
+            raise NotImplementedError(
+                "sequence-parallel decode over an int8 KV cache is not wired; "
+                "use a bf16 cache with SP decode"
+            )
         # Sequence-parallel decode: `ck_all`/`cv_all` are this shard's LOCAL
         # cache block (running under shard_map over the seq axis). Write the
         # new K/V on the owning shard only, then merge per-shard partial
@@ -433,26 +448,62 @@ def _block_cached(
             q, ck_i, cv_i, cache_segment_ids,
             num_kv_heads=hkv, axis_name=axis_name,
         )
-        return _finish_block(cfg, layers, res, attn, idx=layer_idx), ck_all, cv_all
+        return _finish_block(cfg, layers, res, attn, idx=layer_idx), (ck_all, cv_all)
 
     per_row = getattr(cache_index, "ndim", 0) == 1
     if per_row:
         # Continuous batching: each slot decodes at its own cache position —
         # scatter one row per slot (s == 1).
         rows = jnp.arange(b)
-        ck_all = ck_all.at[layer_idx, rows, cache_index].set(
-            k_flat[:, 0], unique_indices=True
-        )
-        cv_all = cv_all.at[layer_idx, rows, cache_index].set(
-            v_flat[:, 0], unique_indices=True
-        )
+        if quantized:
+            from radvlm_tpu.ops.kv_quant import quantize_kv_row
+
+            kq, ksc = quantize_kv_row(k_flat[:, 0], hkv)
+            vq, vsc = quantize_kv_row(v_flat[:, 0], hkv)
+            ck_all = ck_all.at[layer_idx, rows, cache_index].set(
+                kq, unique_indices=True
+            )
+            cv_all = cv_all.at[layer_idx, rows, cache_index].set(
+                vq, unique_indices=True
+            )
+            ks_all = ks_all.at[layer_idx, rows, :, cache_index].set(
+                ksc, unique_indices=True
+            )
+            vs_all = vs_all.at[layer_idx, rows, :, cache_index].set(
+                vsc, unique_indices=True
+            )
+        else:
+            ck_all = ck_all.at[layer_idx, rows, cache_index].set(
+                k_flat[:, 0], unique_indices=True
+            )
+            cv_all = cv_all.at[layer_idx, rows, cache_index].set(
+                v_flat[:, 0], unique_indices=True
+            )
     else:
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k_flat[None], (layer_idx, 0, cache_index, 0)
-        )
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v_flat[None], (layer_idx, 0, cache_index, 0)
-        )
+        if quantized:
+            from radvlm_tpu.ops.kv_quant import quantize_kv
+
+            kq, ksc = quantize_kv(k_flat, hkv)
+            vq, vsc = quantize_kv(v_flat, hkv)
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, kq[None], (layer_idx, 0, cache_index, 0)
+            )
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, vq[None], (layer_idx, 0, cache_index, 0)
+            )
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, ksc[None], (layer_idx, 0, 0, cache_index)
+            )
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, vsc[None], (layer_idx, 0, 0, cache_index)
+            )
+        else:
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k_flat[None], (layer_idx, 0, cache_index, 0)
+            )
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v_flat[None], (layer_idx, 0, cache_index, 0)
+            )
     smax = ck_all.shape[2]
     if (
         s == 1
@@ -463,15 +514,30 @@ def _block_cached(
     ):
         # Decode hot path: Pallas kernel indexes the stacked cache directly via
         # scalar-prefetched layer index — zero slice materialization.
-        from radvlm_tpu.ops.decode_attention import decode_attention_stacked
+        if quantized:
+            from radvlm_tpu.ops.decode_attention import decode_attention_stacked_q8
 
-        attn = decode_attention_stacked(
-            q[:, 0], ck_all, cv_all, cache_segment_ids, layer_idx,
-            num_kv_heads=hkv,
-        )[:, None]
+            attn = decode_attention_stacked_q8(
+                q[:, 0], ck_all, cv_all, ks_all, vs_all, cache_segment_ids,
+                layer_idx, num_kv_heads=hkv,
+            )[:, None]
+        else:
+            from radvlm_tpu.ops.decode_attention import decode_attention_stacked
+
+            attn = decode_attention_stacked(
+                q[:, 0], ck_all, cv_all, cache_segment_ids, layer_idx,
+                num_kv_heads=hkv,
+            )[:, None]
     else:
         ck_i = jax.lax.dynamic_index_in_dim(ck_all, layer_idx, 0, keepdims=False)
         cv_i = jax.lax.dynamic_index_in_dim(cv_all, layer_idx, 0, keepdims=False)
+        if quantized:
+            from radvlm_tpu.ops.kv_quant import dequantize_kv
+
+            ks_i = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
+            vs_i = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
+            ck_i = dequantize_kv(ck_i, ks_i, hkv)
+            cv_i = dequantize_kv(cv_i, vs_i, hkv)
         attn = mha(
             q,
             ck_i.reshape(b, smax, hkv, hd),
@@ -483,7 +549,10 @@ def _block_cached(
             else cache_index,
             impl=attn_impl,
         )
-    return _finish_block(cfg, layers, res, attn, idx=layer_idx), ck_all, cv_all
+    new_cache = (
+        (ck_all, cv_all, ks_all, vs_all) if quantized else (ck_all, cv_all)
+    )
+    return _finish_block(cfg, layers, res, attn, idx=layer_idx), new_cache
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -533,24 +602,23 @@ def forward(
 
     if kv_cache is not None:
         def body_cached(carry, i):
-            x, ck_all, cv_all = carry
-            x, ck_all, cv_all = _block_cached(
-                cfg, layer_params, i, x, ck_all, cv_all, positions, segment_ids,
+            x, cache = carry[0], carry[1:]
+            x, cache = _block_cached(
+                cfg, layer_params, i, x, cache, positions, segment_ids,
                 cache_index, cache_segment_ids, attn_impl,
             )
-            return (x, ck_all, cv_all), None
+            return (x, *cache), None
 
         if remat:
             body_cached = jax.checkpoint(
                 body_cached, policy=jax.checkpoint_policies.nothing_saveable
             )
-        ck_all, cv_all = kv_cache
-        (x, ck_all, cv_all), _ = jax.lax.scan(
+        carry, _ = jax.lax.scan(
             body_cached,
-            (x, ck_all, cv_all),
+            (x, *tuple(kv_cache)),
             jnp.arange(cfg.num_layers),
         )
-        new_cache = (ck_all, cv_all)
+        x, new_cache = carry[0], tuple(carry[1:])
     else:
         def body_nocache(carry, lp):
             out = _block(
@@ -607,3 +675,20 @@ def init_kv_cache(
     fully contiguous lane-aligned tiles."""
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads * cfg.head_dim)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def init_kv_cache_q8(
+    cfg: Qwen2Config, batch: int, max_len: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """int8 KV cache: (k, v) int8 [L, B, Smax, Hkv*D] + per-(token, kv-head)
+    scales [L, B, Hkv, Smax] f32 (S minor: lane-aligned scale tiles for the
+    q8 decode kernel, `ops/kv_quant.py`). Halves cache residency + decode
+    attention HBM traffic vs bf16 — 2x the decode slots on a 16 GB chip."""
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads * cfg.head_dim)
+    sshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len)
+    return (
+        jnp.zeros(shape, jnp.int8),
+        jnp.zeros(shape, jnp.int8),
+        jnp.zeros(sshape, jnp.float32),
+        jnp.zeros(sshape, jnp.float32),
+    )

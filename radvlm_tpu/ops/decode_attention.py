@@ -105,6 +105,95 @@ def _fused_heads_kernel(
         o_ref[0] = (acc_scr[:] / safe).astype(o_ref.dtype)
 
 
+def _fused_heads_q8_kernel(
+    lidx_ref,  # scalar prefetch: [1] int32 layer index (consumed by index maps)
+    q_ref,  # [1, H, D]
+    k_ref,  # [1, 1, bk, Hkv*D] int8 block of the stacked quantized cache
+    v_ref,
+    ks_ref,  # [1, 1, Hkv, bk] f32 per-(token, kv-head) K scales
+    vs_ref,
+    kseg_ref,  # [1, SUBLANES, bk]
+    o_ref,  # [1, H, D]
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    hkv: int,
+    g: int,
+    d: int,
+):
+    """int8-KV variant of `_fused_heads_kernel`: the cache streams as int8
+    (half the HBM bytes of bf16 — decode attention is pure bandwidth) and
+    dequantization folds into the existing math instead of materializing a
+    dequantized tile:
+
+    - scores: q @ k_int8^T computed in bf16 (int8 values are exact in bf16),
+      then multiplied by the per-kv-token scale — exact, since
+      score_t = (q . k_t) * ks_t;
+    - PV: p is pre-scaled by the V scales (out_d = sum_t p_t * vs_t * v_td),
+      then hits the MXU against the raw int8 V tile.
+    """
+    del lidx_ref
+    ik, nk = pl.program_id(1), pl.num_programs(1)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [H, D]
+    k = k_ref[0, 0].astype(jnp.bfloat16)  # [bk, Hkv*D] — int8 exact in bf16
+    v = v_ref[0, 0]  # [bk, Hkv*D] int8
+    ksc = ks_ref[0, 0]  # [Hkv, bk] f32
+    vsc = vs_ref[0, 0]
+    ks = kseg_ref[0, :1, :]  # [1, bk]
+
+    s = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                q[h * g:(h + 1) * g, :],
+                k[:, h * d:(h + 1) * d],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(hkv)
+        ],
+        axis=0,
+    )  # [H, bk]
+    # fold in the per-kv-token K scales (rows h*g:(h+1)*g share kv head h)
+    s = s * (jnp.repeat(ksc, g, axis=0) * scale)
+    s = jnp.where(ks != 0, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    pv = p * jnp.repeat(vsc, g, axis=0)  # fold per-kv-token V scales
+    acc_scr[:] = acc_scr[:] * alpha + jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                pv[h * g:(h + 1) * g, :].astype(jnp.bfloat16),
+                v[:, h * d:(h + 1) * d].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for h in range(hkv)
+        ],
+        axis=0,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / safe).astype(o_ref.dtype)
+
+
 def _pick_block(s: int, pref: int) -> int:
     """Largest multiple-of-128 divisor of s that is <= pref (s itself if none)."""
     best = s
@@ -180,3 +269,81 @@ def decode_attention_stacked(
         ),
         interpret=interpret,
     )(jnp.asarray([layer_idx], jnp.int32).reshape(1), q, ck_all, cv_all, kseg)
+
+
+def decode_attention_stacked_q8(
+    q: jnp.ndarray,  # [B, H, D]
+    ck_all: jnp.ndarray,  # [L, B, S, Hkv*D] int8 — FULL stacked quantized cache
+    cv_all: jnp.ndarray,
+    k_scale: jnp.ndarray,  # [L, B, Hkv, S] f32 per-(token, kv-head) scales
+    v_scale: jnp.ndarray,
+    kv_segment_ids: jnp.ndarray,  # [B, S]
+    layer_idx,  # scalar int32
+    *,
+    num_kv_heads: int,
+    scale: Optional[float] = None,
+    block_k: int = 1536,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8-KV single-token GQA attention over one layer of the stacked cache.
+
+    Same contract as `decode_attention_stacked` with the cache stored int8 +
+    per-(token, kv-head) symmetric scales (the engine's int8 KV mode): halves
+    decode-attention HBM traffic, which is what bounds tokens/sec, and halves
+    cache residency so a 16 GB chip fits 2x the decode slots (the analog of
+    the reference's bitsandbytes memory reliance, `train.py:1466`)."""
+    b, h, d = q.shape
+    s = ck_all.shape[2]
+    hkv = num_kv_heads
+    g = h // hkv
+    if scale is None:
+        scale = d ** -0.5
+    bk = _pick_block(s, block_k)
+    nk = s // bk
+
+    kseg = jax.lax.broadcast_in_dim(
+        kv_segment_ids.astype(jnp.int32), (b, SUBLANES, s), (0, 2)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nk),
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda ib, ik, l: (ib, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, bk, hkv * d), lambda ib, ik, l: (l[0], ib, ik, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, hkv * d), lambda ib, ik, l: (l[0], ib, ik, 0)
+            ),
+            pl.BlockSpec((1, 1, hkv, bk), lambda ib, ik, l: (l[0], ib, 0, ik)),
+            pl.BlockSpec((1, 1, hkv, bk), lambda ib, ik, l: (l[0], ib, 0, ik)),
+            pl.BlockSpec((1, SUBLANES, bk), lambda ib, ik, l: (ib, 0, ik)),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), lambda ib, ik, l: (ib, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, 128), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fused_heads_q8_kernel, scale=float(scale), hkv=hkv, g=g, d=d
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * h * s * d),
+            bytes_accessed=int(
+                2 * ck_all.size // ck_all.shape[0] * ck_all.dtype.itemsize
+            ),
+            transcendentals=int(b * h * s),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([layer_idx], jnp.int32).reshape(1),
+        q, ck_all, cv_all, k_scale, v_scale, kseg,
+    )

@@ -38,6 +38,7 @@ class BatchWorker:
         prompt_bucket: int = 4096,
         controller_address: Optional[str] = None,
         worker_address: str = "",
+        kv_quant: Optional[bool] = None,  # None -> RADVLM_KV_INT8 env
     ):
         self.runner = runner
         self.model_names = list(model_names)
@@ -53,6 +54,7 @@ class BatchWorker:
             num_slots=num_slots, max_len=max_len,
             prompt_buckets=(prompt_bucket,),
             attn_impl=runner.attn_impl,
+            kv_quant=kv_quant,
         )
         # Compile all fill/decode graphs at startup: the first live request
         # should stream immediately, not sit behind a minutes-long XLA compile.
