@@ -157,15 +157,29 @@ def _run_continuous(cfg, params, gen, size, slots):
     # int8 KV cache: bench default ON (halves cache residency + decode
     # attention bytes -> 24+ slots fit where bf16 OOM'd at 24).
     kv_quant = os.environ.get("RADVLM_KV_INT8", "1") == "1"
+    # Grouped refills: 2 same-bucket prefills share one dispatch (amortizes
+    # the ~30% fixed fill overhead: vision dispatch + weight streaming).
+    fill_batch = int(os.environ.get("RADVLM_FILL_BATCH", "2"))
     b = ContinuousBatcher(
         params, cfg, gen, num_slots=slots, max_len=max_len,
         prompt_buckets=buckets, pad_tiles=6,
         steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
-        kv_quant=kv_quant,
+        kv_quant=kv_quant, fill_batch=fill_batch,
     )
     t0 = time.perf_counter()
     b.warmup()
     compile_s = time.perf_counter() - t0
+    # Unloaded latency (BASELINE.md "p50 latency per report"): single request
+    # on the idle engine, no queueing — the per-request number a user sees,
+    # vs p50_report_completion_s which is queue-dominated under load.
+    unloaded = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b.submit(make_sample(), NEW_TOKENS)
+        for _req in b.run():
+            pass
+        unloaded.append(time.perf_counter() - t0)
+    p50_unloaded = float(np.median(unloaded))
     # Timed run. Submissions stream from a feeder thread (collate + H2D
     # happen during the engine's device waits — the production arrival
     # pattern) after a 2x-slots head start fills the pipeline.
@@ -198,10 +212,12 @@ def _run_continuous(cfg, params, gen, size, slots):
         "unit": "images/sec/chip",
         "vs_baseline": None,  # no measured A100 reference figure in this env
         "p50_report_completion_s": round(float(np.percentile(done_at, 50)), 3),
+        "p50_unloaded_s": round(p50_unloaded, 3),
         "decode_tokens_per_sec": round(n_reqs * NEW_TOKENS / total, 1),
         "model": f"radvlm-{size}",
         "engine": "continuous",
         "kv_cache": "int8" if kv_quant else "bf16",
+        "fill_batch": fill_batch,
         "slots": slots,
         "requests": n_reqs,
         "new_tokens": NEW_TOKENS,
@@ -214,6 +230,12 @@ def _run_continuous(cfg, params, gen, size, slots):
 def main():
     import jax
     import jax.numpy as jnp
+
+    # Persistent XLA compile cache: warm reruns load executables from disk
+    # (compile_s measures cold ~74 s / warm target <15 s).
+    from radvlm_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
 
     from radvlm_tpu import config as cfglib
     from radvlm_tpu.config import IMAGE_TOKEN_INDEX

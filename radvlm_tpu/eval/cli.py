@@ -41,6 +41,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    from radvlm_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     if args.multihost:
         import jax
 

@@ -81,9 +81,15 @@ class VLMRunner:
     pad_to_multiple: int = 512
     attn_impl: str = "auto"
     fuse: bool = True  # fuse qkv/gateup projections for decode (qwen2.fuse_projections)
+    # Tensor-parallel continuous inference: a jax Mesh with a `tensor` axis
+    # spans the model across chips (parallel/tp.py) for the continuous-engine
+    # paths (eval harness `engine="continuous"`, serve/batch_worker). TP
+    # requires the unfused layout, so `fuse` is ignored under a mesh.
+    mesh: Any = None
+    kv_quant: Optional[bool] = None  # int8 KV cache (None -> RADVLM_KV_INT8)
 
     def __post_init__(self):
-        if self.fuse:
+        if self.fuse and self.mesh is None:
             from radvlm_tpu.models import radvlm
 
             self.params = radvlm.fuse_for_inference(self.params)
@@ -290,6 +296,8 @@ def _run_continuous(
         max_len=max_len,
         prompt_buckets=(bucket,),
         attn_impl=runner.attn_impl,
+        mesh=runner.mesh,
+        kv_quant=runner.kv_quant,
     )
     # Pass 2 — submit in WAVES (submit() transfers batches to device
     # immediately; a whole-shard upfront submission would pin the full

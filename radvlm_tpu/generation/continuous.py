@@ -87,12 +87,32 @@ class ContinuousBatcher:
         steps_per_sync: int = 8,
         pipeline_depth: int = 2,
         kv_quant: Optional[bool] = None,
+        fill_batch: Optional[int] = None,
+        mesh: Optional[Any] = None,
+        tp_axis: str = "tensor",
     ):
         import os
 
         import jax
         import jax.numpy as jnp
 
+        # Tensor-parallel serving (parallel/tp.py): with a mesh, the fill and
+        # decode-chunk graphs run under shard_map over `tp_axis` (Megatron
+        # column/row partition, KV cache sharded over kv heads, replicated
+        # lm_head -> shard-identical sampling). Params are resharded here;
+        # pass the UNFUSED layout (tp.tp_param_pspecs rejects fused trees).
+        self.mesh = mesh
+        self.tp_axis = tp_axis
+        if mesh is not None:
+            from radvlm_tpu.parallel import tp as tplib
+
+            tp_size = dict(mesh.shape)[tp_axis]
+            self._local_cfg = dataclasses.replace(
+                cfg, text=tplib.local_text_cfg(cfg.text, tp_size)
+            )
+            params = tplib.shard_params_tp(mesh, params, tp_axis)
+        else:
+            self._local_cfg = cfg
         self.params = params
         self.cfg = cfg
         self.gen = gen
@@ -110,6 +130,12 @@ class ContinuousBatcher:
         if kv_quant is None:
             kv_quant = os.environ.get("RADVLM_KV_INT8", "0") == "1"
         self.kv_quant = bool(kv_quant)
+        # Multi-slot refills: group same-bucket queued requests into one
+        # prefill dispatch of up to `fill_batch` rows (amortizes the fixed
+        # per-fill cost; fill_batch=1 keeps the single-slot graphs only).
+        if fill_batch is None:
+            fill_batch = int(os.environ.get("RADVLM_FILL_BATCH", "1"))
+        self.fill_batch = max(1, int(fill_batch))
 
         # Device state.
         self.cache = (
@@ -117,6 +143,16 @@ class ContinuousBatcher:
             if self.kv_quant
             else qwen2.init_kv_cache(cfg.text, num_slots, max_len)
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from radvlm_tpu.parallel import tp as tplib
+
+            cache_specs = tplib.cache_pspecs(len(self.cache), tp_axis)
+            self.cache = tuple(
+                jax.device_put(c, NamedSharding(mesh, s))
+                for c, s in zip(self.cache, cache_specs)
+            )
         self.cache_seg = jnp.zeros((num_slots, max_len), jnp.int32)
         self.cur_tok = jnp.zeros((num_slots,), jnp.int32)
         # per-slot sampling params (requests may override the engine default)
@@ -134,11 +170,43 @@ class ContinuousBatcher:
         self._step_fns = self._build_step()
 
     # ------------------------------------------------------------------
+    def _tp_scope(self):
+        """Context entered INSIDE traced bodies: under a mesh it turns on the
+        row-parallel psums in qwen2._finish_block (parallel/tp.py)."""
+        import contextlib
+
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        from radvlm_tpu.parallel import tp as tplib
+
+        return tplib.active(self.tp_axis)
+
+    def _shard_wrap(self, fn, n_extra_in: int, n_extra_out: int):
+        """shard_map a (params, cache, *state) engine graph over the mesh:
+        params get the Megatron TP specs, cache components the kv-head specs,
+        everything else is replicated."""
+        if self.mesh is None:
+            return fn
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from radvlm_tpu.parallel import tp as tplib
+
+        pspec = tplib.tp_param_pspecs(self.params, self.tp_axis)
+        cache_specs = tplib.cache_pspecs(len(self.cache), self.tp_axis)
+        return shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=(pspec, cache_specs) + (P(),) * n_extra_in,
+            out_specs=(cache_specs,) + (P(),) * n_extra_out,
+            check_vma=False,
+        )
+
     def _build_step(self):
         import jax
         import jax.numpy as jnp
 
-        cfg = self.cfg
+        cfg = self._local_cfg
 
         K = self.steps_per_sync
 
@@ -159,7 +227,6 @@ class ContinuousBatcher:
             ~12% off e2e throughput when taken unconditionally). The host
             picks per chunk by whether any ACTIVE slot samples."""
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
             def step_chunk(params, cache, cache_seg, tok, positions, write_idx,
                            slot_temp, slot_top_p, rng):
                 b = tok.shape[0]
@@ -190,59 +257,80 @@ class ContinuousBatcher:
                     write_idx = jnp.minimum(write_idx + 1, self.max_len - 1)
                     return (cache, cache_seg, nxt, positions, write_idx, rng), nxt
 
-                (cache, cache_seg, tok, _, _, _), toks = jax.lax.scan(
-                    body,
-                    (cache, cache_seg, tok, positions, write_idx, rng),
-                    jnp.arange(K),
-                )
+                with self._tp_scope():
+                    (cache, cache_seg, tok, _, _, _), toks = jax.lax.scan(
+                        body,
+                        (cache, cache_seg, tok, positions, write_idx, rng),
+                        jnp.arange(K),
+                    )
                 return cache, cache_seg, tok, jnp.swapaxes(toks, 0, 1)
 
-            return step_chunk
+            return jax.jit(
+                self._shard_wrap(step_chunk, n_extra_in=7, n_extra_out=3),
+                donate_argnums=(1,),
+            )
 
         return {False: make_chunk(False), True: make_chunk(True)}
 
-    def _fill_fn(self, bucket: int):
-        """ONE jitted dispatch per refill: prefill the prompt, sample the
-        first token, splice cache/segments into the slot, set cur_tok.
-        (Separate prefill/sample/insert/set calls each pay a dispatch
-        round-trip to a network-attached device; fused they cost one.)"""
+    def _fill_fn(self, bucket: int, nfill: int = 1):
+        """ONE jitted dispatch per refill of `nfill` slots: prefill the
+        prompt batch, sample each first token, splice each row's
+        cache/segments into its slot, set cur_tok. (Separate
+        prefill/sample/insert/set calls each pay a dispatch round-trip to a
+        network-attached device; fused they cost one. nfill=2 additionally
+        amortizes the per-fill FIXED overhead — vision dispatch + prefill
+        weight streaming — across two images, attacking the ~30% fixed
+        fraction of the 7B fill cost.)"""
         import jax
         import jax.numpy as jnp
 
-        if bucket not in self._fill_fns:
-            cfg, attn_impl, max_len = self.cfg, self.attn_impl, self.max_len
+        key = (bucket, nfill)
+        if key not in self._fill_fns:
+            cfg, attn_impl, max_len = self._local_cfg, self.attn_impl, self.max_len
             gen = self.gen
             cache_format = "int8" if self.kv_quant else "bf16"
 
-            @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
             def fill(params, shared_cache, cache_seg, cur_tok, slot_temp,
-                     slot_top_p, batch, slot, rng, temp, top_p):
-                cache1, seg1, last_logits = prefill(
-                    params, cfg, batch, max_len, attn_impl=attn_impl,
-                    cache_format=cache_format,
-                )
+                     slot_top_p, batch, slots, rng, temp, top_p):
+                with self._tp_scope():
+                    cache1, seg1, last_logits = prefill(
+                        params, cfg, batch, max_len, attn_impl=attn_impl,
+                        cache_format=cache_format,
+                    )
                 tok0 = sample_token_vec(
-                    last_logits, temp[None], top_p[None], rng,
-                    top_k=gen.top_k,
-                )[0]
-                slot_temp = slot_temp.at[slot].set(temp)
-                slot_top_p = slot_top_p.at[slot].set(top_p)
-                # Splice every cache component into the slot. Offset
+                    last_logits, temp, top_p, rng, top_k=gen.top_k,
+                )  # [nfill]
+                slot_temp = slot_temp.at[slots].set(temp)
+                slot_top_p = slot_top_p.at[slots].set(top_p)
+                # Splice every cache component row into its slot. Offset
                 # (0, slot, 0, 0) is correct for both layouts: slot is dim 1
                 # of the int8 k/v [L, B, S, Hkv*D] AND the scales
                 # [L, B, Hkv, S].
-                new_cache = tuple(
-                    jax.lax.dynamic_update_slice(sh, nw, (0, slot, 0, 0))
-                    for sh, nw in zip(shared_cache, cache1)
-                )
-                cache_seg = jax.lax.dynamic_update_slice(
-                    cache_seg, seg1, (slot, 0)
-                )
-                cur_tok = cur_tok.at[slot].set(tok0)
+                new_cache = shared_cache
+                for j in range(nfill):
+                    row = tuple(
+                        jax.lax.dynamic_slice_in_dim(c, j, 1, axis=1)
+                        for c in cache1
+                    )
+                    new_cache = tuple(
+                        jax.lax.dynamic_update_slice(
+                            sh, rc, (0, slots[j], 0, 0)
+                        )
+                        for sh, rc in zip(new_cache, row)
+                    )
+                    cache_seg = jax.lax.dynamic_update_slice(
+                        cache_seg,
+                        jax.lax.dynamic_slice_in_dim(seg1, j, 1, axis=0),
+                        (slots[j], 0),
+                    )
+                cur_tok = cur_tok.at[slots].set(tok0)
                 return new_cache, cache_seg, cur_tok, slot_temp, slot_top_p, tok0
 
-            self._fill_fns[bucket] = fill
-        return self._fill_fns[bucket]
+            self._fill_fns[key] = jax.jit(
+                self._shard_wrap(fill, n_extra_in=9, n_extra_out=5),
+                donate_argnums=(1, 2, 3, 4, 5),
+            )
+        return self._fill_fns[key]
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
@@ -257,21 +345,23 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
+        nfills = sorted({1, min(self.fill_batch, self.num_slots)})
         for bucket in self.prompt_buckets:
-            sample = multimodal.build_sample(list(range(2, 8)), [], self.cfg)
-            hb = multimodal.collate(
-                [sample], pad_len=bucket, pad_tiles=self.pad_tiles,
-                pad_to_multiple=128, left_pad=True,
-            )
-            batch = {k: jnp.asarray(v) for k, v in hb.items()}
-            l = batch["tokens"].shape[1]
-            self._rng, sub = jax.random.split(self._rng)
-            (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
-             self.slot_top_p, _) = self._fill_fn(l)(
-                self.params, self.cache, self.cache_seg, self.cur_tok,
-                self.slot_temp, self.slot_top_p, batch, 0, sub,
-                jnp.float32(self.gen.temperature), jnp.float32(self.gen.top_p),
-            )
+            for nf in nfills:
+                reqs = []
+                for _ in range(nf):
+                    sample = multimodal.build_sample(
+                        list(range(2, 8)), [], self.cfg
+                    )
+                    hb = multimodal.collate(
+                        [sample], pad_len=bucket, pad_tiles=self.pad_tiles,
+                        pad_to_multiple=128, left_pad=True,
+                    )
+                    r = Request(uid=0, sample=sample, max_new_tokens=1)
+                    r.real_len = int(hb["lengths"][0])
+                    r.dev_batch = {k: jnp.asarray(v) for k, v in hb.items()}
+                    reqs.append(r)
+                self._fill_group(list(enumerate(reqs)))
         infl: "collections.deque" = collections.deque()
         # Compile BOTH decode-chunk variants: with no active slots
         # _sampling_active() is False, so an unforced dispatch only compiles
@@ -335,44 +425,70 @@ class ContinuousBatcher:
                 return b
         return self.prompt_buckets[-1]
 
-    def _fill_slot(self, slot: int, req: Request):
-        import jax
+    def _materialize(self, req: Request):
+        """(device batch [1, L], real_len) for a request."""
         import jax.numpy as jnp
 
         if req.dev_batch is not None:  # pre-collated at submit()
             batch, real_len = req.dev_batch, req.real_len
             req.dev_batch = None  # release after fill
+            return batch, real_len
+        bucket = self._bucket_for(req.sample.length)
+        host_batch = multimodal.collate(
+            [req.sample], pad_len=bucket, pad_tiles=self.pad_tiles,
+            pad_to_multiple=128, left_pad=True,
+        )
+        real_len = int(host_batch["lengths"][0])  # host-known; no sync
+        return {k: jnp.asarray(v) for k, v in host_batch.items()}, real_len
+
+    def _fill_slot(self, slot: int, req: Request):
+        self._fill_group([(slot, req)])
+
+    def _fill_group(self, pairs):
+        """Fill len(pairs) slots in ONE dispatch. All requests must share the
+        same padded prompt length (callers group by bucket)."""
+        import jax
+        import jax.numpy as jnp
+
+        mats = [self._materialize(req) for _, req in pairs]
+        n = len(pairs)
+        if n == 1:
+            batch = mats[0][0]
         else:
-            bucket = self._bucket_for(req.sample.length)
-            host_batch = multimodal.collate(
-                [req.sample], pad_len=bucket, pad_tiles=self.pad_tiles,
-                pad_to_multiple=128, left_pad=True,
-            )
-            real_len = int(host_batch["lengths"][0])  # host-known; no sync
-            batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+            batch = {
+                k: jnp.concatenate([m[0][k] for m in mats], axis=0)
+                for k in mats[0][0]
+            }
         l = batch["tokens"].shape[1]
         self._rng, sub = jax.random.split(self._rng)
-        temp = self.gen.temperature if req.temperature is None else req.temperature
-        top_p = self.gen.top_p if req.top_p is None else req.top_p
-        (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
-         self.slot_top_p, tok0) = self._fill_fn(l)(
-            self.params, self.cache, self.cache_seg, self.cur_tok,
-            self.slot_temp, self.slot_top_p, batch, slot, sub,
-            jnp.float32(temp), jnp.float32(top_p),
+        temps = jnp.asarray(
+            [self.gen.temperature if r.temperature is None else r.temperature
+             for _, r in pairs], jnp.float32,
         )
-        # Cap the request so cache writes never pass max_len: emitting N tokens
-        # writes indices [l, l+N-2] (ADVICE r1: clamping the write index
-        # instead corrupted output past the end of the cache).
-        allowed = max(1, self.max_len - l + 1)
-        if req.max_new_tokens > allowed:
-            req.max_new_tokens = allowed
-        self.slot_req[slot] = req
-        self.slot_len[slot] = l  # prompt occupies [0, l) (left-padded)
-        self.slot_real_len[slot] = real_len
-        # tok0 stays on device; emitted at the next chunk readback (keeps the
-        # fill path free of device syncs so in-flight decode chunks drain
-        # undisturbed).
-        req.tok0_dev = tok0
+        tops = jnp.asarray(
+            [self.gen.top_p if r.top_p is None else r.top_p
+             for _, r in pairs], jnp.float32,
+        )
+        slots = jnp.asarray([s for s, _ in pairs], jnp.int32)
+        (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
+         self.slot_top_p, tok0) = self._fill_fn(l, n)(
+            self.params, self.cache, self.cache_seg, self.cur_tok,
+            self.slot_temp, self.slot_top_p, batch, slots, sub, temps, tops,
+        )
+        for j, ((slot, req), (_, real_len)) in enumerate(zip(pairs, mats)):
+            # Cap the request so cache writes never pass max_len: emitting N
+            # tokens writes indices [l, l+N-2] (ADVICE r1: clamping the write
+            # index instead corrupted output past the end of the cache).
+            allowed = max(1, self.max_len - l + 1)
+            if req.max_new_tokens > allowed:
+                req.max_new_tokens = allowed
+            self.slot_req[slot] = req
+            self.slot_len[slot] = l  # prompt occupies [0, l) (left-padded)
+            self.slot_real_len[slot] = real_len
+            # tok0 stays on device; emitted at the next chunk readback (keeps
+            # the fill path free of device syncs so in-flight decode chunks
+            # drain undisturbed).
+            req.tok0_dev = tok0[j]
 
     def _emit(self, slot: int, tok: int):
         req = self.slot_req[slot]
@@ -469,10 +585,34 @@ class ContinuousBatcher:
         inflight: "collections.deque" = collections.deque()
         finished: List[Request] = []
         while not self.queue.empty() or self._active() or inflight:
-            # Refill empty slots (device ops only; no sync).
-            for slot in range(self.num_slots):
-                if self.slot_req[slot] is None and not self.queue.empty():
-                    self._fill_slot(slot, self.queue.get())
+            # Refill empty slots (device ops only; no sync). Same-bucket
+            # requests group into one multi-row prefill dispatch (up to
+            # fill_batch rows).
+            empties = [
+                i for i, r in enumerate(self.slot_req) if r is None
+            ]
+            taken: List[Request] = []
+            while len(taken) < len(empties) and not self.queue.empty():
+                try:
+                    taken.append(self.queue.get_nowait())
+                except queue.Empty:
+                    break
+            if taken:
+                by_len: Dict[Any, List[Request]] = {}
+                for req in taken:
+                    if req.dev_batch is not None:
+                        l = req.dev_batch["tokens"].shape[1]
+                    else:
+                        # not pre-collated: padded length unknown until
+                        # collate — force a singleton group
+                        l = ("solo", req.uid)
+                    by_len.setdefault(l, []).append(req)
+                for reqs in by_len.values():
+                    for s in range(0, len(reqs), self.fill_batch):
+                        group = reqs[s:s + self.fill_batch]
+                        self._fill_group(
+                            [(empties.pop(0), r) for r in group]
+                        )
             if self._active():
                 self._dispatch_chunk(inflight)
             # Drain the pipeline: one chunk per iteration in steady state

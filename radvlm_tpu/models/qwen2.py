@@ -295,9 +295,16 @@ def _moe_mlp(cfg: Qwen2Config, moe: Params, y: jnp.ndarray, mm, take):
 
 def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray,
                   attn: jnp.ndarray, idx=None, with_aux: bool = False):
+    # Under the inference tensor-parallel context (parallel/tp.py, set inside
+    # the serving engine's shard_map bodies) the o/down kernels are
+    # row-parallel: their matmul outputs are partial sums, all-reduced here —
+    # the only two collectives per decoder block. Outside the context
+    # maybe_psum is the identity.
+    from radvlm_tpu.parallel.tp import maybe_psum
+
     mm, take = _mm_take(idx)
     b, s = attn.shape[:2]
-    x = res + mm(attn.reshape(b, s, -1), lp["attn"]["o"]["kernel"])
+    x = res + maybe_psum(mm(attn.reshape(b, s, -1), lp["attn"]["o"]["kernel"]))
     res = x
     y = rms_norm(x, take(lp["ln2"]), cfg.rms_norm_eps)
     mlp = lp["mlp"]
@@ -312,7 +319,7 @@ def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray,
     else:
         gate = jax.nn.silu(mm(y, mlp["gate"]["kernel"]))
         up = mm(y, mlp["up"]["kernel"])
-    out = res + mm(gate * up, mlp["down"]["kernel"])
+    out = res + maybe_psum(mm(gate * up, mlp["down"]["kernel"]))
     return (out, jnp.float32(0.0)) if with_aux else out
 
 

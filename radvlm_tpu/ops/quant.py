@@ -22,6 +22,35 @@ import jax.numpy as jnp
 
 Q_KEY = "__q__"
 SCALE_KEY = "__scale__"
+# LoRA augmentation keys (QLoRA: adapters attached to a quantized frozen
+# base, `training/lora.py:merge_lora`): the B factor arrives pre-scaled by
+# alpha/rank, so qmm adds (x @ A) @ B on top of the quantized matmul.
+LORA_A = "__lora_a__"
+LORA_B = "__lora_b__"
+
+# Training-mode flag (set while TRACING a train step): quantized-base matmuls
+# take the dequant-then-matmul path instead of W8A8/Pallas kernels — the
+# activation-quant `round` has zero gradient and the Pallas kernels have no
+# VJP, either of which would silently kill backprop through the frozen base
+# (the QLoRA forward must stay differentiable w.r.t. activations).
+_TRAINING = False
+
+
+def training_mode():
+    """Context manager enabling differentiable quantized matmuls."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _TRAINING
+        prev = _TRAINING
+        _TRAINING = True
+        try:
+            yield
+        finally:
+            _TRAINING = prev
+
+    return _cm()
 
 # Kernels worth quantizing (the big matmuls + embedding); norms/bias stay bf16.
 DEFAULT_PATTERNS = (
@@ -97,6 +126,10 @@ def maybe_dequant(tree: Any, dtype=jnp.bfloat16) -> Any:
     of a per-layer block so only that layer materializes)."""
     from radvlm_tpu.ops.int4_matmul import dequantize_array_int4, is_q4node
 
+    if isinstance(tree, dict) and LORA_A in tree:
+        base = {k: v for k, v in tree.items() if k not in (LORA_A, LORA_B)}
+        dense = maybe_dequant(base, jnp.float32)
+        return (dense + tree[LORA_A] @ tree[LORA_B]).astype(dtype)
     if is_q4node(tree):
         return dequantize_array_int4(tree, dtype)
     if is_qnode(tree):
@@ -156,9 +189,18 @@ def qmm(x: jnp.ndarray, w: Any, *, w8a8: Optional[bool] = None) -> jnp.ndarray:
     (RADVLM_W8A8=0, or w8a8=False at precision-critical call sites)."""
     from radvlm_tpu.ops.int4_matmul import is_q4node, q4node_matmul
 
+    if isinstance(w, dict) and LORA_A in w:
+        # QLoRA node: quantized base + low-rank delta (B pre-scaled).
+        base = {k: v for k, v in w.items() if k not in (LORA_A, LORA_B)}
+        out = qmm(x, base, w8a8=w8a8)
+        return out + ((x @ w[LORA_A]) @ w[LORA_B]).astype(out.dtype)
     if is_q4node(w):  # W4A16: dequant-once (decode uses the stacked kernel)
+        if _TRAINING:
+            return x @ maybe_dequant(w, x.dtype)
         return q4node_matmul(x, w)
     if is_qnode(w):
+        if _TRAINING:
+            return x @ maybe_dequant(w, x.dtype)
         from radvlm_tpu.ops.int8_matmul import _rows, qnode_matmul
 
         use_w8a8 = w8a8_enabled() if w8a8 is None else w8a8
@@ -177,6 +219,12 @@ def qmm_idx(x: jnp.ndarray, w: Any, layer_idx) -> jnp.ndarray:
     fall back to dynamic_index + MXU matmul (what scan-over-xs would do)."""
     from radvlm_tpu.ops.int4_matmul import is_q4node, q4node_matmul_stacked
 
+    if isinstance(w, dict) and LORA_A in w:
+        base = {k: v for k, v in w.items() if k not in (LORA_A, LORA_B)}
+        a = jax.lax.dynamic_index_in_dim(w[LORA_A], layer_idx, 0, keepdims=False)
+        b = jax.lax.dynamic_index_in_dim(w[LORA_B], layer_idx, 0, keepdims=False)
+        out = qmm_idx(x, base, layer_idx)
+        return out + ((x @ a) @ b).astype(out.dtype)
     if is_q4node(w):
         return q4node_matmul_stacked(x, w, layer_idx)
     if is_qnode(w):

@@ -55,6 +55,7 @@ class BatchWorker:
             prompt_buckets=(prompt_bucket,),
             attn_impl=runner.attn_impl,
             kv_quant=kv_quant,
+            mesh=getattr(runner, "mesh", None),
         )
         # Compile all fill/decode graphs at startup: the first live request
         # should stream immediately, not sit behind a minutes-long XLA compile.

@@ -50,6 +50,12 @@ def main(argv=None):
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    # Warm restarts load compiled executables from disk (a 7B worker's bucket
+    # fills + decode graphs otherwise cost minutes of XLA compile at startup).
+    from radvlm_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     from radvlm_tpu.eval.harness import HFTokenizer, VLMRunner

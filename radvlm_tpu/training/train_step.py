@@ -115,8 +115,17 @@ def make_lora_train_step(
 
     def step_fn(state: TrainState, base_params, batch: Dict[str, jnp.ndarray]):
         def loss_fn(adapters):
-            merged = merge_lora(base_params, adapters, lora_cfg)
-            return radvlm.loss_fn(merged, cfg, batch, remat=remat, attn_impl=attn_impl)
+            # training_mode: a QUANTIZED frozen base (QLoRA,
+            # `train.py:1466-1503`) must matmul via differentiable dequant —
+            # the W8A8 activation round and the Pallas int8 kernels have no
+            # usable gradient and would silently zero backprop.
+            from radvlm_tpu.ops import quant
+
+            with quant.training_mode():
+                merged = merge_lora(base_params, adapters, lora_cfg)
+                return radvlm.loss_fn(
+                    merged, cfg, batch, remat=remat, attn_impl=attn_impl
+                )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

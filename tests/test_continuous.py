@@ -51,6 +51,27 @@ def test_continuous_matches_static(rng):
         assert got == exp, f"req {req.uid}: {got} != {exp}"
 
 
+def test_continuous_fill_batch_matches_static(rng):
+    """Grouped refills (fill_batch=2: two same-bucket prefills in one
+    dispatch) must not change any request's tokens."""
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(7))
+    steps = 4
+    samples = [_mk_sample(cfg, rng, n) for n in (6, 11, 8, 14, 7)]
+    expected = [_static_reference(params, cfg, s, steps) for s in samples]
+
+    batcher = ContinuousBatcher(
+        params, cfg,
+        GenerationConfig(max_new_tokens=steps, eos_token_ids=()),
+        num_slots=4, max_len=256, prompt_buckets=(128,),
+        pad_tiles=2, attn_impl="xla", fill_batch=2,
+    )
+    reqs = [batcher.submit(s) for s in samples]
+    by_uid = {r.uid: r for r in batcher.run()}
+    for req, exp in zip(reqs, expected):
+        assert by_uid[req.uid].emitted == exp
+
+
 def test_continuous_eos_and_refill(rng):
     cfg = cfglib.tiny_test_config()
     params = radvlm.init_params(cfg, jax.random.key(7))
