@@ -157,9 +157,11 @@ def _run_continuous(cfg, params, gen, size, slots):
     # int8 KV cache: bench default ON (halves cache residency + decode
     # attention bytes -> 24+ slots fit where bf16 OOM'd at 24).
     kv_quant = os.environ.get("RADVLM_KV_INT8", "1") == "1"
-    # Grouped refills: 2 same-bucket prefills share one dispatch (amortizes
-    # the ~30% fixed fill overhead: vision dispatch + weight streaming).
-    fill_batch = int(os.environ.get("RADVLM_FILL_BATCH", "2"))
+    # Grouped refills (RADVLM_FILL_BATCH=2: two same-bucket prefills share one
+    # dispatch). Measured NEGATIVE at 7B/24 slots (1.79 vs 1.98 img/s): the
+    # fixed per-fill overhead is already hidden by the pipelined decode, and
+    # 2x-length fills stall decode slots longer — default stays 1.
+    fill_batch = int(os.environ.get("RADVLM_FILL_BATCH", "1"))
     b = ContinuousBatcher(
         params, cfg, gen, num_slots=slots, max_len=max_len,
         prompt_buckets=buckets, pad_tiles=6,

@@ -117,7 +117,11 @@ class ContinuousBatcher:
         self.cfg = cfg
         self.gen = gen
         self.num_slots = num_slots
-        self.max_len = max_len
+        # Round the cache length up to a lane-aligned 128 multiple: the Pallas
+        # decode kernels require smax % 128 == 0, and a stray max_len (e.g.
+        # bucket + 16 new tokens) silently fell back to the XLA decode path —
+        # measured ~2x decode slowdown and much slower compiles.
+        self.max_len = max_len = -(-max_len // 128) * 128
         self.prompt_buckets = sorted(prompt_buckets)
         self.pad_tiles = pad_tiles
         self.attn_impl = attn_impl

@@ -108,16 +108,20 @@ def test_cache_full_caps_request(rng):
     done = list(batcher.run())
     assert len(done) == 1 and done[0].uid == req.uid
     assert len(done[0].emitted) == 1
-    # And with a little headroom the cap is max_len - l + 1.
+    # A non-aligned max_len rounds UP to the next 128 multiple (Pallas decode
+    # kernels need smax % 128 == 0; a stray length silently fell back to the
+    # ~2x-slower XLA decode path), and the cap formula applies to the rounded
+    # length: 131 -> 256, so a 128-bucket prompt may emit 256 - 128 + 1 = 129.
     batcher2 = ContinuousBatcher(
         params, cfg,
-        GenerationConfig(max_new_tokens=50, eos_token_ids=()),
+        GenerationConfig(max_new_tokens=200, eos_token_ids=()),
         num_slots=1, max_len=131, prompt_buckets=(128,),
         pad_tiles=2, attn_impl="xla",
     )
+    assert batcher2.max_len == 256
     batcher2.submit(_mk_sample(cfg, rng, 6))
     done2 = list(batcher2.run())
-    assert len(done2[0].emitted) == 4  # 131 - 128 + 1
+    assert len(done2[0].emitted) == 129  # 256 - 128 + 1
 
 
 def test_submit_rejects_overlong_prompt(rng):
@@ -138,10 +142,11 @@ def test_submit_rejects_overlong_prompt(rng):
         params, cfg, GenerationConfig(max_new_tokens=4, eos_token_ids=()),
         num_slots=2, max_len=160, prompt_buckets=(128,),
     )
+    assert b.max_len == 256  # lane-aligned rounding (Pallas decode contract)
     img = rng.integers(0, 255, size=(64, 56, 3), dtype=np.uint8)
-    ids = [5, IMAGE_TOKEN_INDEX] + list(rng.integers(2, 400, size=200))
+    ids = [5, IMAGE_TOKEN_INDEX] + list(rng.integers(2, 400, size=400))
     long_sample = multimodal.build_sample(ids, [img], cfg)
-    assert long_sample.length > 128
+    assert long_sample.length > 256
     with pytest.raises(ValueError, match="cache holds"):
         b.submit(long_sample, 4)
     # max_new_tokens=0 is clamped (falsy-zero would silently become default)
