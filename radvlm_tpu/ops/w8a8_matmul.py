@@ -1,0 +1,126 @@
+"""Pallas W8A8 prefill matmul: y = (xq @ q) * xs * ws with int8 MXU dots.
+
+The XLA W8A8 path (`ops/quant.w8a8_matmul`) measures ~195 TF/s on the 7B
+prefill shapes — suspiciously equal to the v5e *bf16* MXU peak (197), i.e.
+XLA's s8xs8 dot emitter does not engage the doubled int8 MXU rate (394 peak).
+This kernel issues the s8xs8 `dot_general` (preferred_element_type=int32)
+from Mosaic directly, with per-row activation scales and per-output-channel
+weight scales applied in the f32 epilogue.
+
+Activations are quantized ONCE per layer input by `quantize_rows` (plain XLA:
+a fused amax reduce + round over [M, D] — ~25 MB of HBM traffic, negligible
+next to the matmul) and the int8 tensor is shared by every projection reading
+that input (q/k/v share it; gate/up share it), which the per-matmul XLA path
+could not do.
+
+Role: the prefill-side analog of the reference's bitsandbytes int8 inference
+(`finetuning/llava/model/builder.py:30-34`), on the MXU's native int8 path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8: returns (xq [..., D] int8, xs [..., 1] f32)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def _pick_bk(d: int, cap: int = 4736) -> int:
+    """Largest 128-multiple divisor of d at most `cap` (VMEM budget)."""
+    best = 0
+    for mult in range(1, cap // 128 + 1):
+        bk = 128 * mult
+        if d % bk == 0:
+            best = bk
+    return best
+
+
+def _kernel(xq_ref, xs_ref, q_ref, ws_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        xq_ref[...], q_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * xs_ref[...] * ws_ref[...]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_f", "out_dtype", "interpret")
+)
+def w8a8_matmul_pallas(
+    xq: jnp.ndarray,  # [..., D] int8 (from quantize_rows)
+    xs: jnp.ndarray,  # [..., 1] f32 per-row scales
+    q: jnp.ndarray,  # [D, F] int8
+    ws: jnp.ndarray,  # [1, F] f32 per-output-channel scales
+    *,
+    block_m: int = 256,
+    block_f: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    lead = xq.shape[:-1]
+    d = xq.shape[-1]
+    f = q.shape[-1]
+    x2 = xq.reshape(-1, d)
+    s2 = xs.reshape(-1, 1).astype(jnp.float32)
+    m = x2.shape[0]
+    bm = min(block_m, m)
+    pad_m = -m % bm
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+        s2 = jnp.pad(s2, ((0, pad_m), (0, 0)))
+        m += pad_m
+    bf = block_f
+    while f % bf:
+        bf //= 2
+    bk = _pick_bk(d)
+    if not bk:  # D not 128-aligned: caller should use the XLA path
+        raise ValueError(f"D={d} has no 128-multiple divisor block")
+    grid = (m // bm, f // bf, d // bk)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((bk, bf), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bf), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bf), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, f), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bf), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * m * d * f),
+            bytes_accessed=int(x2.size + q.size + m * f * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, s2, q, ws.reshape(1, -1).astype(jnp.float32))
+    if pad_m:
+        out = out[:-pad_m]
+    return out.reshape(*lead, f)

@@ -157,6 +157,11 @@ class Controller:
                         data["worker_name"], data.get("queue_length", 0)
                     )
                     self._json({"exist": ok})
+                elif self.path == "/refresh_all_workers":
+                    # Reference controller.py's pre-list refresh: drop workers
+                    # that stopped heartbeating so /list_models is current.
+                    stale = registry.expire_stale()
+                    self._json({"ok": True, "expired": stale})
                 elif self.path == "/list_models":
                     self._json({"models": registry.list_models()})
                 elif self.path == "/get_worker_address":
