@@ -90,6 +90,18 @@ class Qwen2Config:
     attention_bias: bool = True  # Qwen2 yes; Llama no
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 32768
+    # Family knobs beyond Qwen2/Llama (the reference wraps a model class per
+    # family — `language_model/llava_mistral.py`, `llava_gemma.py`; here the
+    # one functional decoder covers them):
+    # "silu" (Qwen2/Llama/Mistral) or "gelu_tanh" (Gemma's GeGLU).
+    hidden_act: str = "silu"
+    # Gemma: RMSNorm weights are zero-centered, applied as (1 + w).
+    rms_norm_offset: bool = False
+    # Gemma: hidden states scaled by sqrt(hidden_size) after embedding.
+    embed_normalizer: bool = False
+    # Mistral: sliding-window attention — each token attends to at most the
+    # previous `sliding_window` positions. 0 = full causal.
+    sliding_window: int = 0
     # Mixture-of-experts (Qwen2-MoE family — the reference's LlavaQwenMoe,
     # `language_model/llava_qwen_moe.py`; supports-but-never-trains). 0 = dense.
     # Every layer is sparse when enabled (the flagship MoE configs use
@@ -133,6 +145,47 @@ def llama3_8b() -> Qwen2Config:
         rms_norm_eps=1e-5,
         attention_bias=False,
         max_position_embeddings=131072,
+    )
+
+
+def mistral_7b() -> Qwen2Config:
+    """Mistral-7B-Instruct widths (the reference's llava_mistral family)."""
+    return Qwen2Config(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-5,
+        attention_bias=False,
+        sliding_window=4096,
+        max_position_embeddings=32768,
+    )
+
+
+def gemma_2b() -> Qwen2Config:
+    """Gemma-2B widths (the reference's llava_gemma family): MQA with
+    head_dim 256, GeGLU MLP, (1+w) RMSNorm, sqrt(d)-scaled embeddings,
+    tied lm_head."""
+    return Qwen2Config(
+        vocab_size=256000,
+        hidden_size=2048,
+        intermediate_size=16384,
+        num_layers=18,
+        num_heads=8,
+        num_kv_heads=1,
+        head_dim=256,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-6,
+        attention_bias=False,
+        tie_word_embeddings=True,
+        hidden_act="gelu_tanh",
+        rms_norm_offset=True,
+        embed_normalizer=True,
+        max_position_embeddings=8192,
     )
 
 

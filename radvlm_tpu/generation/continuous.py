@@ -238,7 +238,7 @@ class ContinuousBatcher:
                 def body(carry, k):
                     cache, cache_seg, tok, positions, write_idx, rng = carry
                     cache_seg = cache_seg.at[jnp.arange(b), write_idx].set(1)
-                    embeds = qwen2.embed_tokens(params["text"], tok[:, None])
+                    embeds = qwen2.embed_tokens(params["text"], tok[:, None], cfg.text)
                     rng, sub = jax.random.split(rng)
                     logits, cache = qwen2.forward(
                         params["text"], cfg.text,

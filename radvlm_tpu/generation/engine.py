@@ -311,7 +311,7 @@ def decode_step(
     cache_seg = jax.lax.dynamic_update_slice(
         cache_seg, jnp.ones((b, 1), cache_seg.dtype), (0, write_idx)
     )
-    embeds = qwen2.embed_tokens(params["text"], tok[:, None])
+    embeds = qwen2.embed_tokens(params["text"], tok[:, None], cfg.text)
     logits, cache = qwen2.forward(
         params["text"],
         cfg.text,

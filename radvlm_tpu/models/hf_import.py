@@ -428,10 +428,24 @@ def config_from_hf_dir(path: str) -> RadVLMConfig:
             ),
             norm_topk_prob=text_cfg.get("norm_topk_prob", False),
         )
+    # Family knobs (one functional decoder covers qwen2/llama/mistral/gemma —
+    # the reference wraps a class per family, `language_model/llava_*.py`).
+    family_kwargs = {}
+    if model_type == "mistral":
+        family_kwargs = dict(sliding_window=text_cfg.get("sliding_window") or 0)
+    elif model_type == "gemma":
+        family_kwargs = dict(
+            hidden_act="gelu_tanh",
+            rms_norm_offset=True,
+            embed_normalizer=True,
+        )
     text = Qwen2Config(
-        attention_bias=text_cfg.get("attention_bias", model_type != "llama"),
+        attention_bias=text_cfg.get(
+            "attention_bias", model_type not in ("llama", "mistral", "gemma")
+        ),
         **rope_kwargs,
         **moe_kwargs,
+        **family_kwargs,
         vocab_size=text_cfg.get("vocab_size", 152064),
         hidden_size=text_cfg.get("hidden_size", 3584),
         intermediate_size=text_cfg.get("intermediate_size", 18944),

@@ -171,6 +171,20 @@ def fuse_projections(params: Params) -> Params:
     return out
 
 
+def _no(cfg: Qwen2Config) -> float:
+    """RMSNorm weight offset: Gemma stores zero-centered weights, applied
+    as (1 + w) in fp32 (HF GemmaRMSNorm)."""
+    return 1.0 if cfg.rms_norm_offset else 0.0
+
+
+def _act(cfg: Qwen2Config, x: jnp.ndarray) -> jnp.ndarray:
+    """MLP gate activation: SwiGLU (silu) for Qwen2/Llama/Mistral, GeGLU
+    (tanh-approx gelu) for Gemma (HF hidden_act="gelu_pytorch_tanh")."""
+    if cfg.hidden_act == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.silu(x)
+
+
 def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray,
          idx=None):
     mm, take = _mm_take(idx)
@@ -306,7 +320,7 @@ def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray,
     b, s = attn.shape[:2]
     x = res + maybe_psum(mm(attn.reshape(b, s, -1), lp["attn"]["o"]["kernel"]))
     res = x
-    y = rms_norm(x, take(lp["ln2"]), cfg.rms_norm_eps)
+    y = rms_norm(x, take(lp["ln2"]), cfg.rms_norm_eps, _no(cfg))
     mlp = lp["mlp"]
     if "moe" in mlp:
         out, aux = _moe_mlp(cfg, mlp["moe"], y, mm, take)
@@ -315,9 +329,9 @@ def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray,
     if "gateup" in mlp:
         gu = mm(y, mlp["gateup"]["kernel"])
         gate, up = jnp.split(gu, 2, axis=-1)
-        gate = jax.nn.silu(gate)
+        gate = _act(cfg, gate)
     else:
-        gate = jax.nn.silu(mm(y, mlp["gate"]["kernel"]))
+        gate = _act(cfg, mm(y, mlp["gate"]["kernel"]))
         up = mm(y, mlp["up"]["kernel"])
     out = res + maybe_psum(mm(gate * up, mlp["down"]["kernel"]))
     return (out, jnp.float32(0.0)) if with_aux else out
@@ -342,7 +356,7 @@ def _block(
     Quantized kernels pass through to `quant.qmm` at each matmul site (dequant
     happens per-matmul in the dense path or in-VMEM in the int8 kernel)."""
     res = x
-    y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+    y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps, _no(cfg))
     q, k, v = _qkv(cfg, lp, y, positions)
     attn = mha(
         q, k, v,
@@ -350,6 +364,7 @@ def _block(
         kv_segment_ids=segment_ids,
         causal=True,
         impl=attn_impl,
+        window=cfg.sliding_window,
     )
     out = _finish_block(cfg, lp, res, attn, with_aux=with_aux)
     aux = None
@@ -413,7 +428,7 @@ def _block_cached(
     else:
         ck_all, cv_all = cache
     res = x
-    y = rms_norm(x, _take(layers["ln1"], layer_idx), cfg.rms_norm_eps)
+    y = rms_norm(x, _take(layers["ln1"], layer_idx), cfg.rms_norm_eps, _no(cfg))
     q, k, v = _qkv(cfg, layers, y, positions, idx=layer_idx)
     b, s = x.shape[:2]
     hkv, hd = cfg.num_kv_heads, cfg.head_dim
@@ -517,6 +532,7 @@ def _block_cached(
         and attn_impl in ("auto", "flash")
         and smax % 128 == 0
         and cfg.head_dim % 64 == 0
+        and cfg.sliding_window == 0  # decode kernels have no window mask
         and jax.default_backend() == "tpu"
     ):
         # Decode hot path: Pallas kernel indexes the stacked cache directly via
@@ -555,6 +571,7 @@ def _block_cached(
             q_offset=0 if isinstance(cache_index, int) and cache_index == 0
             else cache_index,
             impl=attn_impl,
+            window=cfg.sliding_window,
         )
     new_cache = (
         (ck_all, cv_all, ks_all, vs_all) if quantized else (ck_all, cv_all)
@@ -562,7 +579,9 @@ def _block_cached(
     return _finish_block(cfg, layers, res, attn, idx=layer_idx), new_cache
 
 
-def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+def embed_tokens(
+    params: Params, input_ids: jnp.ndarray, cfg: Optional[Qwen2Config] = None
+) -> jnp.ndarray:
     from radvlm_tpu.ops.quant import Q_KEY, SCALE_KEY, is_qnode
 
     emb = params["embed"]["embedding"]
@@ -570,8 +589,14 @@ def embed_tokens(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
         # int8 embedding: gather rows + per-row scales, dequant only the gather.
         rows = jnp.take(emb[Q_KEY], input_ids, axis=0).astype(jnp.float32)
         scales = jnp.take(emb[SCALE_KEY][:, 0], input_ids, axis=0)
-        return (rows * scales[..., None]).astype(params["norm"].dtype)
-    return jnp.take(emb, input_ids, axis=0)
+        out = (rows * scales[..., None]).astype(params["norm"].dtype)
+    else:
+        out = jnp.take(emb, input_ids, axis=0)
+    if cfg is not None and cfg.embed_normalizer:
+        # Gemma: hidden states scaled by sqrt(hidden_size); HF rounds the
+        # normalizer to the embedding dtype before multiplying.
+        out = out * jnp.asarray(cfg.hidden_size ** 0.5, out.dtype)
+    return out
 
 
 def forward(
@@ -651,7 +676,7 @@ def forward(
         else:
             new_cache = None
 
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, _no(cfg))
     out = x if return_hidden else unembed(params, cfg, x)
     if return_aux:
         return out, new_cache, jnp.mean(aux)

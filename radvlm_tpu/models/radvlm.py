@@ -114,6 +114,7 @@ def splice_embeds(
     tokens: jnp.ndarray,
     img_src: jnp.ndarray,
     merged: jnp.ndarray,
+    cfg: Optional[RadVLMConfig] = None,
 ) -> jnp.ndarray:
     """Text embedding + image-token substitution.
 
@@ -121,7 +122,9 @@ def splice_embeds(
     into `merged`); merged: [B, N, D]. Static-shape equivalent of the reference's
     per-sample splice at IMAGE_TOKEN_INDEX (`llava_arch.py:449-493`).
     """
-    text_emb = qwen2.embed_tokens(params["text"], tokens)
+    text_emb = qwen2.embed_tokens(
+        params["text"], tokens, cfg.text if cfg is not None else None
+    )
     safe = jnp.clip(img_src, 0, merged.shape[1] - 1)
     img_emb = jnp.take_along_axis(merged, safe[..., None], axis=1)
     return jnp.where((img_src >= 0)[..., None], img_emb.astype(text_emb.dtype), text_emb)
@@ -158,7 +161,7 @@ def forward(
     merged = merge_image_features(
         params, tile_feats, batch["merge_indices"], batch["merge_weights"]
     )
-    embeds = splice_embeds(params, batch["tokens"], batch["img_src"], merged)
+    embeds = splice_embeds(params, batch["tokens"], batch["img_src"], merged, cfg)
     return qwen2.forward(
         params["text"],
         cfg.text,

@@ -25,12 +25,15 @@ def make_attention_mask(
     kv_segment_ids: jnp.ndarray,
     causal: bool,
     q_offset: int | jnp.ndarray = 0,
+    window: int = 0,
 ) -> jnp.ndarray:
     """Boolean [B, 1, Sq, Sk] mask. True = attend.
 
     Segment id 0 means padding; tokens only attend within their own segment.
     `q_offset` shifts query positions (used at decode time when the query block sits
-    at position `cache_len` of the KV sequence).
+    at position `cache_len` of the KV sequence). `window` > 0 additionally
+    restricts attention to the previous `window` positions (Mistral
+    sliding-window; HF semantics: key in (q_pos - window, q_pos]).
     """
     seg_mask = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]) & (
         q_segment_ids[:, :, None] != 0
@@ -43,6 +46,8 @@ def make_attention_mask(
         else:
             q_pos = (jnp.arange(sq)[:, None] + q_offset)[None]
         seg_mask = seg_mask & (q_pos >= k_pos)
+        if window:
+            seg_mask = seg_mask & (q_pos - k_pos < window)
     return seg_mask[:, None, :, :]
 
 
@@ -98,8 +103,13 @@ def mha(
     q_offset: int | jnp.ndarray = 0,
     scale: Optional[float] = None,
     impl: str = "auto",
+    window: int = 0,
 ) -> jnp.ndarray:
     """Multi-head attention entry point used by all models.
+
+    window > 0 (Mistral sliding-window) is masked in the XLA path; the flash
+    kernels have no window support, so a window forces the XLA path (the
+    Mistral family is coverage, not the flagship hot loop).
 
     q: [B, Sq, H, D]; k/v: [B, Sk, Hkv, D]. (The decode hot path does not come
     through here — `models/qwen2._block_cached` calls the Pallas decode kernel on
@@ -117,12 +127,15 @@ def mha(
         assert causal and k.shape[1] == q.shape[1], (
             "ring attention is for causal self-attention (training prefill)"
         )
+        assert window == 0, "ring attention has no sliding-window support"
         return ring_attention_sharded(
             q, k, v, q_segment_ids, kv_segment_ids,
             causal=True, scale=scale if scale is not None else q.shape[-1] ** -0.5,
         )
     sk = k.shape[1]
     use_flash = False
+    if window:
+        impl = "xla"  # flash kernels have no sliding-window mask
     if impl == "flash":
         use_flash = True
     elif impl == "auto":
@@ -175,12 +188,14 @@ def mha(
         )
     mask = None
     if q_segment_ids is not None:
-        mask = make_attention_mask(q_segment_ids, kv_segment_ids, causal, q_offset)
+        mask = make_attention_mask(
+            q_segment_ids, kv_segment_ids, causal, q_offset, window
+        )
     elif causal:
         b = q.shape[0]
         ones_q = jnp.ones((b, q.shape[1]), jnp.int32)
         ones_k = jnp.ones((b, k.shape[1]), jnp.int32)
-        mask = make_attention_mask(ones_q, ones_k, causal, q_offset)
+        mask = make_attention_mask(ones_q, ones_k, causal, q_offset, window)
     return mha_reference(q, k, v, mask=mask, scale=scale)
 
 
@@ -239,13 +254,19 @@ def apply_rope(
     return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
 
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """RMSNorm with fp32 statistics (HF-compatible)."""
+def rms_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, eps: float, offset: float = 0.0
+) -> jnp.ndarray:
+    """RMSNorm with fp32 statistics (HF-compatible). `offset=1.0` applies
+    Gemma's zero-centered weights as (1 + w), added in fp32 like HF."""
     dtype = x.dtype
     x = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
     x = x * jax.lax.rsqrt(var + eps)
-    return (x * weight.astype(jnp.float32)).astype(dtype)
+    w = weight.astype(jnp.float32)
+    if offset:
+        w = w + offset
+    return (x * w).astype(dtype)
 
 
 def layer_norm(

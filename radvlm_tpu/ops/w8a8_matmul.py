@@ -1,20 +1,24 @@
 """Pallas W8A8 prefill matmul: y = (xq @ q) * xs * ws with int8 MXU dots.
 
-The XLA W8A8 path (`ops/quant.w8a8_matmul`) measures ~195 TF/s on the 7B
-prefill shapes — suspiciously equal to the v5e *bf16* MXU peak (197), i.e.
-XLA's s8xs8 dot emitter does not engage the doubled int8 MXU rate (394 peak).
-This kernel issues the s8xs8 `dot_general` (preferred_element_type=int32)
-from Mosaic directly, with per-row activation scales and per-output-channel
-weight scales applied in the f32 epilogue.
+Explicit-tiling alternative to the XLA s8xs8 emitter in
+`ops/quant.w8a8_matmul`. Device-side scan-loop microbenchmarks (full-output
+consumption — partial consumption lets XLA DCE columns of the dot and
+fabricates impossible rates) on the 7B prefill shapes measured:
 
-Activations are quantized ONCE per layer input by `quantize_rows` (plain XLA:
-a fused amax reduce + round over [M, D] — ~25 MB of HBM traffic, negligible
-next to the matmul) and the int8 tensor is shared by every projection reading
-that input (q/k/v share it; gate/up share it), which the per-matmul XLA path
-could not do.
+    gateup [3456,3584]x[3584,37888]: bf16 149 TF/s, XLA s8 235, Pallas 229
+    down   [3456,18944]x[18944,3584]: bf16 121, XLA s8 160-180, Pallas 170
 
-Role: the prefill-side analog of the reference's bitsandbytes int8 inference
-(`finetuning/llava/model/builder.py:30-34`), on the MXU's native int8 path.
+i.e. the doubled int8 MXU rate (394 peak) IS engaged by both the XLA emitter
+and this kernel, at parity within shared-tenancy noise. The XLA path stays
+the default (`RADVLM_W8A8_IMPL=pallas` opts in); this kernel is kept as the
+block-tuning hook (block_m/block_f/block_k) for geometries where the emitter
+falls short, and as the documented record of the investigation.
+
+Structure: grid (M/bm, F/bf, D/bk), k innermost ("arbitrary") accumulating
+int32 in VMEM scratch; per-row activation scales (`quantize_rows`) and
+per-output-channel weight scales applied in the f32 epilogue on the last k
+step. Role: the prefill-side analog of the reference's bitsandbytes int8
+inference (`finetuning/llava/model/builder.py:30-34`).
 """
 
 from __future__ import annotations
@@ -66,7 +70,8 @@ def _kernel(xq_ref, xs_ref, q_ref, ws_ref, o_ref, acc_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_f", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("block_m", "block_f", "block_k", "out_dtype", "interpret")
 )
 def w8a8_matmul_pallas(
     xq: jnp.ndarray,  # [..., D] int8 (from quantize_rows)
@@ -76,6 +81,7 @@ def w8a8_matmul_pallas(
     *,
     block_m: int = 256,
     block_f: int = 512,
+    block_k: int = 0,  # 0 -> largest 128-multiple divisor of D within VMEM cap
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -94,8 +100,8 @@ def w8a8_matmul_pallas(
     bf = block_f
     while f % bf:
         bf //= 2
-    bk = _pick_bk(d)
-    if not bk:  # D not 128-aligned: caller should use the XLA path
+    bk = block_k or _pick_bk(d)
+    if not bk or d % bk:  # D not 128-aligned: caller should use the XLA path
         raise ValueError(f"D={d} has no 128-multiple divisor block")
     grid = (m // bm, f // bf, d // bk)
 

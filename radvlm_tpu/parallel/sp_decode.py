@@ -142,7 +142,7 @@ def make_sp_decode_step(cfg, mesh, *, axis_name: str = "seq"):
                 in_range, jnp.ones((b,), cache_seg.dtype), cache_seg[rows, safe]
             )
             cache_seg = cache_seg.at[rows, safe].set(seg_new)
-            embeds = qwen2.embed_tokens(params, tok[:, None])
+            embeds = qwen2.embed_tokens(params, tok[:, None], cfg)
             logits, (ck, cv) = qwen2.forward(
                 params, cfg,
                 input_embeds=embeds,

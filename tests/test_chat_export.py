@@ -8,7 +8,13 @@ import pytest
 from radvlm_tpu.config import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from radvlm_tpu.data import export
 from radvlm_tpu.data.chat import (
+    GEMMA,
+    LLAMA2,
+    MISTRAL_INSTRUCT,
+    MPT,
     QWEN_CHATML,
+    TEMPLATES,
+    VICUNA_V1,
     llava_turns,
     render_generation_prompt,
     tokenize_chat_supervised,
@@ -59,6 +65,84 @@ def test_supervised_masking_roundtrip():
     assert "What do you see?" in fake_detokenize(unsup)
     # And supervised labels equal their token ids.
     assert all(l == t for t, l in zip(ids, labels) if l != IGNORE_INDEX)
+
+
+def test_vicuna_v1_render():
+    """SeparatorStyle.TWO (`conversation.py:74-83`): '{system} ' then
+    'USER: {m} ' / 'ASSISTANT: {m}</s>'; open turn renders 'ASSISTANT:'."""
+    turns = [("user", "Hi"), ("assistant", "Hello"), ("user", "Next")]
+    txt = render_generation_prompt(turns, template=VICUNA_V1)
+    assert txt == (
+        VICUNA_V1.default_system + " "
+        "USER: Hi ASSISTANT: Hello</s>USER: Next ASSISTANT:"
+    )
+
+
+def test_llama2_render_folds_system_into_first_user_turn():
+    """SeparatorStyle.LLAMA_2 (`conversation.py:142-162`): the system prompt
+    is <<SYS>>-wrapped inside the FIRST [INST] block, assistant turns render
+    ' {m} </s>', and the generation prompt ends at '[/INST]'."""
+    turns = [("user", "Hi"), ("assistant", "Hello"), ("user", "Next")]
+    txt = render_generation_prompt(turns, template=LLAMA2, system="Be safe.")
+    assert txt == (
+        "<s>[INST] <<SYS>>\nBe safe.\n<</SYS>>\n\nHi [/INST]"
+        " Hello </s>"
+        "<s>[INST] Next [/INST]"
+    )
+    # mistral_instruct: same style, no <s> separator, empty default system.
+    txt = render_generation_prompt(turns[:1], template=MISTRAL_INSTRUCT)
+    assert txt == "[INST] Hi [/INST]"
+
+
+def test_gemma_and_mpt_render():
+    turns = [("user", "Hi"), ("assistant", "Hello")]
+    txt = render_generation_prompt(turns + [("user", "Next")], template=GEMMA)
+    assert txt == (
+        "<start_of_turn>user\nHi<end_of_turn>\n"
+        "<start_of_turn>model\nHello<end_of_turn>\n"
+        "<start_of_turn>user\nNext<end_of_turn>\n"
+        "<start_of_turn>model\n"
+    )
+    txt = render_generation_prompt(turns, template=MPT)
+    assert txt == (
+        "<|im_start|>system\n" + MPT.default_system + "<|im_end|>"
+        "<|im_start|>user\nHi<|im_end|>"
+        "<|im_start|>assistant\nHello<|im_end|>"
+        "<|im_start|>assistant\n"
+    )
+
+
+def test_template_registry_aliases():
+    assert TEMPLATES["vicuna_v1"] is TEMPLATES["v1"]
+    assert TEMPLATES["qwen_2"] is TEMPLATES["qwen_1_5"]
+    for name in ("v1", "llama_2", "mistral_instruct", "gemma", "mpt"):
+        assert name in TEMPLATES
+
+
+def test_supervised_masking_new_templates():
+    """Per-template masking (the preprocess_v1/llama_2/gemma/mpt dispatch,
+    `train.py:904-935`): user/system text masked, assistant text supervised."""
+    turns = [
+        ("user", "<image>\nWhat do you see?"),
+        ("assistant", "Cardiomegaly."),
+    ]
+    for tpl, sup_expect in [
+        (VICUNA_V1, " Cardiomegaly.</s>"),
+        (LLAMA2, " Cardiomegaly. </s>"),
+        (MISTRAL_INSTRUCT, " Cardiomegaly. </s>"),
+        (GEMMA, "Cardiomegaly.<end_of_turn>\n"),
+        (MPT, "Cardiomegaly.<|im_end|>"),
+    ]:
+        ids, labels = tokenize_chat_supervised(fake_tokenize, turns,
+                                               template=tpl)
+        assert ids.count(IMAGE_TOKEN_INDEX) == 1
+        assert labels[ids.index(IMAGE_TOKEN_INDEX)] == IGNORE_INDEX
+        sup = fake_detokenize([t for t, l in zip(ids, labels)
+                               if l != IGNORE_INDEX])
+        assert sup == sup_expect, (tpl.name, sup)
+        unsup = fake_detokenize([t for t, l in zip(ids, labels)
+                                 if l == IGNORE_INDEX and t >= 0])
+        assert "What do you see?" in unsup
 
 
 def test_llava_turns():
