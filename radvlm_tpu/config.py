@@ -102,6 +102,13 @@ class Qwen2Config:
     # Mistral: sliding-window attention — each token attends to at most the
     # previous `sliding_window` positions. 0 = full causal.
     sliding_window: int = 0
+    # MPT family (the reference's llava_mpt, `language_model/llava_mpt.py`):
+    # ALiBi position bias instead of rope, weight-only LayerNorm instead of
+    # RMSNorm, non-gated GELU MLP.
+    pos_embedding: str = "rope"  # "rope" | "alibi"
+    norm_kind: str = "rmsnorm"  # "rmsnorm" | "layernorm" (weight-only)
+    mlp_gated: bool = True  # False: up -> act -> down (MPT ffn)
+    alibi_bias_max: int = 8
     # Mixture-of-experts (Qwen2-MoE family — the reference's LlavaQwenMoe,
     # `language_model/llava_qwen_moe.py`; supports-but-never-trains). 0 = dense.
     # Every layer is sparse when enabled (the flagship MoE configs use
@@ -166,6 +173,31 @@ def mistral_7b() -> Qwen2Config:
     )
 
 
+def mixtral_8x7b() -> Qwen2Config:
+    """Mixtral-8x7B widths (the reference's llava_mixtral family,
+    `language_model/llava_mixtral.py`): Mistral attention + every-layer
+    8-expert top-2 sparse MoE with renormalized top-k weights and no shared
+    expert (HF `MixtralSparseMoeBlock`)."""
+    return Qwen2Config(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        rope_theta=1e6,
+        rms_norm_eps=1e-5,
+        attention_bias=False,
+        max_position_embeddings=32768,
+        num_experts=8,
+        num_experts_per_tok=2,
+        moe_intermediate_size=14336,
+        shared_expert_intermediate_size=0,
+        norm_topk_prob=True,
+    )
+
+
 def gemma_2b() -> Qwen2Config:
     """Gemma-2B widths (the reference's llava_gemma family): MQA with
     head_dim 256, GeGLU MLP, (1+w) RMSNorm, sqrt(d)-scaled embeddings,
@@ -186,6 +218,29 @@ def gemma_2b() -> Qwen2Config:
         rms_norm_offset=True,
         embed_normalizer=True,
         max_position_embeddings=8192,
+    )
+
+
+def mpt_7b() -> Qwen2Config:
+    """MPT-7B widths (the reference's llava_mpt family): MHA with ALiBi,
+    weight-only LayerNorm, non-gated exact-GELU MLP (expansion 4x), tied
+    lm_head, no biases anywhere."""
+    return Qwen2Config(
+        vocab_size=50432,
+        hidden_size=4096,
+        intermediate_size=16384,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=32,
+        head_dim=128,
+        rms_norm_eps=1e-5,
+        attention_bias=False,
+        tie_word_embeddings=True,
+        hidden_act="gelu",
+        pos_embedding="alibi",
+        norm_kind="layernorm",
+        mlp_gated=False,
+        max_position_embeddings=2048,
     )
 
 

@@ -28,6 +28,29 @@ def _lin(kernel) -> np.ndarray:
     return np.ascontiguousarray(_np(kernel).T)
 
 
+def export_mpt(params: Mapping[str, Any], prefix: str = "transformer.") -> Dict[str, np.ndarray]:
+    """MPT family export (HF MptForCausalLM layout): q/k/v re-fused into
+    Wqkv, weight-only LayerNorms, non-gated ffn; lm_head is tied to wte.
+    Round-trips bit-exact with `hf_import._import_mpt`."""
+    out: Dict[str, np.ndarray] = {}
+    out[prefix + "wte.weight"] = _np(params["embed"]["embedding"])
+    lp = params["layers"]
+    L = lp["ln1"].shape[0]
+    for i in range(L):
+        p = f"{prefix}blocks.{i}."
+        out[p + "norm_1.weight"] = _np(lp["ln1"][i])
+        out[p + "norm_2.weight"] = _np(lp["ln2"][i])
+        wqkv = np.concatenate(
+            [_np(lp["attn"][n]["kernel"][i]) for n in ("q", "k", "v")], axis=-1
+        )  # [d, 3d]
+        out[p + "attn.Wqkv.weight"] = np.ascontiguousarray(wqkv.T)
+        out[p + "attn.out_proj.weight"] = _lin(lp["attn"]["o"]["kernel"][i])
+        out[p + "ffn.up_proj.weight"] = _lin(lp["mlp"]["up"]["kernel"][i])
+        out[p + "ffn.down_proj.weight"] = _lin(lp["mlp"]["down"]["kernel"][i])
+    out[prefix + "norm_f.weight"] = _np(params["norm"])
+    return out
+
+
 def export_qwen2(params: Mapping[str, Any], prefix: str = "language_model.model.") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     out[prefix + "embed_tokens.weight"] = _np(params["embed"]["embedding"])
@@ -43,19 +66,28 @@ def export_qwen2(params: Mapping[str, Any], prefix: str = "language_model.model.
                 out[p + f"self_attn.{name}_proj.bias"] = _np(lp["attn"][name]["bias"][i])
         out[p + "self_attn.o_proj.weight"] = _lin(lp["attn"]["o"]["kernel"][i])
         if "moe" in lp["mlp"]:
+            # Shared-expert presence picks the HF layout: Qwen2MoE
+            # (`mlp.gate` + `*_proj` experts + shared expert) vs Mixtral
+            # (`block_sparse_moe.gate` + w1/w3/w2 experts, no shared).
             moe = lp["mlp"]["moe"]
-            out[p + "mlp.gate.weight"] = _lin(moe["router"]["kernel"][i])
+            mixtral = "shared" not in moe
+            moe_p = "block_sparse_moe." if mixtral else "mlp."
+            names = ("w1", "w3", "w2") if mixtral else (
+                "gate_proj", "up_proj", "down_proj"
+            )
+            out[p + moe_p + "gate.weight"] = _lin(moe["router"]["kernel"][i])
             n_exp = moe["experts"]["gate"].shape[1]
             for e in range(n_exp):
-                ep = p + f"mlp.experts.{e}."
-                out[ep + "gate_proj.weight"] = _lin(moe["experts"]["gate"][i, e])
-                out[ep + "up_proj.weight"] = _lin(moe["experts"]["up"][i, e])
-                out[ep + "down_proj.weight"] = _lin(moe["experts"]["down"][i, e])
-            sh = moe["shared"]
-            out[p + "mlp.shared_expert.gate_proj.weight"] = _lin(sh["gate"]["kernel"][i])
-            out[p + "mlp.shared_expert.up_proj.weight"] = _lin(sh["up"]["kernel"][i])
-            out[p + "mlp.shared_expert.down_proj.weight"] = _lin(sh["down"]["kernel"][i])
-            out[p + "mlp.shared_expert_gate.weight"] = _lin(moe["shared_gate"]["kernel"][i])
+                ep = p + f"{moe_p}experts.{e}."
+                out[ep + f"{names[0]}.weight"] = _lin(moe["experts"]["gate"][i, e])
+                out[ep + f"{names[1]}.weight"] = _lin(moe["experts"]["up"][i, e])
+                out[ep + f"{names[2]}.weight"] = _lin(moe["experts"]["down"][i, e])
+            if not mixtral:
+                sh = moe["shared"]
+                out[p + "mlp.shared_expert.gate_proj.weight"] = _lin(sh["gate"]["kernel"][i])
+                out[p + "mlp.shared_expert.up_proj.weight"] = _lin(sh["up"]["kernel"][i])
+                out[p + "mlp.shared_expert.down_proj.weight"] = _lin(sh["down"]["kernel"][i])
+                out[p + "mlp.shared_expert_gate.weight"] = _lin(moe["shared_gate"]["kernel"][i])
         else:
             out[p + "mlp.gate_proj.weight"] = _lin(lp["mlp"]["gate"]["kernel"][i])
             out[p + "mlp.up_proj.weight"] = _lin(lp["mlp"]["up"]["kernel"][i])

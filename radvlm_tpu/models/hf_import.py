@@ -93,6 +93,10 @@ def normalize_keys(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
         nk = nk.replace("model.multi_modal_projector.linear_2.", "projector.fc1.")
         nk = nk.replace("multi_modal_projector.linear_1.", "projector.fc0.")
         nk = nk.replace("multi_modal_projector.linear_2.", "projector.fc1.")
+        # --- MPT (HF MptForCausalLM: transformer.wte/blocks/norm_f) ---
+        nk = nk.replace("transformer.wte.weight", "text.embed_tokens.weight")
+        nk = nk.replace("transformer.norm_f.weight", "text.norm.weight")
+        nk = nk.replace("transformer.blocks.", "text.layers.")
         # --- plain Qwen2 / plain HF model ---
         nk = re.sub(r"^model\.", "text.", nk)
         nk = re.sub(r"^lm_head\.", "text.lm_head.", nk)
@@ -124,6 +128,8 @@ def import_qwen2(
         return jnp.stack([_vec(state, fmt.format(i), dtype) for i in range(L)])
 
     p = "text.layers.{}."
+    if cfg.pos_embedding == "alibi":  # MPT layout (HF MptBlock subkeys)
+        return _import_mpt(state, cfg, p, stack_lin, stack_vec, dtype)
 
     def attn_proj(name):
         node = {"kernel": stack_lin(p + f"self_attn.{name}_proj.weight")}
@@ -157,6 +163,32 @@ def import_qwen2(
     if not cfg.tie_word_embeddings and "text.lm_head.weight" in state:
         params["lm_head"] = {"kernel": _lin(state, "text.lm_head.weight", dtype)}
     return params
+
+
+def _import_mpt(state, cfg, p, stack_lin, stack_vec, dtype):
+    """MPT family (HF MptForCausalLM): fused Wqkv split into q/k/v, no biases
+    anywhere (no_bias), weight-only LayerNorms, non-gated ffn, tied lm_head.
+    Reference counterpart: `language_model/llava_mpt.py` wrapping HF MPT."""
+    wqkv = stack_lin(p + "attn.Wqkv.weight")  # [L, d, 3d] after transpose
+    q, k, v = jnp.split(wqkv, 3, axis=-1)
+    return {
+        "embed": {"embedding": _vec(state, "text.embed_tokens.weight", dtype)},
+        "layers": {
+            "ln1": stack_vec(p + "norm_1.weight"),
+            "ln2": stack_vec(p + "norm_2.weight"),
+            "attn": {
+                "q": {"kernel": q},
+                "k": {"kernel": k},
+                "v": {"kernel": v},
+                "o": {"kernel": stack_lin(p + "attn.out_proj.weight")},
+            },
+            "mlp": {
+                "up": {"kernel": stack_lin(p + "ffn.up_proj.weight")},
+                "down": {"kernel": stack_lin(p + "ffn.down_proj.weight")},
+            },
+        },
+        "norm": _vec(state, "text.norm.weight", dtype),
+    }
 
 
 def import_siglip(
@@ -242,11 +274,21 @@ def import_siglip(
 
 
 def _import_moe_mlp(state, cfg, p: str, dtype):
-    """Qwen2-MoE sparse block (HF Qwen2MoeForCausalLM layout): per-layer
-    router `mlp.gate`, per-expert `mlp.experts.{i}.*_proj`, shared expert +
-    sigmoid gate. Experts stack along a leading E axis ([L, E, in, out]) so
-    the expert dimension can shard over the mesh's `expert` axis."""
+    """Sparse-MoE block import. Two HF layouts, detected by key probe:
+
+    - Qwen2MoeForCausalLM: router `mlp.gate`, per-expert
+      `mlp.experts.{i}.{gate,up,down}_proj`, shared expert + sigmoid gate;
+    - MixtralForCausalLM (the reference's llava_mixtral,
+      `language_model/llava_mixtral.py`): router `block_sparse_moe.gate`,
+      per-expert `block_sparse_moe.experts.{i}.{w1,w3,w2}` (w1=gate, w3=up,
+      w2=down), no shared expert.
+
+    Experts stack along a leading E axis ([L, E, in, out]) so the expert
+    dimension can shard over the mesh's `expert` axis."""
     L, E = cfg.num_layers, cfg.num_experts
+    mixtral = p.format(0) + "block_sparse_moe.gate.weight" in state
+    moe_p = "block_sparse_moe." if mixtral else "mlp."
+    names = ("w1", "w3", "w2") if mixtral else ("gate_proj", "up_proj", "down_proj")
 
     def stack_lin(fmt):
         return jnp.stack([_lin(state, fmt.format(i), dtype) for i in range(L)])
@@ -254,28 +296,28 @@ def _import_moe_mlp(state, cfg, p: str, dtype):
     def expert_stack(name):
         return jnp.stack([
             jnp.stack([
-                _lin(state, p.format(i) + f"mlp.experts.{e}.{name}.weight", dtype)
+                _lin(state, p.format(i) + f"{moe_p}experts.{e}.{name}.weight", dtype)
                 for e in range(E)
             ])
             for i in range(L)
         ])  # [L, E, in, out]
 
-    return {
-        "moe": {
-            "router": {"kernel": stack_lin(p + "mlp.gate.weight")},
-            "experts": {
-                "gate": expert_stack("gate_proj"),
-                "up": expert_stack("up_proj"),
-                "down": expert_stack("down_proj"),
-            },
-            "shared": {
-                "gate": {"kernel": stack_lin(p + "mlp.shared_expert.gate_proj.weight")},
-                "up": {"kernel": stack_lin(p + "mlp.shared_expert.up_proj.weight")},
-                "down": {"kernel": stack_lin(p + "mlp.shared_expert.down_proj.weight")},
-            },
-            "shared_gate": {"kernel": stack_lin(p + "mlp.shared_expert_gate.weight")},
-        }
+    moe = {
+        "router": {"kernel": stack_lin(p + moe_p + "gate.weight")},
+        "experts": {
+            "gate": expert_stack(names[0]),
+            "up": expert_stack(names[1]),
+            "down": expert_stack(names[2]),
+        },
     }
+    if not mixtral:
+        moe["shared"] = {
+            "gate": {"kernel": stack_lin(p + "mlp.shared_expert.gate_proj.weight")},
+            "up": {"kernel": stack_lin(p + "mlp.shared_expert.up_proj.weight")},
+            "down": {"kernel": stack_lin(p + "mlp.shared_expert.down_proj.weight")},
+        }
+        moe["shared_gate"] = {"kernel": stack_lin(p + "mlp.shared_expert_gate.weight")}
+    return {"moe": moe}
 
 
 def import_clip(
@@ -428,10 +470,21 @@ def config_from_hf_dir(path: str) -> RadVLMConfig:
             ),
             norm_topk_prob=text_cfg.get("norm_topk_prob", False),
         )
+    elif text_cfg.get("num_local_experts"):  # mixtral checkpoints
+        # Mixtral: every-layer sparse MoE, no shared expert, top-k weights
+        # always renormalized (HF `MixtralSparseMoeBlock`), expert ffn width
+        # = intermediate_size.
+        moe_kwargs = dict(
+            num_experts=text_cfg["num_local_experts"],
+            num_experts_per_tok=text_cfg.get("num_experts_per_tok", 2),
+            moe_intermediate_size=text_cfg.get("intermediate_size", 14336),
+            shared_expert_intermediate_size=0,
+            norm_topk_prob=True,
+        )
     # Family knobs (one functional decoder covers qwen2/llama/mistral/gemma —
     # the reference wraps a class per family, `language_model/llava_*.py`).
     family_kwargs = {}
-    if model_type == "mistral":
+    if model_type in ("mistral", "mixtral"):
         family_kwargs = dict(sliding_window=text_cfg.get("sliding_window") or 0)
     elif model_type == "gemma":
         family_kwargs = dict(
@@ -439,9 +492,35 @@ def config_from_hf_dir(path: str) -> RadVLMConfig:
             rms_norm_offset=True,
             embed_normalizer=True,
         )
+    if model_type == "mpt":
+        # MPT configs use their own vocabulary (d_model/n_heads/n_layers/
+        # expansion_ratio/max_seq_len); MHA + ALiBi + weight-only LayerNorm +
+        # non-gated exact-GELU ffn, always-tied lm_head.
+        d = text_cfg.get("d_model", 4096)
+        n_heads = text_cfg.get("n_heads", 32)
+        attn_cfg = text_cfg.get("attn_config") or {}
+        return _finish_config_from_hf(data, Qwen2Config(
+            vocab_size=text_cfg.get("vocab_size", 50432),
+            hidden_size=d,
+            intermediate_size=int(text_cfg.get("expansion_ratio", 4) * d),
+            num_layers=text_cfg.get("n_layers", 32),
+            num_heads=n_heads,
+            num_kv_heads=n_heads,
+            head_dim=d // n_heads,
+            rms_norm_eps=text_cfg.get("layer_norm_epsilon", 1e-5),
+            attention_bias=False,
+            tie_word_embeddings=True,
+            hidden_act="gelu",
+            pos_embedding="alibi",
+            norm_kind="layernorm",
+            mlp_gated=False,
+            alibi_bias_max=int(attn_cfg.get("alibi_bias_max", 8)),
+            max_position_embeddings=text_cfg.get("max_seq_len", 2048),
+        ), vis_cfg)
     text = Qwen2Config(
         attention_bias=text_cfg.get(
-            "attention_bias", model_type not in ("llama", "mistral", "gemma")
+            "attention_bias",
+            model_type not in ("llama", "mistral", "mixtral", "gemma"),
         ),
         **rope_kwargs,
         **moe_kwargs,
@@ -461,6 +540,11 @@ def config_from_hf_dir(path: str) -> RadVLMConfig:
         tie_word_embeddings=text_cfg.get("tie_word_embeddings", False),
         max_position_embeddings=text_cfg.get("max_position_embeddings", 32768),
     )
+    return _finish_config_from_hf(data, text, vis_cfg)
+
+
+def _finish_config_from_hf(data, text: Qwen2Config, vis_cfg) -> RadVLMConfig:
+    """Shared tail of `config_from_hf_dir`: vision tower + anyres policy."""
     if vis_cfg.get("model_type") == "clip_vision_model":
         from radvlm_tpu.models.clip import CLIPVisionConfig
 

@@ -63,7 +63,9 @@ def init_params(cfg: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
                 "o": {"kernel": stack((h * hd, d), keys[4])},
             },
             "mlp": {
-                "gate": {"kernel": stack((d, cfg.intermediate_size), keys[5])},
+                # MPT's non-gated ffn omits the gate branch entirely.
+                **({"gate": {"kernel": stack((d, cfg.intermediate_size), keys[5])}}
+                   if cfg.mlp_gated else {}),
                 "up": {"kernel": stack((d, cfg.intermediate_size), keys[6])},
                 "down": {"kernel": stack((cfg.intermediate_size, d), keys[7])},
             },
@@ -73,25 +75,26 @@ def init_params(cfg: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
     if cfg.num_experts:
         # Qwen2-MoE: sparse expert MLPs + always-on shared expert with a
         # sigmoid gate; the dense "mlp" subtree is replaced wholesale.
+        # Mixtral (shared_expert_intermediate_size=0) has no shared expert.
         e, m = cfg.num_experts, cfg.moe_intermediate_size
         ms = cfg.shared_expert_intermediate_size
         mkeys = jax.random.split(keys[9], 8)
-        params["layers"]["mlp"] = {
-            "moe": {
-                "router": {"kernel": stack((d, e), mkeys[0])},
-                "experts": {
-                    "gate": _dense(mkeys[1], (L, e, d, m)).astype(dtype),
-                    "up": _dense(mkeys[2], (L, e, d, m)).astype(dtype),
-                    "down": _dense(mkeys[3], (L, e, m, d)).astype(dtype),
-                },
-                "shared": {
-                    "gate": {"kernel": stack((d, ms), mkeys[4])},
-                    "up": {"kernel": stack((d, ms), mkeys[5])},
-                    "down": {"kernel": stack((ms, d), mkeys[6])},
-                },
-                "shared_gate": {"kernel": stack((d, 1), mkeys[7])},
-            }
+        moe = {
+            "router": {"kernel": stack((d, e), mkeys[0])},
+            "experts": {
+                "gate": _dense(mkeys[1], (L, e, d, m)).astype(dtype),
+                "up": _dense(mkeys[2], (L, e, d, m)).astype(dtype),
+                "down": _dense(mkeys[3], (L, e, m, d)).astype(dtype),
+            },
         }
+        if ms:
+            moe["shared"] = {
+                "gate": {"kernel": stack((d, ms), mkeys[4])},
+                "up": {"kernel": stack((d, ms), mkeys[5])},
+                "down": {"kernel": stack((ms, d), mkeys[6])},
+            }
+            moe["shared_gate"] = {"kernel": stack((d, 1), mkeys[7])}
+        params["layers"]["mlp"] = {"moe": moe}
     if not cfg.tie_word_embeddings:
         params["lm_head"] = {"kernel": _dense(keys[8], (d, cfg.vocab_size)).astype(dtype)}
     return params
@@ -157,9 +160,10 @@ def fuse_projections(params: Params) -> Params:
             [attn[k]["bias"] for k in ("q", "k", "v")], axis=-1
         )
     new_layers["attn"] = {"qkv": qkv, "o": attn["o"]}
-    if "moe" in mlp:
+    if "moe" in mlp or "gate" not in mlp:
         # MoE blocks have no dense gate/up pair to fuse (experts stay in
-        # their [L, E, ...] tables); only the attention projections fuse.
+        # their [L, E, ...] tables); MPT's non-gated ffn is already a single
+        # up matmul. Only the attention projections fuse.
         new_layers["mlp"] = mlp
     else:
         new_layers["mlp"] = {
@@ -177,11 +181,24 @@ def _no(cfg: Qwen2Config) -> float:
     return 1.0 if cfg.rms_norm_offset else 0.0
 
 
+def _norm(cfg: Qwen2Config, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Pre/post-block normalization: RMSNorm for the rope families,
+    weight-only LayerNorm for MPT (HF MptBlock norm_1/norm_2, no_bias)."""
+    if cfg.norm_kind == "layernorm":
+        from radvlm_tpu.ops.attention import layer_norm
+
+        return layer_norm(x, w, None, cfg.rms_norm_eps)
+    return rms_norm(x, w, cfg.rms_norm_eps, _no(cfg))
+
+
 def _act(cfg: Qwen2Config, x: jnp.ndarray) -> jnp.ndarray:
     """MLP gate activation: SwiGLU (silu) for Qwen2/Llama/Mistral, GeGLU
-    (tanh-approx gelu) for Gemma (HF hidden_act="gelu_pytorch_tanh")."""
+    (tanh-approx gelu) for Gemma (HF hidden_act="gelu_pytorch_tanh"),
+    exact GELU for MPT (HF MptMLP nn.GELU(approximate="none"))."""
     if cfg.hidden_act == "gelu_tanh":
         return jax.nn.gelu(x, approximate=True)
+    if cfg.hidden_act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
     return jax.nn.silu(x)
 
 
@@ -221,16 +238,24 @@ def _qkv(cfg: Qwen2Config, lp: Params, y: jnp.ndarray, positions: jnp.ndarray,
         )
     elif cfg.rope_scaling != 1.0:  # "linear"
         positions = positions.astype(jnp.float32) / cfg.rope_scaling
-    q = apply_rope(q, positions, cfg.rope_theta, llama3)
-    k = apply_rope(k, positions, cfg.rope_theta, llama3)
+    if cfg.pos_embedding == "rope":
+        q = apply_rope(q, positions, cfg.rope_theta, llama3)
+        k = apply_rope(k, positions, cfg.rope_theta, llama3)
     return q, k, v
 
 
+def _alibi(cfg: Qwen2Config) -> int:
+    """`alibi` argument for ops.attention.mha: bias_max for the MPT family,
+    0 (disabled) for the rope families."""
+    return cfg.alibi_bias_max if cfg.pos_embedding == "alibi" else 0
+
+
 def _moe_mlp(cfg: Qwen2Config, moe: Params, y: jnp.ndarray, mm, take):
-    """Qwen2-MoE sparse block (HF `Qwen2MoeSparseMoeBlock` semantics): softmax
-    router over `num_experts`, top-k per token (optionally renormalized),
-    sparse expert SwiGLUs, plus an always-on shared expert scaled by a sigmoid
-    gate. Returns (out [b, s, d], aux_loss scalar).
+    """Sparse MoE block (HF `Qwen2MoeSparseMoeBlock` / `MixtralSparseMoeBlock`
+    semantics): softmax router over `num_experts`, top-k per token (optionally
+    renormalized — Mixtral always renormalizes), sparse expert SwiGLUs, plus —
+    for Qwen2-MoE only — an always-on shared expert scaled by a sigmoid gate.
+    Returns (out [b, s, d], aux_loss scalar).
 
     Two compute modes (cfg.moe_capacity_factor):
     - 0 (exact): every expert processes every token, combined with the sparse
@@ -291,15 +316,17 @@ def _moe_mlp(cfg: Qwen2Config, moe: Params, y: jnp.ndarray, mm, take):
         eo = jnp.einsum("ecm,emd->ecd", jax.nn.silu(h) * u, wd)
         out = jnp.einsum("tec,ecd->td", comb, eo)
 
-    # shared expert with sigmoid gate
-    sh = jax.nn.silu(mm(y, moe["shared"]["gate"]["kernel"])) * mm(
-        y, moe["shared"]["up"]["kernel"]
-    )
-    sh = mm(sh, moe["shared"]["down"]["kernel"]).reshape(t, d)
-    sgate = jax.nn.sigmoid(
-        mm(y, moe["shared_gate"]["kernel"]).reshape(t, 1).astype(jnp.float32)
-    ).astype(x.dtype)
-    out = out + sgate * sh
+    # shared expert with sigmoid gate (Qwen2-MoE only; Mixtral has none —
+    # HF `MixtralSparseMoeBlock` is router + experts alone)
+    if "shared" in moe:
+        sh = jax.nn.silu(mm(y, moe["shared"]["gate"]["kernel"])) * mm(
+            y, moe["shared"]["up"]["kernel"]
+        )
+        sh = mm(sh, moe["shared"]["down"]["kernel"]).reshape(t, d)
+        sgate = jax.nn.sigmoid(
+            mm(y, moe["shared_gate"]["kernel"]).reshape(t, 1).astype(jnp.float32)
+        ).astype(x.dtype)
+        out = out + sgate * sh
 
     # Switch/GShard load-balancing aux: f_e = fraction of tokens picking
     # expert e (any rank), P_e = mean router prob; loss = E * sum f_e P_e.
@@ -320,12 +347,16 @@ def _finish_block(cfg: Qwen2Config, lp: Params, res: jnp.ndarray,
     b, s = attn.shape[:2]
     x = res + maybe_psum(mm(attn.reshape(b, s, -1), lp["attn"]["o"]["kernel"]))
     res = x
-    y = rms_norm(x, take(lp["ln2"]), cfg.rms_norm_eps, _no(cfg))
+    y = _norm(cfg, x, take(lp["ln2"]))
     mlp = lp["mlp"]
     if "moe" in mlp:
         out, aux = _moe_mlp(cfg, mlp["moe"], y, mm, take)
         out = res + out
         return (out, aux) if with_aux else out
+    if not cfg.mlp_gated:  # MPT ffn: up -> act -> down, no gate branch
+        hidden = _act(cfg, mm(y, mlp["up"]["kernel"]))
+        out = res + maybe_psum(mm(hidden, mlp["down"]["kernel"]))
+        return (out, jnp.float32(0.0)) if with_aux else out
     if "gateup" in mlp:
         gu = mm(y, mlp["gateup"]["kernel"])
         gate, up = jnp.split(gu, 2, axis=-1)
@@ -356,7 +387,7 @@ def _block(
     Quantized kernels pass through to `quant.qmm` at each matmul site (dequant
     happens per-matmul in the dense path or in-VMEM in the int8 kernel)."""
     res = x
-    y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps, _no(cfg))
+    y = _norm(cfg, x, lp["ln1"])
     q, k, v = _qkv(cfg, lp, y, positions)
     attn = mha(
         q, k, v,
@@ -365,6 +396,7 @@ def _block(
         causal=True,
         impl=attn_impl,
         window=cfg.sliding_window,
+        alibi=_alibi(cfg),
     )
     out = _finish_block(cfg, lp, res, attn, with_aux=with_aux)
     aux = None
@@ -428,7 +460,7 @@ def _block_cached(
     else:
         ck_all, cv_all = cache
     res = x
-    y = rms_norm(x, _take(layers["ln1"], layer_idx), cfg.rms_norm_eps, _no(cfg))
+    y = _norm(cfg, x, _take(layers["ln1"], layer_idx))
     q, k, v = _qkv(cfg, layers, y, positions, idx=layer_idx)
     b, s = x.shape[:2]
     hkv, hd = cfg.num_kv_heads, cfg.head_dim
@@ -444,6 +476,10 @@ def _block_cached(
             raise NotImplementedError(
                 "sequence-parallel decode over an int8 KV cache is not wired; "
                 "use a bf16 cache with SP decode"
+            )
+        if cfg.pos_embedding != "rope":
+            raise NotImplementedError(
+                "sequence-parallel decode has no ALiBi bias support"
             )
         # Sequence-parallel decode: `ck_all`/`cv_all` are this shard's LOCAL
         # cache block (running under shard_map over the seq axis). Write the
@@ -533,6 +569,7 @@ def _block_cached(
         and smax % 128 == 0
         and cfg.head_dim % 64 == 0
         and cfg.sliding_window == 0  # decode kernels have no window mask
+        and cfg.pos_embedding == "rope"  # ...nor ALiBi bias
         and jax.default_backend() == "tpu"
     ):
         # Decode hot path: Pallas kernel indexes the stacked cache directly via
@@ -572,6 +609,7 @@ def _block_cached(
             else cache_index,
             impl=attn_impl,
             window=cfg.sliding_window,
+            alibi=_alibi(cfg),
         )
     new_cache = (
         (ck_all, cv_all, ks_all, vs_all) if quantized else (ck_all, cv_all)
@@ -676,7 +714,7 @@ def forward(
         else:
             new_cache = None
 
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, _no(cfg))
+    x = _norm(cfg, x, params["norm"])
     out = x if return_hidden else unembed(params, cfg, x)
     if return_aux:
         return out, new_cache, jnp.mean(aux)

@@ -61,6 +61,33 @@ def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
     )
 
 
+def alibi_head_slopes(num_heads: int, alibi_bias_max: int = 8) -> jnp.ndarray:
+    """Per-head ALiBi slopes, HF MPT convention (`build_mpt_alibi_tensor`):
+    geometric 1/2^(i * max/P2) over the next power-of-two head count P2, then
+    (for non-power-of-two head counts) odd-index slopes first."""
+    import math
+
+    p2 = 2 ** math.ceil(math.log2(num_heads))
+    base = jnp.arange(1, p2 + 1, dtype=jnp.float32) * (alibi_bias_max / p2)
+    slopes = 1.0 / jnp.power(2.0, base)
+    if p2 != num_heads:
+        slopes = jnp.concatenate([slopes[1::2], slopes[::2]])[:num_heads]
+    return slopes
+
+
+def alibi_bias(
+    num_heads: int, sk: int, alibi_bias_max: int = 8
+) -> jnp.ndarray:
+    """[1, H, 1, Sk] key-position ALiBi bias: slope * (k - (Sk-1)).
+
+    HF MPT applies a key-only bias (queries all see the same ramp); for causal
+    attention this is softmax-equivalent to the relative -slope*(q-k) form —
+    the per-query constant shift cancels in the softmax."""
+    slopes = alibi_head_slopes(num_heads, alibi_bias_max)
+    pos = jnp.arange(sk, dtype=jnp.float32) - (sk - 1)
+    return (slopes[:, None] * pos[None, :])[None, :, None, :]
+
+
 def mha_reference(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -68,11 +95,13 @@ def mha_reference(
     *,
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Plain XLA attention. q:[B,Sq,H,D] k,v:[B,Sk,Hkv,D] mask:[B,1,Sq,Sk] bool.
 
     Softmax runs in fp32 regardless of input dtype (bf16-safe), output matches the
-    query dtype. GQA is handled by repeating KV heads.
+    query dtype. GQA is handled by repeating KV heads. `bias` (broadcastable to
+    [B, H, Sq, Sk], e.g. ALiBi) adds to the scaled logits before masking.
     """
     b, sq, h, d = q.shape
     hkv = k.shape[2]
@@ -83,6 +112,8 @@ def mha_reference(
         scale = d ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -104,12 +135,15 @@ def mha(
     scale: Optional[float] = None,
     impl: str = "auto",
     window: int = 0,
+    alibi: int = 0,
 ) -> jnp.ndarray:
     """Multi-head attention entry point used by all models.
 
     window > 0 (Mistral sliding-window) is masked in the XLA path; the flash
     kernels have no window support, so a window forces the XLA path (the
-    Mistral family is coverage, not the flagship hot loop).
+    Mistral family is coverage, not the flagship hot loop). alibi > 0 (the
+    MPT family's `alibi_bias_max`) adds the per-head key-position bias and
+    likewise forces the XLA path.
 
     q: [B, Sq, H, D]; k/v: [B, Sk, Hkv, D]. (The decode hot path does not come
     through here — `models/qwen2._block_cached` calls the Pallas decode kernel on
@@ -128,14 +162,15 @@ def mha(
             "ring attention is for causal self-attention (training prefill)"
         )
         assert window == 0, "ring attention has no sliding-window support"
+        assert alibi == 0, "ring attention has no ALiBi support"
         return ring_attention_sharded(
             q, k, v, q_segment_ids, kv_segment_ids,
             causal=True, scale=scale if scale is not None else q.shape[-1] ** -0.5,
         )
     sk = k.shape[1]
     use_flash = False
-    if window:
-        impl = "xla"  # flash kernels have no sliding-window mask
+    if window or alibi:
+        impl = "xla"  # flash kernels have no sliding-window/ALiBi support
     if impl == "flash":
         use_flash = True
     elif impl == "auto":
@@ -196,7 +231,8 @@ def mha(
         ones_q = jnp.ones((b, q.shape[1]), jnp.int32)
         ones_k = jnp.ones((b, k.shape[1]), jnp.int32)
         mask = make_attention_mask(ones_q, ones_k, causal, q_offset, window)
-    return mha_reference(q, k, v, mask=mask, scale=scale)
+    bias = alibi_bias(q.shape[2], sk, alibi) if alibi else None
+    return mha_reference(q, k, v, mask=mask, scale=scale, bias=bias)
 
 
 def llama3_scale_inv_freq(
@@ -270,11 +306,16 @@ def rms_norm(
 
 
 def layer_norm(
-    x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float
+    x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray], eps: float
 ) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics. bias=None is the MPT no_bias variant
+    (weight-only LayerNorm)."""
     dtype = x.dtype
     x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     x = (x - mean) * jax.lax.rsqrt(var + eps)
-    return (x * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+    x = x * weight.astype(jnp.float32)
+    if bias is not None:
+        x = x + bias.astype(jnp.float32)
+    return x.astype(dtype)
