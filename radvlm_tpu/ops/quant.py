@@ -166,26 +166,33 @@ def w8a8_matmul(x: jnp.ndarray, node: Dict[str, Any]) -> jnp.ndarray:
     SmoothQuant-style W8A8 serving stacks do; weight scales are the node's
     per-output-channel scales.
 
-    RADVLM_W8A8_IMPL=pallas routes through `ops/w8a8_matmul.py`'s Pallas
-    kernel (same math, explicit block tiling + int32 VMEM accumulator);
-    measured at parity with the XLA emitter on the 7B prefill shapes, kept
-    as the tuning hook for other geometries.
+    RADVLM_W8A8_IMPL picks the emitter: `fused` (default on TPU) is the
+    Pallas kernel that quantizes x row-tiles in VMEM inside the matmul
+    (`ops/w8a8_matmul.w8a8_matmul_fused` — no separate HBM quantize pass);
+    `pallas` is the explicit-tiling kernel over pre-quantized activations;
+    `xla` the s8xs8 dot emitter (both pay the XLA quantize pre-pass).
 
     Equivalent role to the reference's bitsandbytes int8 inference path
     (`model/builder.py:30-34`), but on the prefill hot loop."""
     import os
 
     q, ws = node[Q_KEY], node[SCALE_KEY]  # [D, F] int8, [1, F] f32
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.maximum(amax, 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-    if (
-        os.environ.get("RADVLM_W8A8_IMPL", "xla") == "pallas"
-        and jax.default_backend() == "tpu"
+    impl = os.environ.get("RADVLM_W8A8_IMPL", "fused")
+    tpu_aligned = (
+        jax.default_backend() == "tpu"
         and q.shape[0] % 128 == 0
         and q.shape[1] % 128 == 0
-    ):
+    )
+    if impl == "fused" and tpu_aligned:
+        from radvlm_tpu.ops.w8a8_matmul import w8a8_matmul_fused
+
+        return w8a8_matmul_fused(x, q, ws, out_dtype=x.dtype)
+    from radvlm_tpu.ops.w8a8_matmul import quantize_rows
+
+    # Shared with the Pallas kernels (incl. the bit-stable *1/127 scale —
+    # see w8a8_matmul._INV127) so every impl quantizes identically.
+    xq, xs = quantize_rows(x)
+    if impl == "pallas" and tpu_aligned:
         from radvlm_tpu.ops.w8a8_matmul import w8a8_matmul_pallas
 
         return w8a8_matmul_pallas(xq, xs, q, ws, out_dtype=x.dtype)

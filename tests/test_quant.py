@@ -229,6 +229,29 @@ def test_w8a8_pallas_kernel_parity(rng):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_w8a8_fused_kernel_parity(rng):
+    """The fused kernel (activation quantization inside the Pallas matmul,
+    VMEM-resident xq scratch reused across F/D tiles) is bit-exact with the
+    quantize-then-dot reference. Covers k-split accumulation, m-padding, and
+    multiple row-tiles (the j==0,k==0 re-quantize trigger per i)."""
+    from radvlm_tpu.ops.w8a8_matmul import quantize_rows, w8a8_matmul_fused
+
+    for m, d, f in [(96, 256, 384), (200, 512, 256)]:
+        x = jnp.asarray(rng.normal(size=(m, d), scale=1.3), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(d, f), scale=0.05), jnp.float32)
+        node = quantize_array(w, reduce_axes=(-2,))
+        xq, xs = quantize_rows(x)
+        acc = jax.lax.dot_general(
+            xq, node["__q__"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        ref = (acc.astype(jnp.float32) * xs
+               * node["__scale__"].reshape(-1)).astype(jnp.bfloat16)
+        got = w8a8_matmul_fused(
+            x, node["__q__"], node["__scale__"].reshape(1, -1),
+            block_m=64, block_f=128, block_k=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_w8a8_prefill_matches_weight_only_decode_continuation(rng, monkeypatch):
     """Quantized model: prefill logits with W8A8 stay close to the weight-only
     path (same argmax on a dominant-logit prompt is not guaranteed for random
