@@ -157,6 +157,17 @@ def _run_continuous(cfg, params, gen, size, slots):
     # int8 KV cache: bench default ON (halves cache residency + decode
     # attention bytes -> 24+ slots fit where bf16 OOM'd at 24).
     kv_quant = os.environ.get("RADVLM_KV_INT8", "1") == "1"
+    # Multi-chip serving (RADVLM_BENCH_TP=N): tensor-parallel engine over an
+    # N-device `tensor` mesh (parallel/tp.py Megatron layout, kv-head-sharded
+    # cache). Requires UNFUSED params — main() skips fuse_for_inference when
+    # TP is requested. On this 1-chip box it's exercised by dryrun_multichip
+    # on a CPU mesh; on a real v5e-8 set RADVLM_BENCH_TP=8.
+    tp = int(os.environ.get("RADVLM_BENCH_TP", "0"))
+    mesh = None
+    if tp > 1:
+        from radvlm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh({"tensor": tp})
     # Grouped refills (RADVLM_FILL_BATCH=2: two same-bucket prefills share one
     # dispatch). Measured NEGATIVE at 7B/24 slots (1.79 vs 1.98 img/s): the
     # fixed per-fill overhead is already hidden by the pipelined decode, and
@@ -166,7 +177,7 @@ def _run_continuous(cfg, params, gen, size, slots):
         params, cfg, gen, num_slots=slots, max_len=max_len,
         prompt_buckets=buckets, pad_tiles=6,
         steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
-        kv_quant=kv_quant, fill_batch=fill_batch,
+        kv_quant=kv_quant, fill_batch=fill_batch, mesh=mesh,
     )
     t0 = time.perf_counter()
     b.warmup()
@@ -221,6 +232,7 @@ def _run_continuous(cfg, params, gen, size, slots):
         "kv_cache": "int8" if kv_quant else "bf16",
         "fill_batch": fill_batch,
         "slots": slots,
+        "tp": tp if tp > 1 else 1,
         "requests": n_reqs,
         "new_tokens": NEW_TOKENS,
         "n_chips": n_chips,
@@ -261,7 +273,10 @@ def main():
         params = _random_quantized_params(cfg, bits=4)
     else:
         params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
-    params = radvlm.fuse_for_inference(params)
+    if int(os.environ.get("RADVLM_BENCH_TP", "0")) <= 1:
+        # The TP engine shards the UNFUSED layout (fused qkv concat order
+        # breaks the Megatron head partition); single-chip fuses as usual.
+        params = radvlm.fuse_for_inference(params)
 
     rng = np.random.default_rng(0)
 
