@@ -125,3 +125,28 @@ def test_q8_decode_kernel_on_tpu():
             p = np.exp(sc - sc.max()); p /= p.sum()
             out[ib, ih] = p @ cvn[ib, :, kvh]
     np.testing.assert_allclose(got, out, atol=5e-2, rtol=5e-2)
+
+
+def test_w8a8_fused_kernel_on_tpu():
+    """The fused activation-quant W8A8 kernel compiled by Mosaic is bit-exact
+    with the quantize-then-dot reference on real hardware, at a 7B-prefill-like
+    geometry (the shapes the serving fill path hits)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radvlm_tpu.ops.quant import quantize_array
+    from radvlm_tpu.ops.w8a8_matmul import quantize_rows, w8a8_matmul_fused
+
+    rng = np.random.default_rng(2)
+    m, d, f = 1024, 3584, 4736  # qwen2-7b hidden -> q+kv fused width class
+    x = jnp.asarray(rng.normal(size=(m, d), scale=1.1), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(d, f), scale=0.04), jnp.float32)
+    node = quantize_array(w, reduce_axes=(-2,))
+    xq, xs = quantize_rows(x)
+    acc = jax.lax.dot_general(
+        xq, node["__q__"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    ref = (acc.astype(jnp.float32) * xs
+           * node["__scale__"].reshape(-1)).astype(jnp.bfloat16)
+    got = w8a8_matmul_fused(x, node["__q__"], node["__scale__"].reshape(1, -1))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
