@@ -139,10 +139,14 @@ def w8a8_matmul_fused(
     f = q.shape[-1]
     x2 = x.reshape(-1, d)
     m = x2.shape[0]
-    # VMEM for the resident row-tile: bm * d * (2 bf16 + 1 int8) bytes. Cap at
-    # ~7 MB so the weight tile + accumulator still fit beside it.
+    # Resident-row-tile VMEM: measured on v5e, Mosaic charges ~9 bytes/element
+    # for the (bm, d) bf16 block + int8 scratch (double/triple buffering of the
+    # input block; the 7B down shape d=18944 at bm=128 was reported as 21.94 MB
+    # against the 16 MB scoped-vmem limit). Budget 11 MB so weight tiles +
+    # accumulator + output fit beside it; bm may shrink below 128 (sublane
+    # minimum for bf16 is 16).
     bm = min(block_m, m)
-    while bm > 128 and bm * d * 3 > 7 * 1024 * 1024:
+    while bm > 16 and bm * d * 9 > 11 * 1024 * 1024:
         bm //= 2
     pad_m = -m % bm
     if pad_m:
