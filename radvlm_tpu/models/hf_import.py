@@ -395,6 +395,196 @@ def import_clip(
     }
 
 
+def import_open_clip(
+    state: Mapping[str, np.ndarray], cfg, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """open_clip `visual.*` checkpoint -> stacked CLIP tower params.
+
+    The reference's OpenCLIPVisionTower wraps `open_clip.create_model(...)
+    .visual` (`multimodal_encoder/open_clip_encoder.py:40-60`); its visual
+    transformer is math-identical to the HF CLIP ViT (`models/clip.py`), only
+    the state-dict layout differs:
+
+    - `conv1.weight` [D, 3, p, p] patch conv (no bias),
+    - `class_embedding` [D], `positional_embedding` [N, D] (raw tensors, not
+      nn.Embedding),
+    - `ln_pre.{weight,bias}`,
+    - resblocks with torch MultiheadAttention: FUSED `attn.in_proj_weight`
+      [3D, D] / `in_proj_bias` [3D] (q, k, v concatenated in that order) and
+      `attn.out_proj.*`; MLP as `c_fc`/`c_proj`.
+
+    Imports the first `cfg.num_layers` resblocks (select_layer=-2 convention,
+    same as `import_clip`)."""
+    L = cfg.num_layers
+    d = cfg.hidden_size
+    conv_w = state["visual.conv1.weight"]  # [D, C, p, p]
+    kernel = np.transpose(conv_w, (2, 3, 1, 0)).reshape(-1, d)
+
+    def qkv_part(i, part):  # part: 0=q, 1=k, 2=v
+        w = state[f"visual.transformer.resblocks.{i}.attn.in_proj_weight"]
+        b = state[f"visual.transformer.resblocks.{i}.attn.in_proj_bias"]
+        return (
+            np.ascontiguousarray(w[part * d:(part + 1) * d].T),
+            b[part * d:(part + 1) * d],
+        )
+
+    def stack_qkv(part):
+        ws, bs = zip(*(qkv_part(i, part) for i in range(L)))
+        return {
+            "kernel": jnp.asarray(np.stack(ws), dtype),
+            "bias": jnp.asarray(np.stack(bs), dtype),
+        }
+
+    def stack_lin(fmt):
+        return jnp.stack([_lin(state, fmt.format(i), dtype) for i in range(L)])
+
+    def stack_vec(fmt):
+        return jnp.stack([_vec(state, fmt.format(i), dtype) for i in range(L)])
+
+    p = "visual.transformer.resblocks.{}."
+    return {
+        "patch_embed": {
+            "kernel": jnp.asarray(np.ascontiguousarray(kernel), dtype)
+        },
+        "class_embed": _vec(state, "visual.class_embedding", dtype),
+        "pos_embed": _vec(state, "visual.positional_embedding", dtype),
+        "pre_ln": {
+            "scale": _vec(state, "visual.ln_pre.weight", dtype),
+            "bias": _vec(state, "visual.ln_pre.bias", dtype),
+        },
+        "layers": {
+            "ln1": {
+                "scale": stack_vec(p + "ln_1.weight"),
+                "bias": stack_vec(p + "ln_1.bias"),
+            },
+            "ln2": {
+                "scale": stack_vec(p + "ln_2.weight"),
+                "bias": stack_vec(p + "ln_2.bias"),
+            },
+            "attn": {
+                "q": stack_qkv(0),
+                "k": stack_qkv(1),
+                "v": stack_qkv(2),
+                "o": {
+                    "kernel": stack_lin(p + "attn.out_proj.weight"),
+                    "bias": stack_vec(p + "attn.out_proj.bias"),
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": stack_lin(p + "mlp.c_fc.weight"),
+                    "bias": stack_vec(p + "mlp.c_fc.bias"),
+                },
+                "fc2": {
+                    "kernel": stack_lin(p + "mlp.c_proj.weight"),
+                    "bias": stack_vec(p + "mlp.c_proj.bias"),
+                },
+            },
+        },
+    }
+
+
+def import_imagebind(
+    state: Mapping[str, np.ndarray], cfg, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Public ImageBind checkpoint -> `models/imagebind.py` params.
+
+    Layout (the external package the reference wraps, `imagebind.py:28-33`):
+    `modality_preprocessors.vision.{cls_token, rgbt_stem.proj.1.weight,
+    pos_embedding_helper.pos_embed}`, `modality_trunks.vision.
+    {pre_transformer_layer.0.*, blocks.N.*}` (torch MultiheadAttention with
+    fused in_proj, like open_clip), `modality_heads.vision.{0 (LayerNorm),
+    2 (Linear, no bias)}`. The Conv3d stem is collapsed to the still-image
+    2D patchify matmul (see `imagebind.collapse_video_stem`)."""
+    from radvlm_tpu.models.imagebind import collapse_video_stem
+
+    L = cfg.num_layers
+    d = cfg.hidden_size
+    pre = "modality_preprocessors.vision."
+    trunk = "modality_trunks.vision."
+    head = "modality_heads.vision."
+
+    def qkv_part(i, part):
+        w = state[f"{trunk}blocks.{i}.attn.in_proj_weight"]
+        b = state[f"{trunk}blocks.{i}.attn.in_proj_bias"]
+        return (
+            np.ascontiguousarray(w[part * d:(part + 1) * d].T),
+            b[part * d:(part + 1) * d],
+        )
+
+    def stack_qkv(part):
+        ws, bs = zip(*(qkv_part(i, part) for i in range(L)))
+        return {
+            "kernel": jnp.asarray(np.stack(ws), dtype),
+            "bias": jnp.asarray(np.stack(bs), dtype),
+        }
+
+    def stack_lin(fmt):
+        return jnp.stack([_lin(state, fmt.format(i), dtype) for i in range(L)])
+
+    def stack_vec(fmt):
+        return jnp.stack([_vec(state, fmt.format(i), dtype) for i in range(L)])
+
+    p = trunk + "blocks.{}."
+    return {
+        "patch_embed": {
+            "kernel": jnp.asarray(
+                collapse_video_stem(state[pre + "rgbt_stem.proj.1.weight"]),
+                dtype,
+            )
+        },
+        "class_embed": jnp.asarray(
+            np.asarray(state[pre + "cls_token"]).reshape(-1), dtype
+        ),
+        "pos_embed": jnp.asarray(
+            np.asarray(state[pre + "pos_embedding_helper.pos_embed"]).reshape(
+                -1, d
+            ),
+            dtype,
+        ),
+        "pre_ln": {
+            "scale": _vec(state, trunk + "pre_transformer_layer.0.weight", dtype),
+            "bias": _vec(state, trunk + "pre_transformer_layer.0.bias", dtype),
+        },
+        "layers": {
+            "ln1": {
+                "scale": stack_vec(p + "norm_1.weight"),
+                "bias": stack_vec(p + "norm_1.bias"),
+            },
+            "ln2": {
+                "scale": stack_vec(p + "norm_2.weight"),
+                "bias": stack_vec(p + "norm_2.bias"),
+            },
+            "attn": {
+                "q": stack_qkv(0),
+                "k": stack_qkv(1),
+                "v": stack_qkv(2),
+                "o": {
+                    "kernel": stack_lin(p + "attn.out_proj.weight"),
+                    "bias": stack_vec(p + "attn.out_proj.bias"),
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": stack_lin(p + "mlp.fc1.weight"),
+                    "bias": stack_vec(p + "mlp.fc1.bias"),
+                },
+                "fc2": {
+                    "kernel": stack_lin(p + "mlp.fc2.weight"),
+                    "bias": stack_vec(p + "mlp.fc2.bias"),
+                },
+            },
+        },
+        "head": {
+            "ln": {
+                "scale": _vec(state, head + "0.weight", dtype),
+                "bias": _vec(state, head + "0.bias", dtype),
+            },
+            "proj": {"kernel": _lin(state, head + "2.weight", dtype)},
+        },
+    }
+
+
 def import_projector(
     state: Mapping[str, np.ndarray], cfg: ProjectorConfig, dtype=jnp.bfloat16
 ) -> Dict[str, Any]:

@@ -22,6 +22,95 @@ def kind(vision_cfg) -> str:
     return getattr(vision_cfg, "kind", "siglip")
 
 
+# open_clip hub models the reference names (`open_clip_encoder.py:14-16`
+# HIDDEN_SIZE_DICT lists exactly ViT-H-14-378-quickgelu). Structure is the
+# CLIP ViT (`hf_import.import_open_clip` handles the weight layout).
+_OPEN_CLIP_MODELS = {
+    # name: (hidden, intermediate, pretrained_layers, heads, image, patch)
+    "ViT-H-14-378-quickgelu": (1280, 5120, 32, 16, 378, 14),
+    "ViT-H-14-quickgelu": (1280, 5120, 32, 16, 224, 14),
+    "ViT-L-14-336-quickgelu": (1024, 4096, 24, 16, 336, 14),
+}
+
+
+def config_from_tower_name(name: str, *, select_layer: int = -2,
+                           s2: bool = False, s2_scales=()):
+    """String -> vision tower config, the reference's `build_vision_tower`
+    dispatch (`multimodal_encoder/builder.py:13-36`):
+
+    - absolute path / "openai..." / "laion..." / "...ShareGPT4V..." -> CLIP
+      (S2 wrapper when `s2`),
+    - name containing "siglip" -> SigLIP (flagship),
+    - "hf:<dir>" -> generic HF vision config dir (clip_vision_model /
+      siglip_vision_model archs; the reference's HFVisionTower wraps
+      AutoModel the same way, `hf_vision.py:20-60`),
+    - "imagebind_huge" -> ImageBind vision trunk + head,
+    - "open_clip_hub:<model>" -> open_clip visual transformer.
+
+    `select_layer=-2` (the reference's mm_vision_select_layer default) maps
+    to running pretrained_layers - 1 (the repo-wide num_layers convention)."""
+    import os
+
+    drop = -select_layer - 1  # -2 -> run all but the last layer
+    if name == "imagebind_huge":
+        from radvlm_tpu.models.imagebind import ImageBindVisionConfig
+
+        return ImageBindVisionConfig()
+    if name.startswith("open_clip_hub:"):
+        model = name[len("open_clip_hub:"):]
+        if model not in _OPEN_CLIP_MODELS:
+            raise ValueError(
+                f"unknown open_clip model {model!r}; known: "
+                f"{sorted(_OPEN_CLIP_MODELS)}"
+            )
+        h, ffn, layers, heads, img, patch = _OPEN_CLIP_MODELS[model]
+        return clip.CLIPVisionConfig(
+            hidden_size=h, intermediate_size=ffn, num_layers=layers - drop,
+            num_heads=heads, image_size=img, patch_size=patch,
+            s2_scales=tuple(s2_scales) if s2 else (),
+        )
+    if name.startswith("hf:"):
+        import json
+
+        with open(os.path.join(name[3:], "config.json")) as f:
+            data = json.load(f)
+        vis = data.get("vision_config", data)
+        mt = vis.get("model_type", data.get("model_type", ""))
+        if mt == "clip_vision_model":
+            return clip.CLIPVisionConfig(
+                hidden_size=vis.get("hidden_size", 1024),
+                intermediate_size=vis.get("intermediate_size", 4096),
+                num_layers=vis.get("num_hidden_layers", 24) - drop,
+                num_heads=vis.get("num_attention_heads", 16),
+                image_size=vis.get("image_size", 336),
+                patch_size=vis.get("patch_size", 14),
+            )
+        if mt == "siglip_vision_model":
+            from radvlm_tpu.config import SigLIPConfig
+
+            return SigLIPConfig(
+                hidden_size=vis.get("hidden_size", 1152),
+                intermediate_size=vis.get("intermediate_size", 4304),
+                num_layers=vis.get("num_hidden_layers", 27) - drop,
+                num_heads=vis.get("num_attention_heads", 16),
+                image_size=vis.get("image_size", 384),
+                patch_size=vis.get("patch_size", 14),
+            )
+        raise ValueError(
+            f"hf: tower arch {mt!r} unsupported (clip/siglip vision models)"
+        )
+    if "siglip" in name.lower():
+        from radvlm_tpu.config import SigLIPConfig
+
+        return SigLIPConfig()
+    if (os.path.isabs(name) or name.startswith(("openai", "laion"))
+            or "ShareGPT4V" in name):
+        return clip.CLIPVisionConfig(
+            s2_scales=tuple(s2_scales) if s2 else (),
+        )
+    raise ValueError(f"Unknown vision tower: {name}")
+
+
 def feature_size(vision_cfg) -> int:
     return getattr(vision_cfg, "feature_size", vision_cfg.hidden_size)
 
@@ -43,6 +132,10 @@ def _module(vision_cfg):
         return siglip
     if k == "clip":
         return clip
+    if k == "imagebind":
+        from radvlm_tpu.models import imagebind
+
+        return imagebind
     raise ValueError(f"unknown vision tower kind: {k!r}")
 
 
