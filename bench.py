@@ -238,6 +238,9 @@ def _run_continuous(cfg, params, gen, size, slots):
         "n_chips": n_chips,
         "device": str(jax.devices()[0].device_kind),
         "compile_s": round(compile_s, 1),
+        "warmup_breakdown_s": {
+            k: round(v, 1) for k, v in b.warmup_timings.items()
+        },
     }))
 
 

@@ -346,9 +346,16 @@ class ContinuousBatcher:
         bucket and resets all slot state afterwards."""
         import collections
 
+        import time
+
         import jax
         import jax.numpy as jnp
 
+        # Per-graph wall seconds (bucket fills + decode variants), kept for
+        # startup diagnosis: warm restarts still pay ~15 s/graph through the
+        # persistent cache and this breakdown says whether that is tracing,
+        # cache load, or dispatch (read by bench.py / serving logs).
+        self.warmup_timings: Dict[str, float] = {}
         nfills = sorted({1, min(self.fill_batch, self.num_slots)})
         for bucket in self.prompt_buckets:
             for nf in nfills:
@@ -365,16 +372,25 @@ class ContinuousBatcher:
                     r.real_len = int(hb["lengths"][0])
                     r.dev_batch = {k: jnp.asarray(v) for k, v in hb.items()}
                     reqs.append(r)
+                t0 = time.perf_counter()
                 self._fill_group(list(enumerate(reqs)))
+                jax.block_until_ready(self.cur_tok)
+                self.warmup_timings[f"fill_{bucket}_x{nf}"] = (
+                    time.perf_counter() - t0
+                )
         infl: "collections.deque" = collections.deque()
         # Compile BOTH decode-chunk variants: with no active slots
         # _sampling_active() is False, so an unforced dispatch only compiles
         # the greedy variant and the first temperature>0 request would stall
         # every slot on the sampling variant's XLA compile mid-stream.
+        t0 = time.perf_counter()
         self._dispatch_chunk(infl, force_sampling=False)
+        self._process_chunk(infl, [])
+        self.warmup_timings["decode_greedy"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         self._dispatch_chunk(infl, force_sampling=True)
         self._process_chunk(infl, [])
-        self._process_chunk(infl, [])
+        self.warmup_timings["decode_sampling"] = time.perf_counter() - t0
         # reset all device/host slot state touched by the dummies
         self.cache_seg = jnp.zeros_like(self.cache_seg)
         self.cur_tok = jnp.zeros_like(self.cur_tok)
