@@ -126,6 +126,32 @@ def mean_std(vision_cfg):
     return tuple(mean), tuple(std)
 
 
+def with_tower(model_cfg, name: str, *, select_layer: int = -2,
+               s2: bool = False, s2_scales=()):
+    """Return `model_cfg` (RadVLMConfig) rebuilt around the named tower —
+    the training CLI's `--vision-tower` override (the reference's
+    `--vision_tower`/`--mm_vision_select_layer` flags, `train.py` ModelArguments).
+
+    Keeps the anyres tile size in sync with the tower's input resolution;
+    pooled-token towers (ImageBind: one joint-space token, no spatial grid)
+    force `image_aspect_ratio="pad"` since anyres unpad/newline merging needs
+    a feature grid."""
+    import dataclasses
+
+    vis = config_from_tower_name(
+        name, select_layer=select_layer, s2=s2, s2_scales=s2_scales
+    )
+    kwargs = {}
+    if vis.tokens_per_tile == 1:
+        kwargs["image_aspect_ratio"] = "pad"
+    return dataclasses.replace(
+        model_cfg,
+        vision=vis,
+        anyres=dataclasses.replace(model_cfg.anyres, tile_size=vis.image_size),
+        **kwargs,
+    )
+
+
 def _module(vision_cfg):
     k = kind(vision_cfg)
     if k == "siglip":

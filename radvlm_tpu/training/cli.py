@@ -16,6 +16,11 @@ import os
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model-size", default="7b", choices=["0.5b", "7b", "tiny"])
+    p.add_argument("--vision-tower", default=None,
+                   help="tower override (reference builder vocabulary): "
+                        "openai/..., ...siglip..., open_clip_hub:<model>, "
+                        "imagebind_huge, hf:<config dir>")
+    p.add_argument("--mm-vision-select-layer", type=int, default=-2)
     p.add_argument("--hf-checkpoint", default=None,
                    help="safetensors dir to init from (HF layouts accepted)")
     p.add_argument("--tokenizer", default=None, help="HF tokenizer path")
@@ -75,6 +80,13 @@ def main(argv=None):
         "0.5b": cfglib.radvlm_0_5b,
         "tiny": cfglib.tiny_test_config,
     }[args.model_size]()
+    if args.vision_tower:
+        from radvlm_tpu.models import towers
+
+        model_cfg = towers.with_tower(
+            model_cfg, args.vision_tower,
+            select_layer=args.mm_vision_select_layer,
+        )
 
     tok = HFTokenizer(args.tokenizer or args.hf_checkpoint)
     run = RunConfig(

@@ -220,6 +220,30 @@ def test_imagebind_import_trunk_matches_clip_layout(hf_clip):
     assert p_ib["head"]["proj"]["kernel"].shape == (d, 16)
 
 
+def test_with_tower_override():
+    from radvlm_tpu import config as cfglib
+
+    base = cfglib.tiny_test_config()
+    # spatial tower: anyres preserved, tile size follows the tower input
+    c = towers.with_tower(base, "openai/clip-vit-large-patch14-336")
+    assert towers.kind(c.vision) == "clip"
+    assert c.anyres.tile_size == c.vision.image_size == 336
+    assert c.image_aspect_ratio == base.image_aspect_ratio
+    # pooled-token tower: no spatial grid -> anyres forced off
+    c = towers.with_tower(base, "imagebind_huge")
+    assert c.image_aspect_ratio == "pad"
+    assert c.anyres.tile_size == 224
+    # CLI wiring parses
+    from radvlm_tpu.training.cli import parse_args
+
+    args = parse_args([
+        "--data-path", "x.json", "--vision-tower",
+        "open_clip_hub:ViT-H-14-378-quickgelu",
+        "--mm-vision-select-layer", "-2",
+    ])
+    assert args.vision_tower.endswith("quickgelu")
+
+
 def test_config_from_tower_name_dispatch(tmp_path):
     # flagship
     assert towers.kind(towers.config_from_tower_name(
