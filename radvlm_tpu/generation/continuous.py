@@ -356,7 +356,10 @@ class ContinuousBatcher:
         # persistent cache and this breakdown says whether that is tracing,
         # cache load, or dispatch (read by bench.py / serving logs).
         self.warmup_timings: Dict[str, float] = {}
-        nfills = sorted({1, min(self.fill_batch, self.num_slots)})
+        # run() forms same-bucket groups of EVERY size 1..fill_batch (queue
+        # remainders), so each size needs its own compiled fill graph or the
+        # first odd-sized group stalls all slots on a mid-stream compile.
+        nfills = list(range(1, min(self.fill_batch, self.num_slots) + 1))
         for bucket in self.prompt_buckets:
             for nf in nfills:
                 reqs = []

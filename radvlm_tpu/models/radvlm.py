@@ -125,6 +125,14 @@ def splice_embeds(
     text_emb = qwen2.embed_tokens(
         params["text"], tokens, cfg.text if cfg is not None else None
     )
+    if cfg is not None and cfg.text.embed_normalizer:
+        # Gemma scales the WHOLE inputs_embeds (text + spliced projector
+        # features) by sqrt(hidden_size) inside the decoder — HF GemmaModel
+        # applies it after the multimodal merge, so image features must get
+        # the same factor the text embeddings received in embed_tokens.
+        merged = merged * jnp.asarray(
+            cfg.text.hidden_size ** 0.5, text_emb.dtype
+        )
     safe = jnp.clip(img_src, 0, merged.shape[1] - 1)
     img_emb = jnp.take_along_axis(merged, safe[..., None], axis=1)
     return jnp.where((img_src >= 0)[..., None], img_emb.astype(text_emb.dtype), text_emb)

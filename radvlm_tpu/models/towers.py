@@ -48,9 +48,17 @@ def config_from_tower_name(name: str, *, select_layer: int = -2,
     - "open_clip_hub:<model>" -> open_clip visual transformer.
 
     `select_layer=-2` (the reference's mm_vision_select_layer default) maps
-    to running pretrained_layers - 1 (the repo-wide num_layers convention)."""
+    to running pretrained_layers - 1 (the repo-wide num_layers convention).
+    Only negative selection is supported; SigLIP ignores it (the reference's
+    SigLipVisionTower hard-drops the last layer regardless,
+    `siglip_encoder.py:570-582`), as does ImageBind (pooled head output)."""
     import os
 
+    if select_layer >= 0:
+        raise ValueError(
+            f"select_layer must be negative (hidden_states[-k]); "
+            f"got {select_layer}"
+        )
     drop = -select_layer - 1  # -2 -> run all but the last layer
     if name == "imagebind_huge":
         from radvlm_tpu.models.imagebind import ImageBindVisionConfig
@@ -105,7 +113,10 @@ def config_from_tower_name(name: str, *, select_layer: int = -2,
         return SigLIPConfig()
     if (os.path.isabs(name) or name.startswith(("openai", "laion"))
             or "ShareGPT4V" in name):
+        # ViT-L/14-336 class (24 pretrained layers); the reference's
+        # CLIPVisionTower honors select_layer via hidden_states[k].
         return clip.CLIPVisionConfig(
+            num_layers=24 - drop,
             s2_scales=tuple(s2_scales) if s2 else (),
         )
     raise ValueError(f"Unknown vision tower: {name}")

@@ -9,10 +9,12 @@ fabricates impossible rates) on the 7B prefill shapes measured:
     down   [3456,18944]x[18944,3584]: bf16 121, XLA s8 160-180, Pallas 170
 
 i.e. the doubled int8 MXU rate (394 peak) IS engaged by both the XLA emitter
-and this kernel, at parity within shared-tenancy noise. The XLA path stays
-the default (`RADVLM_W8A8_IMPL=pallas` opts in); this kernel is kept as the
-block-tuning hook (block_m/block_f/block_k) for geometries where the emitter
-falls short, and as the documented record of the investigation.
+and this kernel, at parity within shared-tenancy noise. The TPU default is
+now `w8a8_matmul_fused` below (RADVLM_W8A8_IMPL=fused in ops/quant.py),
+which additionally folds the per-row activation quantization into the kernel
+— the XLA pre-pass pays a full HBM round-trip of x/xq/xs per matmul site.
+RADVLM_W8A8_IMPL=pallas selects the pre-quantized explicit-tiling kernel,
+=xla the s8xs8 dot emitter.
 
 Structure: grid (M/bm, F/bf, D/bk), k innermost ("arbitrary") accumulating
 int32 in VMEM scratch; per-row activation scales (`quantize_rows`) and

@@ -86,6 +86,16 @@ def local_text_cfg(cfg: Qwen2Config, tp: int) -> Qwen2Config:
             "tensor-parallel serving of MoE models is not wired (use the "
             "expert axis for MoE)"
         )
+    if cfg.pos_embedding == "alibi":
+        # ALiBi slopes are a function of the GLOBAL head index; the per-shard
+        # cfg would make every shard compute slopes for heads 0..H/tp-1,
+        # silently biasing attention wrong on all shards (MPT is the only
+        # ALiBi family and RadVLM never serves it — reject rather than wire
+        # per-shard slope offsets).
+        raise NotImplementedError(
+            "tensor-parallel serving of ALiBi (MPT) models is not wired: "
+            "per-head slopes depend on global head indices"
+        )
     return dataclasses.replace(
         cfg,
         num_heads=cfg.num_heads // tp,

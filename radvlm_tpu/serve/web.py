@@ -335,13 +335,28 @@ class WebApp:
             }
         self.logger.append(record)
 
-    def pop_assistant_turn(self, sess: Session) -> bool:
-        """Regenerate prep: drop the trailing assistant turn."""
+    def pop_assistant_turn(self, sess: Session) -> Optional[Tuple[str, str]]:
+        """Regenerate prep: drop and return the trailing assistant turn
+        (None if the session doesn't end in one)."""
         with sess.lock:
             if not sess.turns or sess.turns[-1][0] != "assistant":
-                return False
-            sess.turns.pop()
-        return True
+                return None
+            return sess.turns.pop()
+
+    def rollback_turn(self, sess: Session, turn=None, n_images: int = 0):
+        """Undo a failed generation so session state matches what the UI shows
+        (an error bubble, no assistant reply): for /api/chat drop the dangling
+        user turn + its images (a re-send then rebuilds a well-formed prompt
+        instead of two consecutive user turns with duplicated <image>
+        sentinels); for /api/regenerate restore the popped assistant turn so
+        regenerate remains clickable."""
+        with sess.lock:
+            if turn is not None:
+                sess.turns.append(turn)
+            elif sess.turns and sess.turns[-1][0] == "user":
+                sess.turns.pop()
+                if n_images:
+                    del sess.images[-n_images:]
 
     def vote(self, sess: Session, vote_type: str, model: str, ip: str) -> bool:
         if vote_type not in ("upvote", "downvote", "flag"):
@@ -379,8 +394,9 @@ def make_handler(app: WebApp):
             self.end_headers()
             self.wfile.write(body)
 
-        def _stream_generate(self, sess: Session, data: dict):
-            """Proxy the worker stream, then record the finished turn."""
+        def _stream_generate(self, sess: Session, data: dict, on_error=None):
+            """Proxy the worker stream, then record the finished turn; on a
+            stream error call `on_error` to restore consistent session state."""
             import requests
 
             req = app.build_request(sess, data)
@@ -416,6 +432,8 @@ def make_handler(app: WebApp):
             if not errored:
                 app.finish_turn(sess, req["model"], final_text,
                                 self.client_address[0])
+            elif on_error is not None:
+                on_error()
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
@@ -438,18 +456,26 @@ def make_handler(app: WebApp):
                 return
 
             if self.path == "/api/chat":
-                err = app.add_user_turn(
-                    sess, data.get("text", ""), data.get("images", [])
-                )
+                images = data.get("images", [])
+                err = app.add_user_turn(sess, data.get("text", ""), images)
                 if err:
                     self._json({"error": err}, code=400)
                     return
-                self._stream_generate(sess, data)
+                self._stream_generate(
+                    sess, data,
+                    on_error=lambda: app.rollback_turn(
+                        sess, n_images=len(images)
+                    ),
+                )
             elif self.path == "/api/regenerate":
-                if not app.pop_assistant_turn(sess):
+                popped = app.pop_assistant_turn(sess)
+                if popped is None:
                     self._json({"error": "nothing to regenerate"}, code=400)
                     return
-                self._stream_generate(sess, data)
+                self._stream_generate(
+                    sess, data,
+                    on_error=lambda: app.rollback_turn(sess, turn=popped),
+                )
             elif self.path == "/api/vote":
                 ok = app.vote(sess, data.get("type", ""),
                               data.get("model", ""), self.client_address[0])

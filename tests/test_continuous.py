@@ -188,3 +188,22 @@ def test_per_request_sampling_params(rng):
     assert done[greedy_req.uid] == ref.emitted
     # the hot-temperature slot diverges from greedy with overwhelming odds
     assert done[hot_req.uid] != ref.emitted
+
+
+def test_warmup_compiles_every_group_size():
+    """run() forms same-bucket groups of every size 1..fill_batch (queue
+    remainders); warmup must pre-build each size's fill graph or an odd-sized
+    group stalls all slots on a mid-stream compile."""
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    b = ContinuousBatcher(
+        params, cfg, GenerationConfig(max_new_tokens=2, eos_token_ids=()),
+        num_slots=4, max_len=256, prompt_buckets=(128,), pad_tiles=2,
+        attn_impl="xla", fill_batch=3,
+    )
+    b.warmup()
+    assert {nf for (_, nf) in b._fill_fns} == {1, 2, 3}
+    assert set(b.warmup_timings) >= {
+        "fill_128_x1", "fill_128_x2", "fill_128_x3",
+        "decode_greedy", "decode_sampling",
+    }

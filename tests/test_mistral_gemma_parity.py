@@ -219,3 +219,36 @@ def test_config_from_hf_dir_families(tmp_path):
         for k, v in expect.items():
             assert getattr(cfg.text, k) == v, (model_type, k)
         assert cfg.text.tie_word_embeddings == (model_type == "gemma")
+
+
+def test_gemma_normalizer_scales_spliced_image_features():
+    """HF GemmaModel scales the WHOLE inputs_embeds (text + multimodal
+    features merged by the LLaVA pipeline) by sqrt(hidden_size); our splice
+    must apply the same factor to the projector outputs, not just the text
+    embeddings (image features entering ~45x smaller makes a real 2B model
+    effectively image-blind)."""
+    import dataclasses
+
+    import numpy as np
+
+    from radvlm_tpu import config as cfglib
+    from radvlm_tpu.models import radvlm
+
+    cfg = cfglib.tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, embed_normalizer=True)
+    )
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    d = cfg.text.hidden_size
+    tokens = jnp.asarray([[5, 0, 0, 6]])
+    img_src = jnp.asarray([[-1, 0, 1, -1]])
+    merged = jax.random.normal(jax.random.key(1), (1, 2, d), jnp.float32)
+    out = radvlm.splice_embeds(params, tokens, img_src, merged, cfg)
+    norm = np.float32(d) ** 0.5
+    np.testing.assert_allclose(
+        np.asarray(out[0, 1]), np.asarray(merged[0, 0]) * norm, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 2]), np.asarray(merged[0, 1]) * norm, rtol=1e-6)
+    # text rows keep the embed_tokens scaling
+    emb = qwen2.embed_tokens(params["text"], tokens, cfg.text)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(emb[0, 0]))

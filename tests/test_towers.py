@@ -248,9 +248,16 @@ def test_config_from_tower_name_dispatch(tmp_path):
     # flagship
     assert towers.kind(towers.config_from_tower_name(
         "google/siglip-so400m-patch14-384")) == "siglip"
-    # CLIP family (+ S2)
+    # CLIP family (+ S2): select_layer honored (24 pretrained layers)
     c = towers.config_from_tower_name("openai/clip-vit-large-patch14-336")
     assert towers.kind(c) == "clip" and c.s2_scales == ()
+    assert c.num_layers == 23
+    c = towers.config_from_tower_name(
+        "openai/clip-vit-large-patch14-336", select_layer=-3)
+    assert c.num_layers == 22
+    with pytest.raises(ValueError, match="negative"):
+        towers.config_from_tower_name(
+            "openai/clip-vit-large-patch14-336", select_layer=1)
     c = towers.config_from_tower_name(
         "openai/clip-vit-large-patch14-336", s2=True, s2_scales=(336, 672))
     assert c.s2_scales == (336, 672)

@@ -92,3 +92,21 @@ def test_tp_sampling_replicated(rng):
         return [done[r.uid] for r in reqs]
 
     assert run_hot() == run_hot()
+
+
+def test_tp_rejects_alibi_models():
+    """ALiBi slopes index GLOBAL heads; a per-shard head count would silently
+    mis-bias every shard (MPT under TP) — local_text_cfg must reject it."""
+    import dataclasses
+
+    import pytest
+
+    from radvlm_tpu import config as cfglib
+    from radvlm_tpu.parallel import tp
+
+    text = dataclasses.replace(
+        cfglib.tiny_test_config().text, pos_embedding="alibi",
+        num_heads=4, num_kv_heads=4,
+    )
+    with pytest.raises(NotImplementedError, match="ALiBi"):
+        tp.local_text_cfg(text, 2)

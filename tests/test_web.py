@@ -20,6 +20,7 @@ class CannedWorker:
 
     def __init__(self):
         self.seen = []
+        self.error_mode = False  # stream an error chunk instead of text
 
         worker = self
 
@@ -34,6 +35,13 @@ class CannedWorker:
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.end_headers()
+                if worker.error_mode:
+                    self.wfile.write(
+                        json.dumps({"text": "error: boom",
+                                    "error_code": 1}).encode() + b"\0"
+                    )
+                    self.wfile.flush()
+                    return
                 for text in ("Hel", "Hello"):
                     self.wfile.write(
                         json.dumps({"text": text, "error_code": 0}).encode()
@@ -177,3 +185,38 @@ def test_refresh_all_workers_endpoint(stack):
                       timeout=10)
     assert r.status_code == 200 and r.json()["ok"]
     assert app.list_models() == ["radvlm"]
+
+
+def test_stream_error_rolls_back_session_state(stack):
+    """A worker stream error must not leave a dangling user turn (re-send
+    would duplicate <image> sentinels) and must keep regenerate clickable."""
+    waddr, app, worker, _ = stack
+    sid = requests.post(waddr + "/api/new", json={}, timeout=10).json()["session_id"]
+    _chat(waddr, sid, "first", images=["QQ=="])
+    sess = app.sessions.get(sid)
+    assert [r for r, _ in sess.turns] == ["user", "assistant"]
+
+    # chat error: user turn + its images rolled back
+    worker.error_mode = True
+    chunks = _chat(waddr, sid, "second", images=["Qg=="])
+    assert chunks[-1]["error_code"] == 1
+    assert [r for r, _ in sess.turns] == ["user", "assistant"]
+    assert sess.images == ["QQ=="]
+
+    # re-send after the error produces a well-formed prompt (one sentinel
+    # per image, no doubled user turns)
+    worker.error_mode = False
+    _chat(waddr, sid, "second again", images=["Qg=="])
+    assert [r for r, _ in sess.turns] == ["user", "assistant"] * 2
+    req = worker.seen[-1]
+    assert req["prompt"].count("<image>") == 2
+    assert req["images"] == ["QQ==", "Qg=="]
+
+    # regenerate error: the popped assistant turn is restored
+    worker.error_mode = True
+    with requests.post(waddr + "/api/regenerate", json={
+            "session_id": sid, "model": "radvlm"}, stream=True,
+            timeout=30) as r:
+        b"".join(r.iter_content(chunk_size=None))
+    assert [r for r, _ in sess.turns] == ["user", "assistant"] * 2
+    assert sess.turns[-1][1] == "Hello"
