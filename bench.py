@@ -20,6 +20,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -109,18 +110,36 @@ def run_continuous(cfg, params, gen, size):
     # `e.__traceback__` pins the failed frame's ContinuousBatcher (multi-GB KV
     # cache) in HBM, so freeing it first is what lets the retry fit.
     oom = False
+    fused_failed = False
     try:
         _run_continuous(cfg, params, gen, size, slots)
     except jax.errors.JaxRuntimeError as e:
-        if "RESOURCE_EXHAUSTED" not in str(e) or slots <= 12:
+        msg = str(e)
+        fused_active = (
+            os.environ.get("RADVLM_W8A8_IMPL", "fused") == "fused"
+            and jax.default_backend() == "tpu"
+        )
+        if fused_active and ("vmem" in msg.lower() or "Mosaic" in msg):
+            # The fused W8A8 kernel's VMEM budget is geometry-dependent; if a
+            # shape slips past the budget heuristic, fall back to the XLA
+            # s8xs8 emitter rather than losing the round's number.
+            fused_failed = True
+        elif "RESOURCE_EXHAUSTED" in msg and slots > 12:
+            oom = True
+        else:
             raise
-        oom = True
         del e
-    if oom:
+    if oom or fused_failed:
         import gc
 
         gc.collect()
-        _run_continuous(cfg, params, gen, size, max(12, slots // 2))
+        if fused_failed:
+            print("# fused W8A8 compile failed; retrying with RADVLM_W8A8_IMPL=xla",
+                  file=sys.stderr)
+            os.environ["RADVLM_W8A8_IMPL"] = "xla"
+            _run_continuous(cfg, params, gen, size, slots)
+        else:
+            _run_continuous(cfg, params, gen, size, max(12, slots // 2))
 
 
 def _run_continuous(cfg, params, gen, size, slots):
