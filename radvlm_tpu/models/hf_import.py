@@ -585,6 +585,104 @@ def import_imagebind(
     }
 
 
+def import_eva(
+    state: Mapping[str, np.ndarray], cfg, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """EVA checkpoint (`EVAVisionTransformer` layout, with or without the
+    CLIP `visual.` prefix) -> `models/eva.py` params.
+
+    Handles both attention layouts: subln's separate `q_proj/k_proj/v_proj`
+    weights (bias-free; q_bias/v_bias separate) and the fused `qkv.weight`
+    [3D, D] (`eva_vit_model.py:117-129`), plus the optional inner_attn_ln /
+    ffn_ln (subln), SwiGLU w1/w2/w3 vs fc1/fc2, weight-only RMS norms
+    (EVA-CLIP-8B), and layerscale gamma_1/gamma_2."""
+    state = {
+        (k[len("visual."):] if k.startswith("visual.") else k): v
+        for k, v in state.items()
+    }
+    L = cfg.num_layers
+    d = cfg.hidden_size
+    conv_w = state["patch_embed.proj.weight"]  # [D, C, p, p]
+    kernel = np.transpose(conv_w, (2, 3, 1, 0)).reshape(-1, d)
+
+    def stack_lin(fmt):
+        return jnp.stack([_lin(state, fmt.format(i), dtype) for i in range(L)])
+
+    def stack_vec(fmt):
+        return jnp.stack([_vec(state, fmt.format(i), dtype) for i in range(L)])
+
+    def norm_stack(fmt):
+        n = {"scale": stack_vec(fmt + ".weight")}
+        if cfg.norm != "rms":
+            n["bias"] = stack_vec(fmt + ".bias")
+        return n
+
+    p = "blocks.{}."
+    if cfg.subln:
+        attn = {
+            "q": {"kernel": stack_lin(p + "attn.q_proj.weight")},
+            "k": {"kernel": stack_lin(p + "attn.k_proj.weight")},
+            "v": {"kernel": stack_lin(p + "attn.v_proj.weight")},
+        }
+    else:
+        def qkv_part(i, part):
+            w = state[f"blocks.{i}.attn.qkv.weight"]
+            return np.ascontiguousarray(w[part * d:(part + 1) * d].T)
+
+        attn = {
+            name: {"kernel": jnp.asarray(
+                np.stack([qkv_part(i, j) for i in range(L)]), dtype)}
+            for j, name in enumerate(("q", "k", "v"))
+        }
+    if cfg.qkv_bias:
+        attn["q"]["bias"] = stack_vec(p + "attn.q_bias")
+        attn["v"]["bias"] = stack_vec(p + "attn.v_bias")
+    attn["o"] = {
+        "kernel": stack_lin(p + "attn.proj.weight"),
+        "bias": stack_vec(p + "attn.proj.bias"),
+    }
+    if cfg.subln:
+        attn["inner_ln"] = norm_stack(p + "attn.inner_attn_ln")
+
+    if cfg.swiglu:
+        mlp = {
+            w: {"kernel": stack_lin(p + f"mlp.{w}.weight"),
+                "bias": stack_vec(p + f"mlp.{w}.bias")}
+            for w in ("w1", "w2", "w3")
+        }
+    else:
+        mlp = {
+            w: {"kernel": stack_lin(p + f"mlp.{w}.weight"),
+                "bias": stack_vec(p + f"mlp.{w}.bias")}
+            for w in ("fc1", "fc2")
+        }
+    if cfg.subln:
+        mlp["ffn_ln"] = norm_stack(p + "mlp.ffn_ln")
+
+    layers: Dict[str, Any] = {
+        "ln1": norm_stack(p + "norm1"),
+        "ln2": norm_stack(p + "norm2"),
+        "attn": attn,
+        "mlp": mlp,
+    }
+    if cfg.ls_init_value is not None:
+        layers["gamma_1"] = stack_vec(p + "gamma_1")
+        layers["gamma_2"] = stack_vec(p + "gamma_2")
+    return {
+        "patch_embed": {
+            "kernel": jnp.asarray(np.ascontiguousarray(kernel), dtype),
+            "bias": _vec(state, "patch_embed.proj.bias", dtype),
+        },
+        "class_embed": jnp.asarray(
+            np.asarray(state["cls_token"]).reshape(-1), dtype
+        ),
+        "pos_embed": jnp.asarray(
+            np.asarray(state["pos_embed"]).reshape(-1, d), dtype
+        ),
+        "layers": layers,
+    }
+
+
 def import_projector(
     state: Mapping[str, np.ndarray], cfg: ProjectorConfig, dtype=jnp.bfloat16
 ) -> Dict[str, Any]:

@@ -33,6 +33,48 @@ _OPEN_CLIP_MODELS = {
 }
 
 
+def _eva_config(name: str):
+    """Vision configs transcribed from the reference's vendored
+    `dev_eva_clip/eva_clip/model_configs/*.json` (the EvaViTWrapper /
+    EvaClipVisionTower names, `builder.py:31-34`); intermediate_size uses the
+    torch truncation int(width * mlp_ratio) (`eva_vit_model.py:276`)."""
+    from radvlm_tpu.models.eva import EVAVisionConfig
+
+    eva02 = dict(qkv_bias=True, subln=True, swiglu=True, rope=True,
+                 rope_pt_seq_len=16, rope_intp_freq=True, norm="layernorm")
+    eva8b = dict(qkv_bias=False, subln=False, swiglu=False, rope=False,
+                 norm="rms")
+    table = {
+        "EVA02-CLIP-L-14-336": dict(
+            hidden_size=1024, head_dim=64, num_layers=24,
+            intermediate_size=int(1024 * 2.6667), image_size=336,
+            patch_size=14, **eva02),
+        "EVA02-CLIP-L-14": dict(
+            hidden_size=1024, head_dim=64, num_layers=24,
+            intermediate_size=int(1024 * 2.6667), image_size=224,
+            patch_size=14, **eva02),
+        "EVA02-CLIP-B-16": dict(
+            hidden_size=768, head_dim=64, num_layers=12,
+            intermediate_size=int(768 * 2.6667), image_size=224,
+            patch_size=16, **eva02),
+        "EVA-CLIP-8B": dict(
+            hidden_size=4096, head_dim=128, num_layers=32,
+            intermediate_size=4096 * 5, image_size=224, patch_size=14,
+            **eva8b),
+        "EVA-CLIP-8B-plus": dict(
+            hidden_size=4096, head_dim=128, num_layers=32,
+            intermediate_size=4096 * 5, image_size=448, patch_size=14,
+            **eva8b),
+    }
+    key = next((k for k in table if k.lower() in name.lower()
+                and not (k == "EVA-CLIP-8B" and "plus" in name.lower())), None)
+    if key is None:
+        raise ValueError(
+            f"unknown EVA tower {name!r}; known: {sorted(table)}"
+        )
+    return EVAVisionConfig(**table[key])
+
+
 def config_from_tower_name(name: str, *, select_layer: int = -2,
                            s2: bool = False, s2_scales=()):
     """String -> vision tower config, the reference's `build_vision_tower`
@@ -64,6 +106,13 @@ def config_from_tower_name(name: str, *, select_layer: int = -2,
         from radvlm_tpu.models.imagebind import ImageBindVisionConfig
 
         return ImageBindVisionConfig()
+    if "eva" in name.lower():
+        # Both (commented-out) reference branches: "internal-eva"/"eva02" ->
+        # EvaClipVisionTower, "EVA-CLIP-8B(-plus)" -> EvaViTWrapper
+        # (`builder.py:31-34`). select_layer is unused by the wrapper's final
+        # feature path (feature_select's layer indexing is commented out,
+        # `dev_eva_clip/eva_vit.py:79-90` — all blocks run).
+        return _eva_config(name)
     if name.startswith("open_clip_hub:"):
         model = name[len("open_clip_hub:"):]
         if model not in _OPEN_CLIP_MODELS:
@@ -173,6 +222,10 @@ def _module(vision_cfg):
         from radvlm_tpu.models import imagebind
 
         return imagebind
+    if k == "eva":
+        from radvlm_tpu.models import eva
+
+        return eva
     raise ValueError(f"unknown vision tower kind: {k!r}")
 
 
