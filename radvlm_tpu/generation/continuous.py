@@ -343,7 +343,40 @@ class ContinuousBatcher:
         Call once after construction (serving startup / bench warmup): a
         bucket whose first request arrives mid-stream would otherwise stall
         the pipeline for its XLA compile. Uses a text-only dummy sample per
-        bucket and resets all slot state afterwards."""
+        bucket and resets all slot state afterwards.
+
+        If the fused W8A8 prefill kernel fails to compile (its VMEM budget is
+        geometry-dependent), the engine falls back to the XLA s8xs8 emitter
+        and re-warms — a serving worker must come up rather than crash."""
+        import logging
+        import os
+
+        import jax
+
+        try:
+            self._warmup_once()
+            return
+        except jax.errors.JaxRuntimeError as e:
+            msg = str(e)
+            fused = (
+                os.environ.get("RADVLM_W8A8_IMPL", "fused") == "fused"
+                and jax.default_backend() == "tpu"
+            )
+            if not (fused and ("vmem" in msg.lower() or "Mosaic" in msg)):
+                raise
+            del e
+        logging.getLogger(__name__).warning(
+            "fused W8A8 kernel failed to compile; falling back to "
+            "RADVLM_W8A8_IMPL=xla"
+        )
+        os.environ["RADVLM_W8A8_IMPL"] = "xla"
+        # impl is read at trace time inside quant.w8a8_matmul: drop the fill
+        # graphs so they retrace (decode chunks use the int8 decode kernel,
+        # not W8A8 — keep them).
+        self._fill_fns.clear()
+        self._warmup_once()
+
+    def _warmup_once(self) -> None:
         import collections
 
         import time

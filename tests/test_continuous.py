@@ -207,3 +207,46 @@ def test_warmup_compiles_every_group_size():
         "fill_128_x1", "fill_128_x2", "fill_128_x3",
         "decode_greedy", "decode_sampling",
     }
+
+
+def test_warmup_falls_back_when_fused_w8a8_cannot_compile(monkeypatch):
+    """A serving worker must come up even if the fused W8A8 kernel VMEM-OOMs
+    at this model's geometry: warmup flips to the XLA emitter and re-warms."""
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    b = ContinuousBatcher(
+        params, cfg, GenerationConfig(max_new_tokens=2, eos_token_ids=()),
+        num_slots=2, max_len=256, prompt_buckets=(128,), pad_tiles=2,
+        attn_impl="xla",
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("RADVLM_W8A8_IMPL", raising=False)
+    calls = []
+    real = ContinuousBatcher._warmup_once
+
+    def fake(self):
+        calls.append(dict(os.environ).get("RADVLM_W8A8_IMPL"))
+        if len(calls) == 1:
+            self._fill_fns["poison"] = object()
+            raise jax.errors.JaxRuntimeError(
+                "Mosaic failed: scoped vmem limit exceeded")
+        return real(self)
+
+    import os
+
+    monkeypatch.setattr(ContinuousBatcher, "_warmup_once", fake)
+    b.warmup()
+    assert calls == [None, "xla"]  # retried under the XLA emitter
+    assert "poison" not in b._fill_fns  # stale fill graphs dropped
+
+    # non-fused failures propagate
+    monkeypatch.setenv("RADVLM_W8A8_IMPL", "xla")
+
+    def boom(self):
+        raise jax.errors.JaxRuntimeError("vmem exceeded")
+
+    monkeypatch.setattr(ContinuousBatcher, "_warmup_once", boom)
+    import pytest
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        b.warmup()

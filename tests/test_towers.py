@@ -285,3 +285,33 @@ def test_config_from_tower_name_dispatch(tmp_path):
         towers.config_from_tower_name(f"hf:{d}")
     with pytest.raises(ValueError, match="Unknown vision tower"):
         towers.config_from_tower_name("mystery-tower")
+
+
+def test_eva_tower_in_full_vlm_forward():
+    """An EVA tower plugs into the full multimodal model: feature grid has an
+    integer side (anyres merge), projector consumes hidden_size."""
+    import dataclasses
+
+    from radvlm_tpu import config as cfglib
+    from radvlm_tpu.config import IMAGE_TOKEN_INDEX
+    from radvlm_tpu.models import multimodal, radvlm
+    from radvlm_tpu.models.eva import EVAVisionConfig
+
+    vis = EVAVisionConfig(
+        hidden_size=32, head_dim=16, num_layers=2, intermediate_size=64,
+        image_size=28, patch_size=14, rope_pt_seq_len=2, rope_intp_freq=False,
+    )
+    base = cfglib.tiny_test_config()
+    cfg = dataclasses.replace(
+        base, vision=vis,
+        anyres=dataclasses.replace(base.anyres, tile_size=28),
+    )
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(40, 30, 3), dtype=np.uint8)
+    sample = multimodal.build_sample([2, IMAGE_TOKEN_INDEX, 3], [img], cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in multimodal.collate([sample], pad_to_multiple=128).items()}
+    logits, _ = radvlm.forward(params, cfg, batch)
+    assert logits.shape[0] == 1 and logits.shape[-1] == cfg.text.vocab_size
+    assert np.isfinite(np.asarray(logits)).all()
