@@ -301,6 +301,15 @@ class ResamplerConfig:
     ff_mult: int = 4
     # masked_drop settings (reference mm_mask_drop_ratio)
     drop_ratio: float = 0.25
+    # qformer settings (BLIP-2 query transformer, `multimodal_resampler/
+    # qformer.py:1102-1133`): bert-base trunk, num_latents query tokens,
+    # cross-attention every `depth` layers (the reference's mm_qformer_depth
+    # IS the cross_attention_freq — build_Qformer call at qformer.py:1110).
+    qformer_layers: int = 12
+    qformer_hidden: int = 768
+    qformer_heads: int = 12
+    qformer_intermediate: int = 3072
+    qformer_eps: float = 1e-12
 
     @property
     def spatial(self) -> bool:

@@ -683,6 +683,61 @@ def import_eva(
     }
 
 
+def import_qformer(
+    state: Mapping[str, np.ndarray], cfg, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """BLIP-2 Qformer checkpoint (the vendored wrapper's state dict:
+    `ln_vision.*`, `query_tokens`, `Qformer.bert.*` — `multimodal_resampler/
+    qformer.py:1102-1133`) -> `models/resampler.py` qformer params. The text
+    path (word/position embeddings, per-layer intermediate/output) is None'd
+    by build_Qformer, so those keys are absent by construction."""
+    def lin(prefix):
+        return {"kernel": _lin(state, prefix + ".weight", dtype),
+                "bias": _vec(state, prefix + ".bias", dtype)}
+
+    def ln(prefix):
+        return {"scale": _vec(state, prefix + ".weight", dtype),
+                "bias": _vec(state, prefix + ".bias", dtype)}
+
+    layers = []
+    for i in range(cfg.qformer_layers):
+        p = f"Qformer.bert.encoder.layer.{i}."
+        layer: Dict[str, Any] = {
+            "self": {
+                "q": lin(p + "attention.self.query"),
+                "k": lin(p + "attention.self.key"),
+                "v": lin(p + "attention.self.value"),
+                "out": lin(p + "attention.output.dense"),
+                "ln": ln(p + "attention.output.LayerNorm"),
+            },
+            "ffn": {
+                "up": lin(p + "intermediate_query.dense"),
+                "down": lin(p + "output_query.dense"),
+                "ln": ln(p + "output_query.LayerNorm"),
+            },
+        }
+        if p + "crossattention.self.query.weight" in state:
+            layer["cross"] = {
+                "q": lin(p + "crossattention.self.query"),
+                "k": lin(p + "crossattention.self.key"),
+                "v": lin(p + "crossattention.self.value"),
+                "out": lin(p + "crossattention.output.dense"),
+                "ln": ln(p + "crossattention.output.LayerNorm"),
+            }
+        layers.append(layer)
+    return {
+        "ln_vision": ln("ln_vision"),
+        "query_tokens": jnp.asarray(
+            np.asarray(state["query_tokens"]).reshape(
+                -1, np.asarray(state["query_tokens"]).shape[-1]
+            ),
+            dtype,
+        ),
+        "emb_ln": ln("Qformer.bert.embeddings.LayerNorm"),
+        "layers": layers,
+    }
+
+
 def import_projector(
     state: Mapping[str, np.ndarray], cfg: ProjectorConfig, dtype=jnp.bfloat16
 ) -> Dict[str, Any]:

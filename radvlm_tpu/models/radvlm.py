@@ -37,8 +37,15 @@ def init_params(cfg: RadVLMConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     params = {
         "vision_tower": towers.init_params(cfg.vision, k1, dtype),
+        # The projector consumes the post-resampler width (the qformer
+        # re-embeds into its bert hidden size; every other kind preserves
+        # the tower width).
         "projector": projector_lib.init_params(
-            cfg.projector, towers.feature_size(cfg.vision), cfg.text.hidden_size,
+            cfg.projector,
+            resampler_lib.output_dim(
+                cfg.resampler, towers.feature_size(cfg.vision)
+            ),
+            cfg.text.hidden_size,
             k2, dtype
         ),
         "text": qwen2.init_params(cfg.text, k3, dtype),

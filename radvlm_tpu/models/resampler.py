@@ -1,12 +1,12 @@
 """Vision-token resamplers (reduce tokens-per-tile before the projector).
 
-Rebuild of the reference's resampler family (`finetuning/llava/model/
+Rebuild of the reference's FULL resampler family (`finetuning/llava/model/
 multimodal_resampler/builder.py:21-33`): identity (RadVLM flagship),
 spatial_pool (the LLaVA family's deployed token reduction), perceiver
-(Flamingo-style learned-latent cross-attention, `perceiver.py:30-127`), and
-masked_drop (training-time random token dropping, `masked_drop.py`). qformer
-remains unshipped (the reference vendors ~1,160 LoC it never enables; the
-perceiver covers the learned-query resampling role).
+(Flamingo-style learned-latent cross-attention, `perceiver.py:30-127`),
+masked_drop (training-time random token dropping, `masked_drop.py`), and
+qformer (BLIP-2 query transformer, `qformer.py:1102-1160` — parity-tested
+against the vendored torch module, tests/test_qformer_parity.py).
 
 Sits between the vision tower and the projector (`llava_arch.py:192-196`
 encode_images order: tower -> vision_resampler -> mm_projector). Non-spatial
@@ -33,11 +33,20 @@ def _dense(key, shape, scale=0.02):
     return jax.random.normal(key, shape, jnp.float32) * scale
 
 
+def output_dim(cfg: ResamplerConfig, dim: int) -> int:
+    """Feature width AFTER resampling (what the projector consumes): the
+    qformer re-embeds into its bert-base hidden size (`qformer.py:1149-1151`
+    hidden_size property = 768); every other kind preserves the tower width."""
+    return cfg.qformer_hidden if cfg.kind == "qformer" else dim
+
+
 def init_params(
     cfg: ResamplerConfig, dim: int, key: jax.Array, dtype=jnp.float32
 ) -> Params:
     """dim = vision tower feature width (perceiver operates at tower width,
     reference `perceiver.py:139`)."""
+    if cfg.kind == "qformer":
+        return _qformer_init(cfg, dim, key, dtype)
     if cfg.kind != "perceiver":
         return {}  # identity / spatial_pool / masked_drop are parameter-free
     L = cfg.depth
@@ -70,10 +79,96 @@ def output_tokens(cfg: ResamplerConfig, tokens_per_tile: int) -> int:
     if cfg.kind in ("identity", "masked_drop"):
         # masked_drop keeps the full grid at inference (drop is train-time only)
         return tokens_per_tile
-    if cfg.kind == "perceiver":
+    if cfg.kind in ("perceiver", "qformer"):
         return cfg.num_latents
     side = int(math.isqrt(tokens_per_tile))
     return (side // cfg.stride) * (side // cfg.stride)
+
+
+def _qformer_init(cfg: ResamplerConfig, dim: int, key, dtype) -> Params:
+    """BLIP-2 query transformer (`qformer.py:1102-1133` build_Qformer):
+    ln_vision over the tower features, learned query tokens, a bert-base
+    stack whose text path is surgically removed (word/position embeddings and
+    the text FFN are None'd) — self-attention over queries, cross-attention
+    to the image features every `cfg.depth` layers, query FFN
+    (intermediate_query/output_query), post-LN throughout."""
+    h, inter, L = cfg.qformer_hidden, cfg.qformer_intermediate, cfg.qformer_layers
+    keys = iter(jax.random.split(key, 8 * L + 4))
+
+    def lin(shape):
+        return {"kernel": _dense(next(keys), shape).astype(dtype),
+                "bias": jnp.zeros((shape[-1],), dtype)}
+
+    def ln(width):
+        return {"scale": jnp.ones((width,), dtype),
+                "bias": jnp.zeros((width,), dtype)}
+
+    layers = []
+    for i in range(L):
+        layer: Params = {
+            "self": {"q": lin((h, h)), "k": lin((h, h)), "v": lin((h, h)),
+                     "out": lin((h, h)), "ln": ln(h)},
+            "ffn": {"up": lin((h, inter)), "down": lin((inter, h)),
+                    "ln": ln(h)},
+        }
+        if i % cfg.depth == 0:  # cross_attention_freq (`qformer.py:343`)
+            layer["cross"] = {"q": lin((h, h)), "k": lin((dim, h)),
+                              "v": lin((dim, h)), "out": lin((h, h)),
+                              "ln": ln(h)}
+        layers.append(layer)
+    return {
+        "ln_vision": ln(dim),
+        "query_tokens": _dense(next(keys), (cfg.num_latents, h)).astype(dtype),
+        "emb_ln": ln(h),  # BertEmbeddings.LayerNorm on the query path
+        "layers": layers,
+    }
+
+
+def _qformer_forward(params: Params, cfg: ResamplerConfig, feats: jnp.ndarray):
+    """feats [N, T, D] -> [N, num_latents, qformer_hidden]. Masks are all-ones
+    in the reference call (`qformer.py:1136-1145`), i.e. no-ops."""
+    from radvlm_tpu.ops.attention import layer_norm
+
+    eps = cfg.qformer_eps
+    n = feats.shape[0]
+    h, heads = cfg.qformer_hidden, cfg.qformer_heads
+    hd = h // heads
+    scale = hd ** -0.5
+
+    def bert_attn(block, q_in, kv_in):
+        q = (q_in @ block["q"]["kernel"] + block["q"]["bias"]).reshape(
+            n, -1, heads, hd)
+        k = (kv_in @ block["k"]["kernel"] + block["k"]["bias"]).reshape(
+            n, -1, heads, hd)
+        v = (kv_in @ block["v"]["kernel"] + block["v"]["bias"]).reshape(
+            n, -1, heads, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            q_in.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(n, -1, h)
+        # BertSelfOutput: dense -> residual add -> LayerNorm (post-LN)
+        out = ctx @ block["out"]["kernel"] + block["out"]["bias"]
+        return layer_norm(out + q_in, block["ln"]["scale"],
+                          block["ln"]["bias"], eps)
+
+    # ln_vision is a plain nn.LayerNorm (default eps 1e-5, `qformer.py:1133`),
+    # unlike the bert-internal norms which use config.layer_norm_eps (1e-12).
+    x = layer_norm(feats, params["ln_vision"]["scale"],
+                   params["ln_vision"]["bias"], 1e-5)
+    q = jnp.broadcast_to(
+        params["query_tokens"][None], (n, cfg.num_latents, h)
+    ).astype(feats.dtype)
+    q = layer_norm(q, params["emb_ln"]["scale"], params["emb_ln"]["bias"], eps)
+    for layer in params["layers"]:
+        q = bert_attn(layer["self"], q, q)
+        if "cross" in layer:
+            q = bert_attn(layer["cross"], q, x)
+        f = layer["ffn"]
+        y = jax.nn.gelu(q @ f["up"]["kernel"] + f["up"]["bias"],
+                        approximate=False)
+        y = y @ f["down"]["kernel"] + f["down"]["bias"]
+        q = layer_norm(y + q, f["ln"]["scale"], f["ln"]["bias"], eps)
+    return q
 
 
 def _perceiver_forward(params: Params, cfg: ResamplerConfig, feats: jnp.ndarray):
@@ -121,6 +216,8 @@ def forward(
         return feats
     if cfg.kind == "perceiver":
         return _perceiver_forward(params, cfg, feats)
+    if cfg.kind == "qformer":
+        return _qformer_forward(params, cfg, feats)
     if cfg.kind == "masked_drop":
         if not training or rng is None:
             return feats
@@ -132,10 +229,7 @@ def forward(
         keep_mask = jax.random.uniform(rng, (n, t)) >= cfg.drop_ratio
         return feats * keep_mask[..., None].astype(feats.dtype)
     if cfg.kind != "spatial_pool":
-        raise NotImplementedError(
-            f"resampler {cfg.kind!r} not implemented (qformer: the reference "
-            "ships but never enables it)"
-        )
+        raise NotImplementedError(f"resampler {cfg.kind!r} not implemented")
     n, t, d = feats.shape
     side = int(math.isqrt(t))
     assert side * side == t, f"spatial_pool needs a square grid, got {t}"
