@@ -46,27 +46,31 @@ def _install_shims():
     def to_2tuple(x):
         return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
 
-    layers = types.ModuleType("timm.models.layers")
+    # All fakes carry a ModuleSpec: transformers probes availability with
+    # importlib.util.find_spec, which RAISES on spec-less modules — a bare
+    # ModuleType here poisons any later first import of transformers.
+    # Pre-existing fakes (test_baselines_e2e installs a torchvision one with
+    # transforms/io submodules) are augmented rather than clobbered.
+    def fake(name):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.util.spec_from_loader(name, loader=None)
+        sys.modules[name] = m
+        return m
+
+    timm = fake("timm")
+    timm.models = fake("timm.models")
+    layers = fake("timm.models.layers")
+    timm.models.layers = layers
     layers.drop_path = drop_path
     layers.to_2tuple = to_2tuple
     layers.trunc_normal_ = torch.nn.init.trunc_normal_
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    timm.models = models
-    models.layers = layers
-    sys.modules["timm"] = timm
-    sys.modules["timm.models"] = models
-    sys.modules["timm.models.layers"] = layers
 
-    tv = types.ModuleType("torchvision")
-    ops = types.ModuleType("torchvision.ops")
-    misc = types.ModuleType("torchvision.ops.misc")
-    misc.FrozenBatchNorm2d = nn.BatchNorm2d  # unused on our path
-    tv.ops = ops
-    ops.misc = misc
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.ops"] = ops
-    sys.modules["torchvision.ops.misc"] = misc
+    tv = fake("torchvision")
+    tv.ops = fake("torchvision.ops")
+    tv.ops.misc = fake("torchvision.ops.misc")
+    tv.ops.misc.FrozenBatchNorm2d = nn.BatchNorm2d  # unused on our path
 
 
 @pytest.fixture(scope="module")
