@@ -6,9 +6,9 @@ greedy decode (the reference's report-generation inference path,
 `radvlm/evaluation/evaluate_instructions.py:119-192`), end to end including host
 preprocessing.
 
-Model width: RADVLM_BENCH_SIZE=0.5b (default; fits one v5e chip in bf16 alongside
-the KV cache) or 7b (needs a multi-chip mesh). Weights are random-init — throughput
-is weight-value-independent.
+Model width: RADVLM_BENCH_SIZE=7b-int8 (default: the flagship 7B with int8
+weights + int8 KV cache fits one 16 GB v5e chip) or 0.5b for quick smoke
+runs. Weights are random-init — throughput is weight-value-independent.
 
 The reference publishes no throughput numbers (BASELINE.md), and no A100
 measurement of the reference exists in this environment: vs_baseline is
@@ -109,37 +109,22 @@ def run_continuous(cfg, params, gen, size):
     # driver always records a number. The retry runs OUTSIDE the except block:
     # `e.__traceback__` pins the failed frame's ContinuousBatcher (multi-GB KV
     # cache) in HBM, so freeing it first is what lets the retry fit.
+    # (Fused-W8A8 compile failures are handled INSIDE the engine:
+    # ContinuousBatcher.warmup() falls back to the XLA emitter and re-warms,
+    # so every fused compile in this flow is already covered there.)
     oom = False
-    fused_failed = False
     try:
         _run_continuous(cfg, params, gen, size, slots)
     except jax.errors.JaxRuntimeError as e:
-        msg = str(e)
-        fused_active = (
-            os.environ.get("RADVLM_W8A8_IMPL", "fused") == "fused"
-            and jax.default_backend() == "tpu"
-        )
-        if fused_active and ("vmem" in msg.lower() or "Mosaic" in msg):
-            # The fused W8A8 kernel's VMEM budget is geometry-dependent; if a
-            # shape slips past the budget heuristic, fall back to the XLA
-            # s8xs8 emitter rather than losing the round's number.
-            fused_failed = True
-        elif "RESOURCE_EXHAUSTED" in msg and slots > 12:
-            oom = True
-        else:
+        if "RESOURCE_EXHAUSTED" not in str(e) or slots <= 12:
             raise
+        oom = True
         del e
-    if oom or fused_failed:
+    if oom:
         import gc
 
         gc.collect()
-        if fused_failed:
-            print("# fused W8A8 compile failed; retrying with RADVLM_W8A8_IMPL=xla",
-                  file=sys.stderr)
-            os.environ["RADVLM_W8A8_IMPL"] = "xla"
-            _run_continuous(cfg, params, gen, size, slots)
-        else:
-            _run_continuous(cfg, params, gen, size, max(12, slots // 2))
+        _run_continuous(cfg, params, gen, size, max(12, slots // 2))
 
 
 def _run_continuous(cfg, params, gen, size, slots):

@@ -362,7 +362,16 @@ class ContinuousBatcher:
                 os.environ.get("RADVLM_W8A8_IMPL", "fused") == "fused"
                 and jax.default_backend() == "tpu"
             )
-            if not (fused and ("vmem" in msg.lower() or "Mosaic" in msg)):
+            # Only the fused kernel's own compile failures are recoverable by
+            # switching emitters — XLA names the failing custom call / source
+            # file in the message. Other Mosaic kernels (decode attention,
+            # flash) don't read RADVLM_W8A8_IMPL; re-warming under a
+            # different emitter would mutate global state, recompile every
+            # fill graph, and then fail identically.
+            fused_failure = (
+                "w8a8_matmul_fused" in msg or "w8a8_matmul.py" in msg
+            )
+            if not (fused and fused_failure):
                 raise
             del e
         logging.getLogger(__name__).warning(

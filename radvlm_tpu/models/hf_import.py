@@ -78,6 +78,10 @@ def normalize_keys(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
         nk = k
         # --- original LLaVA-OV training layout ---
         nk = nk.replace("model.vision_tower.vision_tower.vision_model.", "vision.")
+        # EVA/ImageBind towers have no vision_model level: their importers
+        # take the wrapper-local keys (visual.* / modality_*.*) directly.
+        nk = nk.replace("model.vision_tower.vision_tower.", "")
+        nk = nk.replace("model.vision_resampler.", "vision_resampler.")
         nk = nk.replace("model.mm_projector.0.", "projector.fc0.")
         nk = nk.replace("model.mm_projector.2.", "projector.fc1.")
         nk = nk.replace("model.image_newline", "image_newline")
@@ -757,14 +761,39 @@ def import_radvlm(
     from radvlm_tpu.models import towers
 
     state = normalize_keys(raw_state)
-    import_tower = (
-        import_clip if towers.kind(cfg.vision) == "clip" else import_siglip
-    )
+    import_tower = {
+        "clip": import_clip,
+        "siglip": import_siglip,
+        "eva": import_eva,
+        "imagebind": import_imagebind,
+    }[towers.kind(cfg.vision)]
     params = {
         "vision_tower": import_tower(state, cfg.vision, dtype),
         "projector": import_projector(state, cfg.projector, dtype),
         "text": import_qwen2(state, cfg.text, dtype),
     }
+    rk = cfg.resampler.kind
+    if rk == "qformer":
+        # the wrapper's weights live under model.vision_resampler.* in the
+        # reference layout (normalize_keys strips the model. prefix)
+        sub = {
+            k[len("vision_resampler."):]: v
+            for k, v in state.items() if k.startswith("vision_resampler.")
+        }
+        if not sub and "query_tokens" in state:  # bare Qformer checkpoint
+            sub = dict(state)
+        if not sub:
+            raise ValueError(
+                "config requests the qformer resampler but the checkpoint "
+                "has no vision_resampler.* weights"
+            )
+        params["resampler"] = import_qformer(sub, cfg.resampler, dtype)
+    elif rk == "perceiver":
+        raise ValueError(
+            "perceiver resampler checkpoints have no HF import layout "
+            "(the reference never ships one); load via the orbax "
+            "checkpointer (training/checkpoint.py) instead"
+        )
     if "image_newline" in state:
         params["image_newline"] = jnp.asarray(state["image_newline"], dtype)
     else:

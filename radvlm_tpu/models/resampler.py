@@ -93,7 +93,9 @@ def _qformer_init(cfg: ResamplerConfig, dim: int, key, dtype) -> Params:
     to the image features every `cfg.depth` layers, query FFN
     (intermediate_query/output_query), post-LN throughout."""
     h, inter, L = cfg.qformer_hidden, cfg.qformer_intermediate, cfg.qformer_layers
-    keys = iter(jax.random.split(key, 8 * L + 4))
+    # 6 lins/layer + 4 more per cross layer (every cfg.depth-th) + queries
+    n_keys = 6 * L + 4 * (1 + (L - 1) // cfg.depth) + 1
+    keys = iter(jax.random.split(key, n_keys))
 
     def lin(shape):
         return {"kernel": _dense(next(keys), shape).astype(dtype),

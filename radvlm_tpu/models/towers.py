@@ -106,13 +106,6 @@ def config_from_tower_name(name: str, *, select_layer: int = -2,
         from radvlm_tpu.models.imagebind import ImageBindVisionConfig
 
         return ImageBindVisionConfig()
-    if "eva" in name.lower():
-        # Both (commented-out) reference branches: "internal-eva"/"eva02" ->
-        # EvaClipVisionTower, "EVA-CLIP-8B(-plus)" -> EvaViTWrapper
-        # (`builder.py:31-34`). select_layer is unused by the wrapper's final
-        # feature path (feature_select's layer indexing is commented out,
-        # `dev_eva_clip/eva_vit.py:79-90` — all blocks run).
-        return _eva_config(name)
     if name.startswith("open_clip_hub:"):
         model = name[len("open_clip_hub:"):]
         if model not in _OPEN_CLIP_MODELS:
@@ -168,6 +161,15 @@ def config_from_tower_name(name: str, *, select_layer: int = -2,
             num_layers=24 - drop,
             s2_scales=tuple(s2_scales) if s2 else (),
         )
+    if ("internal-eva" in name.lower() or "eva02" in name.lower()
+            or name in ("EVA-CLIP-8B", "EVA-CLIP-8B-plus")):
+        # The reference's two EVA branches, matched with the builder's OWN
+        # predicates (`builder.py:31-34`) so a mere "eva" substring (e.g. an
+        # /evals/... checkpoint path) cannot shadow the CLIP/hf: branches.
+        # select_layer is unused by the wrapper's final feature path
+        # (feature_select's layer indexing is commented out,
+        # `dev_eva_clip/eva_vit.py:79-90` — all blocks run).
+        return _eva_config(name)
     raise ValueError(f"Unknown vision tower: {name}")
 
 

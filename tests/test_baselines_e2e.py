@@ -24,14 +24,13 @@ torch = pytest.importorskip("torch")
 TILE = 56
 
 
-_SHIMMED = False
-
-
-def _shim_torchvision():
-    global _SHIMMED
-    if _SHIMMED:
-        return
-    _SHIMMED = True
+@pytest.fixture(scope="module")
+def torchvision_shim():
+    """Apply the torchvision fakes + transformers patches for this module's
+    tests and REVERT the transformers-global mutations afterwards (other
+    tests in the session must keep seeing the honest availability state;
+    the inert fake sys.modules entries stay — nothing else imports
+    torchvision, transformers gates on its cached flags)."""
 
     def fake(name):
         # augment any pre-existing fake (test_eva_parity installs a minimal
@@ -87,6 +86,11 @@ def _shim_torchvision():
         AutoVideoProcessor,
     )
 
+    _MISSING = object()
+    saved_module_attrs = {
+        attr: pu.transformers_module.__dict__.get(attr, _MISSING)
+        for attr in ("BaseVideoProcessor", "AutoVideoProcessor")
+    }
     pu.transformers_module.BaseVideoProcessor = BaseVideoProcessor
     pu.transformers_module.AutoVideoProcessor = AutoVideoProcessor
     # the auto mapping nulled EVERY entry at import (torchvision "absent");
@@ -94,6 +98,7 @@ def _shim_torchvision():
     # rows and restore the two classes these tests use.
     from transformers.models.auto import video_processing_auto as vpa
 
+    saved_mapping = dict(vpa.VIDEO_PROCESSOR_MAPPING_NAMES)
     for k in [k for k, v in vpa.VIDEO_PROCESSOR_MAPPING_NAMES.items()
               if v is None]:
         del vpa.VIDEO_PROCESSOR_MAPPING_NAMES[k]
@@ -118,8 +123,20 @@ def _shim_torchvision():
     )
     # requires_backends consults BACKENDS_MAPPING at call time; the cached
     # availability flag was frozen False when transformers first imported.
-    _, msg = iu.BACKENDS_MAPPING["torchvision"]
-    iu.BACKENDS_MAPPING["torchvision"] = (lambda: True, msg)
+    saved_backend = iu.BACKENDS_MAPPING["torchvision"]
+    iu.BACKENDS_MAPPING["torchvision"] = (lambda: True, saved_backend[1])
+
+    yield
+
+    vpa.video_processor_class_from_name = orig_from_name
+    vpa.VIDEO_PROCESSOR_MAPPING_NAMES.clear()
+    vpa.VIDEO_PROCESSOR_MAPPING_NAMES.update(saved_mapping)
+    iu.BACKENDS_MAPPING["torchvision"] = saved_backend
+    for attr, value in saved_module_attrs.items():
+        if value is _MISSING:
+            delattr(pu.transformers_module, attr)
+        else:
+            setattr(pu.transformers_module, attr, value)
 
 
 def _byte_tokenizer(extra_specials, cls=None):
@@ -163,8 +180,7 @@ def cxr_png(tmp_path):
 
 
 @pytest.fixture()
-def llava_ov_checkpoint(tmp_path):
-    _shim_torchvision()
+def llava_ov_checkpoint(tmp_path, torchvision_shim):
     from transformers import (
         LlavaOnevisionConfig,
         LlavaOnevisionForConditionalGeneration,
@@ -237,8 +253,7 @@ def test_llava_ov_baseline_runs_real_inference(llava_ov_checkpoint, cxr_png):
 
 
 @pytest.fixture()
-def qwen2vl_checkpoint(tmp_path):
-    _shim_torchvision()
+def qwen2vl_checkpoint(tmp_path, torchvision_shim):
     from transformers import (
         Qwen2TokenizerFast,
         Qwen2VLConfig,

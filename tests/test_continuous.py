@@ -229,7 +229,8 @@ def test_warmup_falls_back_when_fused_w8a8_cannot_compile(monkeypatch):
         if len(calls) == 1:
             self._fill_fns["poison"] = object()
             raise jax.errors.JaxRuntimeError(
-                "Mosaic failed: scoped vmem limit exceeded")
+                "Ran out of memory in memory space vmem for "
+                "%w8a8_matmul_fused.3 custom-call")
         return real(self)
 
     import os
@@ -243,7 +244,9 @@ def test_warmup_falls_back_when_fused_w8a8_cannot_compile(monkeypatch):
     monkeypatch.setenv("RADVLM_W8A8_IMPL", "xla")
 
     def boom(self):
-        raise jax.errors.JaxRuntimeError("vmem exceeded")
+        # a DIFFERENT Mosaic kernel failing must not trigger the fallback
+        raise jax.errors.JaxRuntimeError(
+            "Mosaic decode_attention kernel: scoped vmem limit exceeded")
 
     monkeypatch.setattr(ContinuousBatcher, "_warmup_once", boom)
     import pytest

@@ -201,4 +201,10 @@ def test_eva_tower_name_dispatch():
     c = towers.config_from_tower_name("internal-eva02-clip-l-14")
     assert c.image_size == 224
     with pytest.raises(ValueError, match="unknown EVA"):
+        towers.config_from_tower_name("eva02-mystery")
+    # a mere "eva" substring must NOT shadow the path/hf branches
+    # (code-review finding: /evals/... checkpoint paths were misrouted)
+    c = towers.config_from_tower_name("/mnt/evals/ShareGPT4V-vit-l-336")
+    assert towers.kind(c) == "clip"
+    with pytest.raises(ValueError, match="Unknown vision tower"):
         towers.config_from_tower_name("eva-mystery")

@@ -157,3 +157,19 @@ def test_qformer_in_full_vlm_forward():
              for k, v in multimodal.collate([sample], pad_to_multiple=128).items()}
     logits, _ = radvlm.forward(params, cfg, batch)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_vision_resampler_keys_normalize():
+    """Full-checkpoint wiring: the reference stores the wrapper under
+    model.vision_resampler.* — normalize_keys must expose it for
+    import_radvlm's qformer branch (not mangle it into text.*)."""
+    from radvlm_tpu.models.hf_import import normalize_keys
+
+    state = normalize_keys({
+        "model.vision_resampler.query_tokens": np.zeros((1, 4, 8), np.float32),
+        "model.vision_resampler.Qformer.bert.embeddings.LayerNorm.weight":
+            np.ones((8,), np.float32),
+    })
+    assert "vision_resampler.query_tokens" in state
+    assert ("vision_resampler.Qformer.bert.embeddings.LayerNorm.weight"
+            in state)
