@@ -385,8 +385,61 @@ class ContinuousBatcher:
         self._fill_fns.clear()
         self._warmup_once()
 
+    def _precompile_fills(self, groups) -> None:
+        """AOT-compile every bucket fill graph CONCURRENTLY and install the
+        compiled executables in `_fill_fns` (the jit objects they replace are
+        callable-compatible; donation is part of the lowering).
+
+        Serving startup pays one XLA compile — or, warm, one persistent-cache
+        load — per (bucket, group-size) fill graph, serially ~15 s each on a
+        network-attached device. Tracing and compilation release the GIL, so
+        a thread pool overlaps them. Opt out with RADVLM_PARALLEL_WARMUP=0
+        (the serial dispatch path then compiles on first call, as before)."""
+        import concurrent.futures
+
+        import jax
+        import jax.numpy as jnp
+
+        def compile_one(bucket, nf, reqs):
+            batch = (
+                reqs[0].dev_batch if nf == 1 else {
+                    k: jnp.concatenate([r.dev_batch[k] for r in reqs], axis=0)
+                    for k in reqs[0].dev_batch
+                }
+            )
+            l = batch["tokens"].shape[1]
+            slots = jnp.arange(nf, dtype=jnp.int32)
+            temps = jnp.zeros((nf,), jnp.float32)
+            tops = jnp.ones((nf,), jnp.float32)
+            rng = jax.random.key(0)
+            jitfn = self._fill_fn(l, nf)
+            compiled = jitfn.lower(
+                self.params, self.cache, self.cache_seg, self.cur_tok,
+                self.slot_temp, self.slot_top_p, batch, slots, rng, temps,
+                tops,
+            ).compile()
+            tiles_shape = batch["tiles"].shape
+
+            # AOT executables are pinned to exact avals; an image needing
+            # more anyres tiles than pad_tiles changes the batch shape (the
+            # jit path just recompiles) — guard and fall back.
+            def dispatch(*args, _c=compiled, _j=jitfn, _t=tiles_shape):
+                if args[6]["tiles"].shape == _t:
+                    return _c(*args)
+                return _j(*args)
+
+            self._fill_fns[(l, nf)] = dispatch
+
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(8, len(groups))
+        ) as pool:
+            futs = [pool.submit(compile_one, *g) for g in groups]
+            for f in futs:
+                f.result()  # re-raise compile failures in the caller
+
     def _warmup_once(self) -> None:
         import collections
+        import os
 
         import time
 
@@ -402,6 +455,7 @@ class ContinuousBatcher:
         # remainders), so each size needs its own compiled fill graph or the
         # first odd-sized group stalls all slots on a mid-stream compile.
         nfills = list(range(1, min(self.fill_batch, self.num_slots) + 1))
+        groups = []
         for bucket in self.prompt_buckets:
             for nf in nfills:
                 reqs = []
@@ -417,12 +471,21 @@ class ContinuousBatcher:
                     r.real_len = int(hb["lengths"][0])
                     r.dev_batch = {k: jnp.asarray(v) for k, v in hb.items()}
                     reqs.append(r)
-                t0 = time.perf_counter()
-                self._fill_group(list(enumerate(reqs)))
-                jax.block_until_ready(self.cur_tok)
-                self.warmup_timings[f"fill_{bucket}_x{nf}"] = (
-                    time.perf_counter() - t0
-                )
+                groups.append((bucket, nf, reqs))
+        if (os.environ.get("RADVLM_PARALLEL_WARMUP", "1") == "1"
+                and len(groups) > 1):
+            t0 = time.perf_counter()
+            self._precompile_fills(groups)
+            self.warmup_timings["parallel_precompile"] = (
+                time.perf_counter() - t0
+            )
+        for bucket, nf, reqs in groups:
+            t0 = time.perf_counter()
+            self._fill_group(list(enumerate(reqs)))
+            jax.block_until_ready(self.cur_tok)
+            self.warmup_timings[f"fill_{bucket}_x{nf}"] = (
+                time.perf_counter() - t0
+            )
         infl: "collections.deque" = collections.deque()
         # Compile BOTH decode-chunk variants: with no active slots
         # _sampling_active() is False, so an unforced dispatch only compiles

@@ -253,3 +253,29 @@ def test_warmup_falls_back_when_fused_w8a8_cannot_compile(monkeypatch):
 
     with pytest.raises(jax.errors.JaxRuntimeError):
         b.warmup()
+
+
+def test_parallel_warmup_matches_serial(rng, monkeypatch):
+    """RADVLM_PARALLEL_WARMUP=1 (default) AOT-compiles the fill graphs in a
+    thread pool and installs the executables; requests served through them
+    must match the serial-warmup engine token for token."""
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(3))
+    samples = [_mk_sample(cfg, rng, n) for n in (6, 11)]
+
+    def run(env):
+        monkeypatch.setenv("RADVLM_PARALLEL_WARMUP", env)
+        b = ContinuousBatcher(
+            params, cfg, GenerationConfig(max_new_tokens=4, eos_token_ids=()),
+            num_slots=2, max_len=256, prompt_buckets=(128, 256),
+            pad_tiles=2, attn_impl="xla",
+        )
+        b.warmup()
+        if env == "1":
+            assert "parallel_precompile" in b.warmup_timings
+        reqs = [b.submit(s) for s in samples]
+        for _ in b.run():
+            pass
+        return [list(r.emitted) for r in reqs]
+
+    assert run("1") == run("0")
