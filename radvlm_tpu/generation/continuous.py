@@ -430,10 +430,24 @@ class ContinuousBatcher:
 
             self._fill_fns[(l, nf)] = dispatch
 
+        def compile_decode(sampling):
+            # decode-chunk avals are fixed per engine instance (positions /
+            # write_idx are int32 [num_slots] — _dispatch_chunk), so the AOT
+            # executable can replace the jit object directly
+            positions = jnp.zeros((self.num_slots,), jnp.int32)
+            rng = jax.random.key(0)
+            compiled = self._step_fns[sampling].lower(
+                self.params, self.cache, self.cache_seg, self.cur_tok,
+                positions, positions, self.slot_temp, self.slot_top_p, rng,
+            ).compile()
+            self._step_fns[sampling] = compiled
+
+        jobs = [lambda g=g: compile_one(*g) for g in groups]
+        jobs += [lambda s=s: compile_decode(s) for s in (False, True)]
         with concurrent.futures.ThreadPoolExecutor(
-            max_workers=min(8, len(groups))
+            max_workers=min(8, len(jobs))
         ) as pool:
-            futs = [pool.submit(compile_one, *g) for g in groups]
+            futs = [pool.submit(j) for j in jobs]
             for f in futs:
                 f.result()  # re-raise compile failures in the caller
 
