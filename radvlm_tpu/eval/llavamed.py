@@ -126,6 +126,12 @@ class LlavaMedModel:
         sd = _load_checkpoint_dir(model_path)
         lang_sd, vis_sd, proj_sd = remap_state_dict(sd)
 
+        # The tower is ViT-L/14-336 for the released llava-med checkpoint; a
+        # checkpoint may carry explicit tower hyperparameters (tiny CI
+        # checkpoints, retrained towers) under "mm_vision_tower_cfg".
+        tower_cfg = dict(CLIP_VIT_L_336)
+        tower_cfg.update(cfg.get("mm_vision_tower_cfg") or {})
+
         lm_cfg = MistralConfig(
             vocab_size=cfg["vocab_size"],
             hidden_size=cfg["hidden_size"],
@@ -140,18 +146,19 @@ class LlavaMedModel:
         lm = MistralForCausalLM(lm_cfg)
         lm.load_state_dict(lang_sd, strict=False)
 
-        tower = CLIPVisionModel(CLIPVisionConfig(**CLIP_VIT_L_336))
+        tower = CLIPVisionModel(CLIPVisionConfig(**tower_cfg))
         tower.load_state_dict(vis_sd, strict=True)
 
-        d_vis, d_lm = CLIP_VIT_L_336["hidden_size"], cfg["hidden_size"]
+        d_vis, d_lm = tower_cfg["hidden_size"], cfg["hidden_size"]
         projector = torch.nn.Sequential(
             torch.nn.Linear(d_vis, d_lm), torch.nn.GELU(),
             torch.nn.Linear(d_lm, d_lm),
         )
         projector.load_state_dict(proj_sd)
 
+        res = tower_cfg["image_size"]
         ip = CLIPImageProcessor(
-            size={"shortest_edge": 336}, crop_size={"height": 336, "width": 336},
+            size={"shortest_edge": res}, crop_size={"height": res, "width": res},
             do_resize=True, do_center_crop=True, do_rescale=True,
             do_normalize=True,
             image_mean=[0.48145466, 0.4578275, 0.40821073],

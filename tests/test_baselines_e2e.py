@@ -7,9 +7,10 @@ transformers-native baselines" (`models_loading_inference.py:90-112,382-483`).
 torchvision (absent from the image) is needed ONLY by transformers' video
 processors, which every multimodal processor class now requires at
 construction; the shim below fakes the module tree and swaps the dummy
-BaseVideoProcessor for the real one — no video is ever processed. CheXagent /
-MAIRA-2 / LLaVA-Med / RaDialog additionally need hub-side custom code or
-external repos and stay weight-blocked.
+BaseVideoProcessor for the real one — no video is ever processed. LLaVA-Med
+runs e2e through the in-repo rebuild (`eval/llavamed.py`) on a tiny local
+checkpoint; CheXagent / MAIRA-2 / RaDialog additionally need hub-side custom
+code (trust_remote_code) or external repos and stay weight-blocked.
 """
 
 import importlib.machinery
@@ -314,3 +315,70 @@ def test_qwen2vl_baseline_runs_real_inference(qwen2vl_checkpoint, cxr_png):
     assert isinstance(b, Qwen2VLBaseline)
     out = b.infer(cxr_png, "Provide a radiology report.", max_new_tokens=4)
     assert isinstance(out, str)
+
+
+@pytest.fixture()
+def llavamed_checkpoint(tmp_path):
+    """Tiny llava-med-layout checkpoint dir: Mistral LM + CLIP tower + mlp2x
+    projector combined under the reference key convention
+    (`llava_med_loading.py` state-dict layout), plus a local tokenizer — no
+    torchvision shim needed (CLIPImageProcessor only)."""
+    import json
+
+    from safetensors.torch import save_file
+    from transformers import (
+        CLIPVisionConfig,
+        CLIPVisionModel,
+        MistralConfig,
+        MistralForCausalLM,
+    )
+
+    tokenizer = _byte_tokenizer(["<s>"])
+    tokenizer.bos_token = "<s>"
+    tokenizer.save_pretrained(tmp_path)
+
+    torch.manual_seed(0)
+    tower_cfg = dict(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14,
+        projection_dim=16,
+    )
+    lm_cfg = dict(
+        vocab_size=len(tokenizer), hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_theta=10000.0, max_position_embeddings=4096,
+    )
+    lm = MistralForCausalLM(MistralConfig(**lm_cfg))
+    tower = CLIPVisionModel(CLIPVisionConfig(**tower_cfg))
+    proj = torch.nn.Sequential(
+        torch.nn.Linear(32, 48), torch.nn.GELU(), torch.nn.Linear(48, 48)
+    )
+    sd = dict(lm.state_dict())
+    sd.update({
+        f"model.vision_tower.vision_tower.{k}": v
+        for k, v in tower.state_dict().items()
+    })
+    sd.update({
+        f"model.mm_projector.{k}": v for k, v in proj.state_dict().items()
+    })
+    save_file({k: v.contiguous() for k, v in sd.items()},
+              str(tmp_path / "model.safetensors"))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump({**lm_cfg, "mm_vision_tower_cfg": tower_cfg,
+                   "mm_vision_select_layer": -2}, f)
+    return str(tmp_path)
+
+
+def test_llavamed_baseline_runs_real_inference(llavamed_checkpoint, cxr_png):
+    from radvlm_tpu.eval.baselines import LlavaMedBaseline, load_baseline
+
+    b = load_baseline("llavamed", llavamed_checkpoint)
+    assert isinstance(b, LlavaMedBaseline)
+    out = b.infer(cxr_png, "Provide a radiology report.", max_new_tokens=4)
+    assert isinstance(out, str)
+    # multi-turn history renders through the mistral_instruct prompt builder
+    out2 = b.infer(
+        cxr_png, "And the heart?", chat_history=[("Report?", "Normal.")],
+        max_new_tokens=4,
+    )
+    assert isinstance(out2, str)
