@@ -177,14 +177,40 @@ def _run_continuous(cfg, params, gen, size, slots):
     # fixed per-fill overhead is already hidden by the pipelined decode, and
     # 2x-length fills stall decode slots longer — default stays 1.
     fill_batch = int(os.environ.get("RADVLM_FILL_BATCH", "1"))
-    b = ContinuousBatcher(
-        params, cfg, gen, num_slots=slots, max_len=max_len,
-        prompt_buckets=buckets, pad_tiles=6,
-        steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
-        kv_quant=kv_quant, fill_batch=fill_batch, mesh=mesh,
-    )
+    # DP fleet (RADVLM_BENCH_FLEET=N): N engines of RADVLM_BENCH_TP chips each
+    # (serve/fleet.py) — the v5e-8 throughput layout (8 x TP1 with int4/int8
+    # weights, 4 x TP2 otherwise). `slots` is PER ENGINE. Single-chip boxes
+    # exercise this via dryrun_multichip / tests on the CPU mesh.
+    fleet = int(os.environ.get("RADVLM_BENCH_FLEET", "0"))
+    if fleet > 1:
+        import jax as _jax
+
+        from radvlm_tpu.serve.fleet import FleetEngine
+
+        b = FleetEngine(
+            params, cfg, gen,
+            devices=_jax.local_devices()[: fleet * max(tp, 1)],
+            tp_size=max(tp, 1),
+            num_slots=slots, max_len=max_len,
+            prompt_buckets=buckets, pad_tiles=6,
+            steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
+            kv_quant=kv_quant, fill_batch=fill_batch,
+        )
+        pump = lambda: b.drain(timeout=600)  # noqa: E731
+        warmup_timings = lambda: b.batchers[0].warmup_timings  # noqa: E731
+    else:
+        b = ContinuousBatcher(
+            params, cfg, gen, num_slots=slots, max_len=max_len,
+            prompt_buckets=buckets, pad_tiles=6,
+            steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
+            kv_quant=kv_quant, fill_batch=fill_batch, mesh=mesh,
+        )
+        pump = b.run
+        warmup_timings = lambda: b.warmup_timings  # noqa: E731
     t0 = time.perf_counter()
     b.warmup()
+    if fleet > 1:
+        b.start()
     compile_s = time.perf_counter() - t0
     # Unloaded latency (BASELINE.md "p50 latency per report"): single request
     # on the idle engine, no queueing — the per-request number a user sees,
@@ -193,7 +219,7 @@ def _run_continuous(cfg, params, gen, size, slots):
     for _ in range(3):
         t0 = time.perf_counter()
         b.submit(make_sample(), NEW_TOKENS)
-        for _req in b.run():
+        for _req in pump():
             pass
         unloaded.append(time.perf_counter() - t0)
     p50_unloaded = float(np.median(unloaded))
@@ -215,7 +241,7 @@ def _run_continuous(cfg, params, gen, size, slots):
     feeder = threading.Thread(target=feed)
     feeder.start()
     while len(done_at) < n_reqs:  # re-enter if the engine drains early
-        for _req in b.run():
+        for _req in pump():
             done_at.append(time.perf_counter() - t_start)
         if len(done_at) < n_reqs:
             time.sleep(0.01)
@@ -236,6 +262,7 @@ def _run_continuous(cfg, params, gen, size, slots):
         "kv_cache": "int8" if kv_quant else "bf16",
         "fill_batch": fill_batch,
         "slots": slots,
+        "fleet": fleet if fleet > 1 else 1,
         "tp": tp if tp > 1 else 1,
         "requests": n_reqs,
         "new_tokens": NEW_TOKENS,
@@ -243,7 +270,7 @@ def _run_continuous(cfg, params, gen, size, slots):
         "device": str(jax.devices()[0].device_kind),
         "compile_s": round(compile_s, 1),
         "warmup_breakdown_s": {
-            k: round(v, 1) for k, v in b.warmup_timings.items()
+            k: round(v, 1) for k, v in warmup_timings().items()
         },
     }))
 

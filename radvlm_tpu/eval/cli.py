@@ -38,6 +38,13 @@ def main(argv=None):
                    help="continuous: slot-refilled batching (default); "
                         "static: fixed padded batches")
     p.add_argument("--multihost", action="store_true")
+    p.add_argument("--fleet", type=int, default=None,
+                   help="data-parallel engine fleet: N continuous engines, "
+                        "one per chip (or per --fleet-tp submesh) — the "
+                        "single-host analog of the reference's per-GPU eval "
+                        "processes")
+    p.add_argument("--fleet-tp", type=int, default=1,
+                   help="chips per fleet engine (TP submesh size)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -66,6 +73,7 @@ def main(argv=None):
     runner = VLMRunner(
         params=params, cfg=cfg, tokenizer=tok,
         max_new_tokens=args.max_new_tokens, batch_size=args.batch_size,
+        fleet=args.fleet, fleet_tp=args.fleet_tp,
     )
     # The runner holds fused copies of the q/k/v/gate/up kernels; dropping the
     # unfused tree here frees its device buffers (~8.5 GB at 7B bf16 —

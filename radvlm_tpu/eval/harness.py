@@ -87,9 +87,15 @@ class VLMRunner:
     # requires the unfused layout, so `fuse` is ignored under a mesh.
     mesh: Any = None
     kv_quant: Optional[bool] = None  # int8 KV cache (None -> RADVLM_KV_INT8)
+    # Data-parallel engine fleet (serve/fleet.py): `fleet` engines of
+    # `fleet_tp` chips each drive the continuous-engine paths — the
+    # reference's one-model-per-GPU eval processes
+    # (`evaluate_instructions.py:231-266`), folded into one process.
+    fleet: Optional[int] = None
+    fleet_tp: int = 1
 
     def __post_init__(self):
-        if self.fuse and self.mesh is None:
+        if self.fuse and self.mesh is None and self.fleet_tp == 1:
             from radvlm_tpu.models import radvlm
 
             self.params = radvlm.fuse_for_inference(self.params)
@@ -290,47 +296,75 @@ def _run_continuous(
         longest = max(longest, mm.length)
     bucket = -(-longest // 128) * 128
     max_len = bucket + (-(-runner.max_new_tokens // 128) * 128)
-    batcher = ContinuousBatcher(
-        runner.params, runner.cfg, gen,
-        num_slots=runner.batch_size,
-        max_len=max_len,
-        prompt_buckets=(bucket,),
-        attn_impl=runner.attn_impl,
-        mesh=runner.mesh,
-        kv_quant=runner.kv_quant,
-    )
+    n_engines = 1
+    if runner.fleet:
+        import jax
+
+        from radvlm_tpu.serve.fleet import FleetEngine
+
+        n_engines = runner.fleet
+        engine = FleetEngine(
+            runner.params, runner.cfg, gen,
+            devices=jax.local_devices()[: n_engines * runner.fleet_tp],
+            tp_size=runner.fleet_tp,
+            num_slots=runner.batch_size,
+            max_len=max_len,
+            prompt_buckets=(bucket,),
+            attn_impl=runner.attn_impl,
+            kv_quant=runner.kv_quant,
+        ).start()
+        submit, drain = engine.submit, engine.drain
+    else:
+        batcher = ContinuousBatcher(
+            runner.params, runner.cfg, gen,
+            num_slots=runner.batch_size,
+            max_len=max_len,
+            prompt_buckets=(bucket,),
+            attn_impl=runner.attn_impl,
+            mesh=runner.mesh,
+            kv_quant=runner.kv_quant,
+        )
+        submit, drain = batcher.submit, batcher.run
     # Pass 2 — submit in WAVES (submit() transfers batches to device
     # immediately; a whole-shard upfront submission would pin the full
     # split's collated batches in HBM). Each wave keeps the slots several
     # refills deep, then drains before the next.
     import itertools
 
-    wave = max(4 * runner.batch_size, 8)
+    wave = max(4 * runner.batch_size * n_engines, 8)
     meta: Dict[int, Dict] = {}
     results = []
     it = iter(my_indices)
-    while True:
-        chunk = list(itertools.islice(it, wave))
-        if not chunk:
-            break
-        for i in chunk:
-            s, mm = build_mm(i)
-            req = batcher.submit(mm)
-            meta[req.uid] = s
-        for req in batcher.run():
-            s = meta.pop(req.uid)
-            text = runner.tokenizer.decode(req.emitted)
-            cell = {
-                "output": trim_at_stop_strings(
-                    text, runner.template.stop_strings
-                ),
-                "instr": s["instr"],
-            }
-            for f in GT_FIELDS[task]:
-                cell[f] = s.get(f)
-            results.append(cell)
-            if progress:
-                progress(len(results), len(my_indices))
+    try:
+        while True:
+            chunk = list(itertools.islice(it, wave))
+            if not chunk:
+                break
+            for i in chunk:
+                s, mm = build_mm(i)
+                req = submit(mm)
+                meta[req.uid] = s
+            for req in drain():
+                s = meta.pop(req.uid)
+                if req.error:
+                    # an eval with silently-failed samples would report
+                    # corrupt metrics — fail the run loudly
+                    raise RuntimeError(f"engine failed a sample: {req.error}")
+                text = runner.tokenizer.decode(req.emitted)
+                cell = {
+                    "output": trim_at_stop_strings(
+                        text, runner.template.stop_strings
+                    ),
+                    "instr": s["instr"],
+                }
+                for f in GT_FIELDS[task]:
+                    cell[f] = s.get(f)
+                results.append(cell)
+                if progress:
+                    progress(len(results), len(my_indices))
+    finally:
+        if runner.fleet:
+            engine.shutdown()
     return results
 
 

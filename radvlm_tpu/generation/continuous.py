@@ -90,11 +90,22 @@ class ContinuousBatcher:
         fill_batch: Optional[int] = None,
         mesh: Optional[Any] = None,
         tp_axis: str = "tensor",
+        device: Optional[Any] = None,
     ):
         import os
 
         import jax
         import jax.numpy as jnp
+
+        # Single-device placement (serve/fleet.py: one engine per chip, the
+        # reference's one-model-per-GPU worker fleet). Params and all engine
+        # state are COMMITTED to `device`, so every fill/decode graph executes
+        # there — N independent engines share one process. Exclusive with mesh.
+        if device is not None and mesh is not None:
+            raise ValueError("pass either device= (fleet) or mesh= (TP), not both")
+        self.device = device
+        if device is not None:
+            params = jax.device_put(params, device)
 
         # Tensor-parallel serving (parallel/tp.py): with a mesh, the fill and
         # decode-chunk graphs run under shard_map over `tp_axis` (Megatron
@@ -162,6 +173,13 @@ class ContinuousBatcher:
         # per-slot sampling params (requests may override the engine default)
         self.slot_temp = jnp.full((num_slots,), gen.temperature, jnp.float32)
         self.slot_top_p = jnp.full((num_slots,), gen.top_p, jnp.float32)
+        if device is not None:
+            self.cache, self.cache_seg, self.cur_tok, self.slot_temp, \
+                self.slot_top_p, self._rng = jax.device_put(
+                    (self.cache, self.cache_seg, self.cur_tok,
+                     self.slot_temp, self.slot_top_p, self._rng),
+                    device,
+                )
         # Host slot state (incremental counters — no per-step device readback
         # or O(slots x max_len) scans).
         self.slot_req: List[Optional[Request]] = [None] * num_slots
@@ -557,7 +575,14 @@ class ContinuousBatcher:
             pad_to_multiple=128, left_pad=True,
         )
         req.real_len = int(host_batch["lengths"][0])
-        req.dev_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+        if self.device is not None:
+            import jax
+
+            req.dev_batch = {
+                k: jax.device_put(v, self.device) for k, v in host_batch.items()
+            }
+        else:
+            req.dev_batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         self.queue.put(req)
         return req
 
@@ -581,6 +606,12 @@ class ContinuousBatcher:
             pad_to_multiple=128, left_pad=True,
         )
         real_len = int(host_batch["lengths"][0])  # host-known; no sync
+        if self.device is not None:
+            import jax
+
+            return {
+                k: jax.device_put(v, self.device) for k, v in host_batch.items()
+            }, real_len
         return {k: jnp.asarray(v) for k, v in host_batch.items()}, real_len
 
     def _fill_slot(self, slot: int, req: Request):

@@ -45,30 +45,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from radvlm_tpu.config import Qwen2Config
 from radvlm_tpu.parallel.sharding import path_str
 
-_TP_AXIS: Optional[str] = None
+# ContextVar, NOT a module global: the serving fleet (serve/fleet.py) traces
+# TP fill/decode graphs on its own engine threads concurrently with non-TP
+# work (other engines, the main thread) — a plain global set during one
+# thread's trace leaked `psum` into traces on every other thread (found live:
+# the EP dryrun crashed with "unbound axis name: tensor" after a TP fleet
+# ran). Each thread's trace sees only the context IT entered.
+_TP_AXIS: "contextvars.ContextVar[Optional[str]]" = None  # set below
+import contextvars  # noqa: E402
+
+_TP_AXIS = contextvars.ContextVar("radvlm_tp_axis", default=None)
 
 
 def context() -> Optional[str]:
-    return _TP_AXIS
+    return _TP_AXIS.get()
 
 
 @contextlib.contextmanager
 def active(axis_name: str):
     """Enable TP psums for model code traced inside this block."""
-    global _TP_AXIS
-    prev = _TP_AXIS
-    _TP_AXIS = axis_name
+    token = _TP_AXIS.set(axis_name)
     try:
         yield
     finally:
-        _TP_AXIS = prev
+        _TP_AXIS.reset(token)
 
 
 def maybe_psum(x):
     """All-reduce row-parallel matmul partials when tracing under `active`."""
-    if _TP_AXIS is None:
+    axis = _TP_AXIS.get()
+    if axis is None:
         return x
-    return jax.lax.psum(x, _TP_AXIS)
+    return jax.lax.psum(x, axis)
 
 
 def local_text_cfg(cfg: Qwen2Config, tp: int) -> Qwen2Config:

@@ -39,6 +39,8 @@ class BatchWorker:
         controller_address: Optional[str] = None,
         worker_address: str = "",
         kv_quant: Optional[bool] = None,  # None -> RADVLM_KV_INT8 env
+        fleet: Optional[int] = None,  # N data-parallel engines (serve/fleet.py)
+        fleet_tp: int = 1,  # chips per fleet engine (TP submesh size)
     ):
         self.runner = runner
         self.model_names = list(model_names)
@@ -49,6 +51,32 @@ class BatchWorker:
             eos_token_ids=runner.tokenizer.eos_token_ids,
             pad_token_id=runner.tokenizer.pad_token_id,
         )
+        self._events: Dict[int, threading.Event] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        if fleet:
+            # One engine per chip (or per TP submesh): the reference's
+            # one-worker-per-GPU fleet folded into this process; the fleet
+            # runs its own dispatch threads + failure isolation.
+            import jax
+
+            from radvlm_tpu.serve.fleet import FleetEngine
+
+            self.batcher = None
+            self.fleet = FleetEngine(
+                runner.params, runner.cfg, gen,
+                devices=jax.local_devices()[: fleet * fleet_tp],
+                tp_size=fleet_tp,
+                num_slots=num_slots, max_len=max_len,
+                prompt_buckets=(prompt_bucket,),
+                attn_impl=runner.attn_impl,
+                kv_quant=kv_quant,
+                on_complete=self._signal_done,
+            )
+            self.fleet.warmup()
+            self.fleet.start()
+            return
+        self.fleet = None
         self.batcher = ContinuousBatcher(
             runner.params, runner.cfg, gen,
             num_slots=num_slots, max_len=max_len,
@@ -60,11 +88,14 @@ class BatchWorker:
         # Compile all fill/decode graphs at startup: the first live request
         # should stream immediately, not sit behind a minutes-long XLA compile.
         self.batcher.warmup()
-        self._events: Dict[int, threading.Event] = {}
-        self._lock = threading.Lock()
         self._engine_thread = threading.Thread(target=self._engine_loop, daemon=True)
-        self._stop = threading.Event()
         self._engine_thread.start()
+
+    def _signal_done(self, req) -> None:
+        with self._lock:
+            ev = self._events.get(req.uid)
+        if ev:
+            ev.set()
 
     def _engine_loop(self):
         """Drive the batcher forever; signal request completion events.
@@ -106,6 +137,8 @@ class BatchWorker:
                 time.sleep(0.005)
 
     def queue_length(self) -> int:
+        if self.fleet is not None:
+            return self.fleet.queue_length()
         return self.batcher.queue.qsize() + len(self.batcher._active())
 
     def generate(self, params_req: Dict[str, Any]) -> Dict[str, Any]:
@@ -115,8 +148,9 @@ class BatchWorker:
         ids = multimodal.tokenize_with_images(tok.encode, prompt)
         sample = multimodal.build_sample(ids, images, self.runner.cfg)
         ev = threading.Event()
+        engine = self.fleet if self.fleet is not None else self.batcher
         try:
-            req = self.batcher.submit(
+            req = engine.submit(
                 sample,
                 max_new_tokens=int(params_req.get("max_new_tokens", 256)),
                 # per-request sampling (same protocol fields serve/worker.py
@@ -261,5 +295,7 @@ class BatchWorker:
 
     def shutdown(self):
         self._stop.set()
+        if self.fleet is not None:
+            self.fleet.shutdown()
         if getattr(self, "_server", None):
             self._server.shutdown()

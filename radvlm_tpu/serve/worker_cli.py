@@ -47,6 +47,12 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--int8", action="store_true",
                    help="quantize weights to int8 at load (ops/quant.py)")
+    p.add_argument("--fleet", type=int, default=None,
+                   help="data-parallel engine fleet: N continuous engines, "
+                        "one per chip (or per --fleet-tp submesh) behind one "
+                        "worker — the reference's one-model-per-GPU workers")
+    p.add_argument("--fleet-tp", type=int, default=1,
+                   help="chips per fleet engine (TP submesh size)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -74,6 +80,7 @@ def main(argv=None):
     runner = VLMRunner(
         params=params, cfg=cfg, tokenizer=tok,
         max_new_tokens=args.max_new_tokens,
+        fleet=args.fleet, fleet_tp=args.fleet_tp,
     )
     # The runner fused its own copy of the projections; free the unfused tree
     # (double residency of q/k/v/gate/up kernels OOMs a 16 GB chip at 7B).
@@ -91,6 +98,8 @@ def main(argv=None):
             prompt_bucket=args.prompt_bucket,
             controller_address=args.controller_address,
             worker_address=args.worker_address,
+            fleet=args.fleet,
+            fleet_tp=args.fleet_tp,
         )
     else:
         from radvlm_tpu.serve.worker import ModelWorker
