@@ -64,6 +64,14 @@ class Request:
     # Set when the engine aborted while this request was in flight; consumers
     # must not present `emitted` (possibly truncated) as a successful result.
     error: Optional[str] = None
+    # Per-token streaming (submit(stream=True)): the engine puts each emitted
+    # token here and a `None` sentinel at completion. Tokens arrive in bursts
+    # of <= steps_per_sync (chunked decode readback).
+    stream_q: Optional[Any] = None
+    # Cooperative early stop (a streaming consumer saw its stop string): the
+    # ENGINE thread (the only slot_req owner) frees the slot at the next
+    # readback — consumers set the flag, never slot state.
+    cancelled: bool = False
     # Per-request sampling params (None -> the engine GenerationConfig's).
     temperature: Optional[float] = None
     top_p: Optional[float] = None
@@ -541,7 +549,8 @@ class ContinuousBatcher:
     def submit(self, sample: multimodal.MMSample,
                max_new_tokens: Optional[int] = None, *,
                temperature: Optional[float] = None,
-               top_p: Optional[float] = None) -> Request:
+               top_p: Optional[float] = None,
+               stream: bool = False) -> Request:
         import jax.numpy as jnp
 
         # Reject prompts the cache cannot hold: collate pads an over-bucket
@@ -566,6 +575,7 @@ class ContinuousBatcher:
             uid=next(self._uid), sample=sample,
             max_new_tokens=max_new_tokens,
             temperature=temperature, top_p=top_p,
+            stream_q=queue.Queue() if stream else None,
         )
         # Collate + start the H2D transfer NOW (async): by the time the
         # engine loop refills a slot, the tiles are already on device.
@@ -667,14 +677,22 @@ class ContinuousBatcher:
         req = self.slot_req[slot]
         if req is None or req.done:
             return
-        if tok in self.gen.eos_token_ids:
+        if req.cancelled:
+            # consumer-side early stop (e.g. a stream hit its stop string):
+            # free the slot here, on the engine thread
+            req.done = True
+        elif tok in self.gen.eos_token_ids:
             req.done = True
         else:
             req.emitted.append(tok)
+            if req.stream_q is not None:
+                req.stream_q.put(tok)
             if len(req.emitted) >= req.max_new_tokens:
                 req.done = True
         if req.done:
             self.slot_req[slot] = None
+            if req.stream_q is not None:
+                req.stream_q.put(None)  # end-of-stream sentinel
 
     def _sampling_active(self) -> bool:
         """True when any active slot needs the sampling chunk variant."""
@@ -767,9 +785,16 @@ class ContinuousBatcher:
             taken: List[Request] = []
             while len(taken) < len(empties) and not self.queue.empty():
                 try:
-                    taken.append(self.queue.get_nowait())
+                    req = self.queue.get_nowait()
                 except queue.Empty:
                     break
+                if req.cancelled:  # cancelled while still queued: never fill
+                    req.done = True
+                    if req.stream_q is not None:
+                        req.stream_q.put(None)
+                    finished.append(req)
+                    continue
+                taken.append(req)
             if taken:
                 by_len: Dict[Any, List[Request]] = {}
                 for req in taken:

@@ -3,11 +3,13 @@
 The reference pairs its threaded worker with an SGLang-runtime worker for
 throughput (`finetuning/llava/serve/sglang_worker.py`). The TPU-native analog:
 HTTP requests enqueue into one `ContinuousBatcher` (slot-refilled, always-full
-decode) driven by a single engine thread; each request blocks until its
-completion finishes. Same controller protocol as `serve/worker.py`
-(register/heartbeat/status), endpoint `/worker_generate` (non-streaming JSON) +
-`/worker_generate_stream` emitting the final chunk in the \\0-framed format for
-client compatibility.
+decode) driven by a single engine thread — or, with `fleet=N`, into a
+`serve/fleet.py` FleetEngine (one batcher per chip / TP submesh). Same
+controller protocol as `serve/worker.py` (register/heartbeat/status);
+`/worker_generate` returns one JSON result, `/worker_generate_stream` streams
+\\0-framed cumulative-text chunks as the engine emits tokens (bursts of <=
+steps_per_sync per decode-chunk readback), the reference worker's streaming
+contract.
 """
 
 from __future__ import annotations
@@ -122,6 +124,8 @@ class BatchWorker:
                     if req is not None:
                         req.error = f"engine error: {e}"
                         req.done = True
+                        if req.stream_q is not None:
+                            req.stream_q.put(None)
                 self.batcher.slot_req = [None] * self.batcher.num_slots
                 while True:
                     try:
@@ -130,6 +134,8 @@ class BatchWorker:
                         break
                     req.error = f"engine error: {e}"
                     req.done = True
+                    if req.stream_q is not None:
+                        req.stream_q.put(None)
                 with self._lock:
                     for ev in self._events.values():
                         ev.set()
@@ -141,29 +147,76 @@ class BatchWorker:
             return self.fleet.queue_length()
         return self.batcher.queue.qsize() + len(self.batcher._active())
 
-    def generate(self, params_req: Dict[str, Any]) -> Dict[str, Any]:
+    def _submit(self, params_req: Dict[str, Any], *, stream: bool = False):
+        """Build the multimodal sample and enqueue it; returns the Request
+        (raises ValueError for protocol errors, e.g. over-bucket prompts)."""
         prompt = params_req["prompt"]
         images = [load_image_from_base64(b) for b in params_req.get("images", [])]
         tok = self.runner.tokenizer
         ids = multimodal.tokenize_with_images(tok.encode, prompt)
         sample = multimodal.build_sample(ids, images, self.runner.cfg)
-        ev = threading.Event()
         engine = self.fleet if self.fleet is not None else self.batcher
+        return engine.submit(
+            sample,
+            max_new_tokens=int(params_req.get("max_new_tokens", 256)),
+            # per-request sampling (same protocol fields serve/worker.py
+            # honors; each slot samples with its own params)
+            temperature=(
+                float(params_req["temperature"])
+                if "temperature" in params_req else None
+            ),
+            top_p=(
+                float(params_req["top_p"])
+                if "top_p" in params_req else None
+            ),
+            stream=stream,
+        )
+
+    def _stops(self, params_req: Dict[str, Any]):
+        return list(self.runner.template.stop_strings) + list(
+            filter(None, [params_req.get("stop")])
+        )
+
+    def generate_stream(self, params_req: Dict[str, Any]):
+        """Yield cumulative-text chunks as the engine emits tokens (the
+        reference worker/SGLang-worker streaming contract) — tokens arrive in
+        bursts of <= steps_per_sync from the chunked decode readback."""
+        import queue as _queue
+
         try:
-            req = engine.submit(
-                sample,
-                max_new_tokens=int(params_req.get("max_new_tokens", 256)),
-                # per-request sampling (same protocol fields serve/worker.py
-                # honors; each slot samples with its own params)
-                temperature=(
-                    float(params_req["temperature"])
-                    if "temperature" in params_req else None
-                ),
-                top_p=(
-                    float(params_req["top_p"])
-                    if "top_p" in params_req else None
-                ),
-            )
+            req = self._submit(params_req, stream=True)
+        except ValueError as e:
+            yield {"text": f"error: {e}", "error_code": 1}
+            return
+        tok = self.runner.tokenizer
+        stops = self._stops(params_req)
+        out_ids = []
+        deadline = time.time() + 600
+        while True:
+            try:
+                t = req.stream_q.get(timeout=1.0)
+            except _queue.Empty:
+                if time.time() >= deadline:
+                    req.cancelled = True  # engine frees the slot
+                    yield {"text": "timeout", "error_code": 4}
+                    return
+                continue
+            if t is None:
+                break
+            out_ids.append(t)
+            raw = tok.decode(out_ids)
+            text = trim_at_stop_strings(raw, stops)
+            yield {"text": text, "error_code": 0}
+            if text != raw:  # a stop string fired mid-stream
+                req.cancelled = True
+                return
+        if req.error:
+            yield {"text": f"error: {req.error}", "error_code": 1}
+
+    def generate(self, params_req: Dict[str, Any]) -> Dict[str, Any]:
+        ev = threading.Event()
+        try:
+            req = self._submit(params_req)
         except ValueError as e:  # e.g. prompt exceeds the largest bucket
             return {"text": f"error: {e}", "error_code": 1}
         with self._lock:
@@ -184,10 +237,9 @@ class BatchWorker:
             return {"text": f"error: {req.error}", "error_code": 1}
         if not ok:
             return {"text": "timeout", "error_code": 4}
-        stops = list(self.runner.template.stop_strings) + list(
-            filter(None, [params_req.get("stop")])
+        text = trim_at_stop_strings(
+            self.runner.tokenizer.decode(req.emitted), self._stops(params_req)
         )
-        text = trim_at_stop_strings(tok.decode(req.emitted), stops)
         return {"text": text, "error_code": 0}
 
     # --- HTTP (same registry protocol as serve/worker.py) ---
@@ -231,11 +283,14 @@ class BatchWorker:
                         self._json({"text": "malformed JSON body",
                                     "error_code": 1}, code=400)
                         return
-                    result = worker.generate(data)
                     self.send_response(200)
                     self.send_header("Content-Type", "application/octet-stream")
                     self.end_headers()
-                    self.wfile.write(json.dumps(result).encode() + b"\0")
+                    # true per-token streaming: one \0-framed cumulative-text
+                    # chunk per engine emission burst
+                    for chunk in worker.generate_stream(data):
+                        self.wfile.write(json.dumps(chunk).encode() + b"\0")
+                        self.wfile.flush()
                 else:
                     self._json({"error": "unknown endpoint"}, code=404)
 

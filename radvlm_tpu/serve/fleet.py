@@ -121,6 +121,8 @@ class FleetEngine:
                     if req is not None:
                         req.error = f"engine {idx} error: {e}"
                         req.done = True
+                        if req.stream_q is not None:
+                            req.stream_q.put(None)
                         self._complete(req)
                 b.slot_req = [None] * b.num_slots
                 while True:
@@ -130,6 +132,8 @@ class FleetEngine:
                         break
                     req.error = f"engine {idx} error: {e}"
                     req.done = True
+                    if req.stream_q is not None:
+                        req.stream_q.put(None)
                     self._complete(req)
             if not progressed:
                 time.sleep(backoff or 0.002)

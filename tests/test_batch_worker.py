@@ -71,6 +71,94 @@ def test_concurrent_requests():
     worker.shutdown()
 
 
+def test_streaming_chunks_match_blocking_result():
+    """/worker_generate_stream yields \\0-framed cumulative-text chunks whose
+    final text equals the blocking /worker_generate result (greedy), with the
+    prefixes strictly growing."""
+    from PIL import Image
+    import requests
+
+    class StreamTok(ByteTokenizer):
+        eos_token_ids = ()  # decode all 8 tokens regardless of weights
+
+        def decode(self, ids):
+            return "".join(chr(97 + i % 26) for i in ids)
+
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    runner = VLMRunner(
+        params=params, cfg=cfg, tokenizer=StreamTok(),
+        max_new_tokens=8, batch_size=2, pad_to_multiple=8, attn_impl="xla",
+    )
+    # the anyres-tiled 64px image pads the prompt past the 128 bucket to 256;
+    # max_len must leave >= 8 tokens of cache headroom past that pad (the
+    # engine clamps max_new_tokens to the cache fit)
+    worker = BatchWorker(
+        runner, model_names=["tiny"], num_slots=2, max_len=384,
+        prompt_bucket=128,
+    )
+    port = worker.serve_forever(host="127.0.0.1", port=0, background=True)
+    addr = f"http://127.0.0.1:{port}"
+
+    img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = {
+        "prompt": "<|im_start|>user\n<image>\nQ<|im_end|>\n<|im_start|>assistant\n",
+        "images": [base64.b64encode(buf.getvalue()).decode()],
+        "max_new_tokens": 8,
+    }
+    blocking = requests.post(
+        addr + "/worker_generate", json=payload, timeout=300
+    ).json()
+    assert blocking["error_code"] == 0
+
+    r = requests.post(addr + "/worker_generate_stream", json=payload,
+                      stream=True, timeout=300)
+    chunks = [
+        json.loads(c) for c in r.content.split(b"\0") if c
+    ]
+    assert all(c["error_code"] == 0 for c in chunks)
+    texts = [c["text"] for c in chunks]
+    assert texts[-1] == blocking["text"] and len(texts[-1]) == 8
+    for a, b in zip(texts, texts[1:]):
+        assert b.startswith(a) and len(b) > len(a)
+    assert len(chunks) == 8  # one cumulative chunk per emitted token
+    worker.shutdown()
+
+
+def test_stream_cancellation_frees_slot():
+    """A stream whose consumer stops early (stop string) must not leak the
+    slot: subsequent requests still complete."""
+    class NoEosTok(ByteTokenizer):
+        eos_token_ids = ()  # no natural stop: only the cancel ends the stream
+
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    runner = VLMRunner(
+        params=params, cfg=cfg, tokenizer=NoEosTok(),
+        max_new_tokens=64, batch_size=1, pad_to_multiple=8, attn_impl="xla",
+    )
+    worker = BatchWorker(
+        runner, model_names=["tiny"], num_slots=1, max_len=256,
+        prompt_bucket=64,
+    )
+    req = worker._submit({"prompt": "hi", "max_new_tokens": 64}, stream=True)
+    t = req.stream_q.get(timeout=120)  # first token: the slot is active
+    assert isinstance(t, int)
+    req.cancelled = True  # what generate_stream does when a stop string fires
+    while True:  # the ENGINE thread frees the slot and sends the sentinel
+        t = req.stream_q.get(timeout=120)
+        if t is None:
+            break
+    # at most (pipeline_depth+1) in-flight chunks drained past the cancel
+    assert req.done and len(req.emitted) < 64
+    # the single slot is free again: a follow-up request completes
+    out = worker.generate({"prompt": "hello again", "max_new_tokens": 2})
+    assert out["error_code"] == 0
+    worker.shutdown()
+
+
 def test_heartbeat_keeps_registration_alive(monkeypatch):
     """Found by driving the live stack: a register-once batch worker expires
     after HEARTBEAT_EXPIRATION on the controller and every proxied request
