@@ -28,6 +28,13 @@ import resource
 import time
 
 if os.environ.get("RADVLM_REHEARSAL_TPU", "0") != "1":
+    # --fleet N needs N visible devices; the flag must land before backend init
+    _n = os.environ.get("RADVLM_REHEARSAL_DEVICES")
+    if _n:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={_n}"
+        ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -87,6 +94,9 @@ def main():
     ap.add_argument("--image-hw", type=int, default=512)
     ap.add_argument("--max-new-tokens", type=int, default=16)
     ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--fleet", type=int, default=None,
+                    help="N data-parallel engines (serve/fleet.py); set "
+                         "RADVLM_REHEARSAL_DEVICES=N for a CPU run")
     ap.add_argument("--out", default="REHEARSAL.json")
     args = ap.parse_args()
 
@@ -107,6 +117,7 @@ def main():
         batch_size=args.slots,
         attn_impl="xla",
         fuse=False,
+        fleet=args.fleet,
     )
     dataset = SyntheticReportDataset(args.n, args.image_hw)
     t_setup = time.time() - t0
@@ -144,6 +155,7 @@ def main():
         "image_hw": args.image_hw,
         "max_new_tokens": args.max_new_tokens,
         "slots": args.slots,
+        "fleet": args.fleet or 1,
         "platform": jax.devices()[0].platform,
         "setup_s": round(t_setup, 2),
         "run_s": round(t_run, 2),
