@@ -138,9 +138,14 @@ def _run_continuous(cfg, params, gen, size, slots):
     # Prompt buckets: anyres CXR prompts measure 2983-3739 tokens (mean 3398);
     # bucketed prefill pads each request to the smallest fitting bucket
     # instead of a blanket 4096 (~15% prefill FLOPs saved). All bucket graphs
-    # compile during warmup().
-    pad_len = 4096
-    buckets = (3072, 3456, 3840, pad_len)
+    # compile during warmup(). Env-overridable so integration tests can run
+    # the REAL engine flow at tiny geometry (tests/test_bench_fallback.py).
+    buckets = tuple(
+        int(x) for x in os.environ.get(
+            "RADVLM_BENCH_BUCKETS", "3072,3456,3840,4096"
+        ).split(",")
+    )
+    pad_len = buckets[-1]
     max_len = pad_len + NEW_TOKENS
     rng = np.random.default_rng(0)
 
@@ -183,20 +188,18 @@ def _run_continuous(cfg, params, gen, size, slots):
     # exercise this via dryrun_multichip / tests on the CPU mesh.
     fleet = int(os.environ.get("RADVLM_BENCH_FLEET", "0"))
     if fleet > 1:
-        import jax as _jax
-
         from radvlm_tpu.serve.fleet import FleetEngine
 
         b = FleetEngine(
             params, cfg, gen,
-            devices=_jax.local_devices()[: fleet * max(tp, 1)],
+            fleet_size=fleet,
             tp_size=max(tp, 1),
             num_slots=slots, max_len=max_len,
             prompt_buckets=buckets, pad_tiles=6,
             steps_per_sync=steps_per_sync, pipeline_depth=pipeline_depth,
             kv_quant=kv_quant, fill_batch=fill_batch,
         )
-        pump = lambda: b.drain(timeout=600)  # noqa: E731
+        pump = lambda: b.drain(idle_timeout=600)  # noqa: E731
         warmup_timings = lambda: b.batchers[0].warmup_timings  # noqa: E731
     else:
         b = ContinuousBatcher(

@@ -298,14 +298,12 @@ def _run_continuous(
     max_len = bucket + (-(-runner.max_new_tokens // 128) * 128)
     n_engines = 1
     if runner.fleet:
-        import jax
-
         from radvlm_tpu.serve.fleet import FleetEngine
 
         n_engines = runner.fleet
         engine = FleetEngine(
             runner.params, runner.cfg, gen,
-            devices=jax.local_devices()[: n_engines * runner.fleet_tp],
+            fleet_size=n_engines,
             tp_size=runner.fleet_tp,
             num_slots=runner.batch_size,
             max_len=max_len,

@@ -694,6 +694,29 @@ class ContinuousBatcher:
             if req.stream_q is not None:
                 req.stream_q.put(None)  # end-of-stream sentinel
 
+    def fail_all(self, error_msg: str, on_each=None) -> List["Request"]:
+        """Fail every in-flight AND still-queued request EXPLICITLY (error +
+        done + end-of-stream sentinel) and clear the slots — the crash
+        recovery both serving loops (serve/batch_worker.py engine loop,
+        serve/fleet.py per-engine loop) run so waiters never present
+        truncated emissions or silent-empty text as success. `on_each` is
+        invoked per failed request (completion signalling)."""
+        failed = [r for r in self.slot_req if r is not None]
+        self.slot_req = [None] * self.num_slots
+        while True:
+            try:
+                failed.append(self.queue.get_nowait())
+            except queue.Empty:
+                break
+        for req in failed:
+            req.error = error_msg
+            req.done = True
+            if req.stream_q is not None:
+                req.stream_q.put(None)
+            if on_each is not None:
+                on_each(req)
+        return failed
+
     def _sampling_active(self) -> bool:
         """True when any active slot needs the sampling chunk variant."""
         for r in self.slot_req:

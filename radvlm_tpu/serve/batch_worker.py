@@ -60,14 +60,12 @@ class BatchWorker:
             # One engine per chip (or per TP submesh): the reference's
             # one-worker-per-GPU fleet folded into this process; the fleet
             # runs its own dispatch threads + failure isolation.
-            import jax
-
             from radvlm_tpu.serve.fleet import FleetEngine
 
             self.batcher = None
             self.fleet = FleetEngine(
                 runner.params, runner.cfg, gen,
-                devices=jax.local_devices()[: fleet * fleet_tp],
+                fleet_size=fleet,
                 tp_size=fleet_tp,
                 num_slots=num_slots, max_len=max_len,
                 prompt_buckets=(prompt_bucket,),
@@ -116,26 +114,7 @@ class BatchWorker:
                         ev.set()
             except Exception as e:
                 log.exception("batcher engine error; continuing")
-                # Fail every in-flight AND still-queued request EXPLICITLY
-                # (marking error so waiters don't present truncated emissions
-                # — or, for queued-but-never-filled requests, empty text — as
-                # success), then unblock the waiters.
-                for req in list(self.batcher.slot_req):
-                    if req is not None:
-                        req.error = f"engine error: {e}"
-                        req.done = True
-                        if req.stream_q is not None:
-                            req.stream_q.put(None)
-                self.batcher.slot_req = [None] * self.batcher.num_slots
-                while True:
-                    try:
-                        req = self.batcher.queue.get_nowait()
-                    except Exception:
-                        break
-                    req.error = f"engine error: {e}"
-                    req.done = True
-                    if req.stream_q is not None:
-                        req.stream_q.put(None)
+                self.batcher.fail_all(f"engine error: {e}")
                 with self._lock:
                     for ev in self._events.values():
                         ev.set()
@@ -179,8 +158,10 @@ class BatchWorker:
 
     def generate_stream(self, params_req: Dict[str, Any]):
         """Yield cumulative-text chunks as the engine emits tokens (the
-        reference worker/SGLang-worker streaming contract) — tokens arrive in
-        bursts of <= steps_per_sync from the chunked decode readback."""
+        reference worker/SGLang-worker streaming contract). Tokens arrive in
+        bursts of <= steps_per_sync from the chunked decode readback; each
+        DRAINED BURST costs one decode + one chunk (per-token decode of the
+        growing prefix would be O(n^2) host work per stream)."""
         import queue as _queue
 
         try:
@@ -192,26 +173,43 @@ class BatchWorker:
         stops = self._stops(params_req)
         out_ids = []
         deadline = time.time() + 600
-        while True:
-            try:
-                t = req.stream_q.get(timeout=1.0)
-            except _queue.Empty:
-                if time.time() >= deadline:
-                    req.cancelled = True  # engine frees the slot
-                    yield {"text": "timeout", "error_code": 4}
+        try:
+            done = False
+            while not done:
+                try:
+                    t = req.stream_q.get(timeout=1.0)
+                except _queue.Empty:
+                    if time.time() >= deadline:
+                        yield {"text": "timeout", "error_code": 4}
+                        return
+                    continue
+                if t is None:
+                    break
+                burst = [t]
+                while True:  # drain the rest of this readback burst
+                    try:
+                        t = req.stream_q.get_nowait()
+                    except _queue.Empty:
+                        break
+                    if t is None:
+                        done = True
+                        break
+                    burst.append(t)
+                out_ids.extend(burst)
+                raw = tok.decode(out_ids)
+                text = trim_at_stop_strings(raw, stops)
+                yield {"text": text, "error_code": 0}
+                if text != raw:  # a stop string fired mid-stream
                     return
-                continue
-            if t is None:
-                break
-            out_ids.append(t)
-            raw = tok.decode(out_ids)
-            text = trim_at_stop_strings(raw, stops)
-            yield {"text": text, "error_code": 0}
-            if text != raw:  # a stop string fired mid-stream
+            if req.error:
+                yield {"text": f"error: {req.error}", "error_code": 1}
+        finally:
+            # stop-string return, timeout, or the CLIENT DISCONNECTING
+            # (GeneratorExit via the HTTP handler closing us): tell the
+            # engine to free the slot instead of decoding to max_new_tokens
+            # for nobody.
+            if not req.done:
                 req.cancelled = True
-                return
-        if req.error:
-            yield {"text": f"error: {req.error}", "error_code": 1}
 
     def generate(self, params_req: Dict[str, Any]) -> Dict[str, Any]:
         ev = threading.Event()
@@ -286,11 +284,20 @@ class BatchWorker:
                     self.send_response(200)
                     self.send_header("Content-Type", "application/octet-stream")
                     self.end_headers()
-                    # true per-token streaming: one \0-framed cumulative-text
-                    # chunk per engine emission burst
-                    for chunk in worker.generate_stream(data):
-                        self.wfile.write(json.dumps(chunk).encode() + b"\0")
-                        self.wfile.flush()
+                    # true streaming: one \0-framed cumulative-text chunk per
+                    # engine emission burst; a client disconnect closes the
+                    # generator, whose finally-cancel frees the decode slot
+                    gen_chunks = worker.generate_stream(data)
+                    try:
+                        for chunk in gen_chunks:
+                            self.wfile.write(
+                                json.dumps(chunk).encode() + b"\0"
+                            )
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        log.info("stream client disconnected")
+                    finally:
+                        gen_chunks.close()
                 else:
                     self._json({"error": "unknown endpoint"}, code=404)
 

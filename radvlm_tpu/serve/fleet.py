@@ -8,14 +8,16 @@ dispatch), and evaluates data-parallel with one model per GPU process
 local chips the natural analog is a single process owning N engines: params
 are replicated per device (or sharded over a per-group TP submesh), each
 engine runs its own slot-refilled `ContinuousBatcher`, and requests route to
-the least-loaded engine. `fleet_size x tp_size = len(devices)` — a v5e-8
+the least-loaded engine. `fleet_size x tp_size = n_devices` — a v5e-8
 serves 7B as 8 x TP1 (max throughput), 4 x TP2, or 2 x TP4 (lower
 per-request latency); with int4 weights, 8 x TP1 fits 7B per chip.
 
 Failure isolation matches the reference's worker-expiry contract: an engine
 whose dispatch loop raises fails ITS in-flight + queued requests explicitly
-(never silent-empty success) and keeps serving; the other engines are
-untouched.
+(never silent-empty success); after QUARANTINE_AFTER consecutive failures the
+engine is taken out of the routing rotation (a request-free broken engine
+would otherwise always look least-loaded and black-hole all new traffic) —
+like an expired reference worker, it rejoins only if it completes work again.
 """
 
 from __future__ import annotations
@@ -31,6 +33,9 @@ from radvlm_tpu.generation.engine import GenerationConfig
 
 log = logging.getLogger(__name__)
 
+# consecutive dispatch-loop failures before an engine leaves the rotation
+QUARANTINE_AFTER = 3
+
 
 class FleetEngine:
     """N continuous batchers + N dispatch threads behind one submit()."""
@@ -41,6 +46,7 @@ class FleetEngine:
         cfg: Any,
         gen: GenerationConfig,
         *,
+        fleet_size: Optional[int] = None,
         devices: Optional[Sequence[Any]] = None,
         tp_size: int = 1,
         on_complete: Optional[Callable[[Request], None]] = None,
@@ -49,7 +55,20 @@ class FleetEngine:
         import jax
 
         devices = list(devices if devices is not None else jax.local_devices())
-        if tp_size < 1 or len(devices) % tp_size:
+        if tp_size < 1:
+            raise ValueError(f"tp_size must be >= 1, got {tp_size}")
+        if fleet_size is not None:
+            # Validate rather than silently slicing short: a 4-chip host asked
+            # for fleet 8 would otherwise build 4 engines while the caller
+            # sizes waves / reports results for 8.
+            need = fleet_size * tp_size
+            if len(devices) < need:
+                raise ValueError(
+                    f"fleet {fleet_size} x tp {tp_size} needs {need} devices, "
+                    f"have {len(devices)}"
+                )
+            devices = devices[:need]
+        if len(devices) % tp_size:
             raise ValueError(
                 f"{len(devices)} devices do not split into TP groups of {tp_size}"
             )
@@ -77,15 +96,28 @@ class FleetEngine:
             b._uid = shared_uids
         self._on_complete = on_complete
         self._done: "queue.Queue[Request]" = queue.Queue()
-        self._pending: set = set()
+        # Outstanding-request COUNT (incremented before the enqueue, see
+        # submit): a uid set filled after b.submit() raced the dispatch
+        # thread — a request could complete (and discard a uid not yet in the
+        # set) before submit() added it, leaving drain() waiting forever.
+        self._pending_n = 0
+        self._errors = [0] * len(self.batchers)  # consecutive failures
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
-        for b in self.batchers:
-            b.warmup()
+        """Compile every engine's fill/decode graphs CONCURRENTLY (each
+        batcher owns its own jitted instances; XLA compilation releases the
+        GIL, so N engines' warmups overlap instead of paying N x serially)."""
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=len(self.batchers)
+        ) as pool:
+            for f in [pool.submit(b.warmup) for b in self.batchers]:
+                f.result()
 
     def start(self) -> "FleetEngine":
         """Spawn one dispatch thread per engine (device waits release the
@@ -110,82 +142,94 @@ class FleetEngine:
                     progressed = True
                     self._complete(req)
                 backoff = 0.0
+                if progressed and self._errors[idx]:
+                    self._errors[idx] = 0  # completed real work: healthy again
             except Exception as e:  # engine crash must not kill the fleet
                 # capped exponential backoff: a persistently-broken engine
                 # must not spin a core / spam a traceback every few ms
                 backoff = min(max(backoff * 2, 0.05), 2.0)
+                self._errors[idx] += 1
                 log.exception(
-                    "fleet engine %d error; retrying in %.2fs", idx, backoff
+                    "fleet engine %d error (%d consecutive); retrying in %.2fs",
+                    idx, self._errors[idx], backoff,
                 )
-                for req in list(b.slot_req):
-                    if req is not None:
-                        req.error = f"engine {idx} error: {e}"
-                        req.done = True
-                        if req.stream_q is not None:
-                            req.stream_q.put(None)
-                        self._complete(req)
-                b.slot_req = [None] * b.num_slots
-                while True:
-                    try:
-                        req = b.queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    req.error = f"engine {idx} error: {e}"
-                    req.done = True
-                    if req.stream_q is not None:
-                        req.stream_q.put(None)
-                    self._complete(req)
+                b.fail_all(f"engine {idx} error: {e}", on_each=self._complete)
             if not progressed:
                 time.sleep(backoff or 0.002)
 
     def _complete(self, req: Request) -> None:
-        # Deliver BEFORE clearing pending: drain() exits on "no pending and
+        # Deliver BEFORE decrementing: drain() exits on "nothing pending and
         # done-queue empty", so the opposite order could drop the final
-        # request (pending cleared, put not yet visible).
+        # request (count at 0, put not yet visible).
         if self._on_complete is not None:
             self._on_complete(req)
         else:
             self._done.put(req)
         with self._lock:
-            self._pending.discard(req.uid)
+            self._pending_n -= 1
 
     # ------------------------------------------------------------------
-    def _load(self, b: ContinuousBatcher) -> int:
+    def _load(self, i: int) -> float:
+        if self._errors[i] >= QUARANTINE_AFTER:
+            return float("inf")  # out of rotation until it completes work
+        b = self.batchers[i]
         return b.queue.qsize() + len(b._active())
 
-    def submit(self, sample, **kw) -> Request:
-        """Route to the least-loaded engine (the controller's shortest-queue
-        policy, applied intra-process)."""
-        b = min(self.batchers, key=self._load)
-        req = b.submit(sample, **kw)
+    def submit(self, sample, max_new_tokens=None, **kw) -> Request:
+        """Route to the least-loaded healthy engine (the controller's
+        shortest-queue policy, applied intra-process)."""
+        loads = [self._load(i) for i in range(len(self.batchers))]
+        i = min(range(len(loads)), key=loads.__getitem__)
+        if loads[i] == float("inf"):
+            raise RuntimeError(
+                f"all {len(self.batchers)} fleet engines are quarantined "
+                f"({QUARANTINE_AFTER}+ consecutive failures each)"
+            )
         with self._lock:
-            self._pending.add(req.uid)
-        return req
+            self._pending_n += 1
+        try:
+            return self.batchers[i].submit(
+                sample, max_new_tokens=max_new_tokens, **kw
+            )
+        except BaseException:
+            with self._lock:
+                self._pending_n -= 1
+            raise
 
     def queue_length(self) -> int:
-        return sum(self._load(b) for b in self.batchers)
+        return sum(
+            b.queue.qsize() + len(b._active()) for b in self.batchers
+        )
 
-    def drain(self, timeout: float = 600.0) -> Iterator[Request]:
+    def drain(self, idle_timeout: float = 1800.0) -> Iterator[Request]:
         """Yield completed requests until none are pending (eval usage; only
-        valid when on_complete is None). start() must have been called."""
-        deadline = time.time() + timeout
+        valid when on_complete is None). start() must have been called.
+
+        `idle_timeout` bounds the wait since the LAST completion, not the
+        total drain (the first wave legitimately sits behind each engine's
+        XLA compiles when warmup() was skipped)."""
+        deadline = time.time() + idle_timeout
         while True:
             with self._lock:
-                n_pending = len(self._pending)
+                n_pending = self._pending_n
             if n_pending == 0 and self._done.empty():
                 return
             try:
                 # short poll once nothing is pending (a just-yielded request's
-                # pending entry clears moments after its put — see _complete)
+                # pending count clears moments after its put — see _complete)
                 wait = 0.05 if n_pending == 0 else 1.0
-                yield self._done.get(
+                req = self._done.get(
                     timeout=max(0.01, min(wait, deadline - time.time()))
                 )
             except queue.Empty:
                 if time.time() >= deadline:
                     raise TimeoutError(
-                        f"fleet drain timed out with {n_pending} pending"
+                        f"fleet drain made no progress for {idle_timeout}s "
+                        f"with {n_pending} pending"
                     )
+                continue
+            deadline = time.time() + idle_timeout
+            yield req
 
     def shutdown(self, join_timeout: float = 30.0) -> None:
         self._stop.set()

@@ -123,7 +123,9 @@ def test_streaming_chunks_match_blocking_result():
     assert texts[-1] == blocking["text"] and len(texts[-1]) == 8
     for a, b in zip(texts, texts[1:]):
         assert b.startswith(a) and len(b) > len(a)
-    assert len(chunks) == 8  # one cumulative chunk per emitted token
+    # one cumulative chunk per DRAINED BURST (consumer-paced: between 1 chunk,
+    # if all 8 tokens were queued before the first read, and 8)
+    assert 1 <= len(chunks) <= 8
     worker.shutdown()
 
 

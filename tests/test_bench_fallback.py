@@ -40,3 +40,36 @@ def test_other_errors_propagate(bench, monkeypatch):
     monkeypatch.setattr(bench, "_run_continuous", fake_run)
     with pytest.raises(jax.errors.JaxRuntimeError, match="INVALID_ARGUMENT"):
         bench.run_continuous(None, None, None, "7b-int8")
+
+
+@pytest.mark.parametrize("fleet", ["0", "2"])
+def test_bench_continuous_executes_end_to_end(bench, monkeypatch, capsys,
+                                              fleet):
+    """The REAL _run_continuous flow (warmup -> unloaded p50 -> feeder ->
+    timed run -> JSON line) at tiny geometry — both the single-engine and the
+    RADVLM_BENCH_FLEET path (a fleet submit-signature break once shipped
+    unexecuted)."""
+    import json
+
+    from radvlm_tpu import config as cfglib
+    from radvlm_tpu.generation.engine import GenerationConfig
+    from radvlm_tpu.models import radvlm
+
+    monkeypatch.setenv("RADVLM_BENCH_BUCKETS", "256")
+    monkeypatch.setenv("RADVLM_BENCH_SLOTS", "2")
+    monkeypatch.setenv("RADVLM_BENCH_REQS", "4")
+    monkeypatch.setenv("RADVLM_BENCH_FLEET", fleet)
+    monkeypatch.setenv("RADVLM_KV_INT8", "0")
+    monkeypatch.setattr(bench, "NEW_TOKENS", 4)
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    gen = GenerationConfig(max_new_tokens=4, eos_token_ids=())
+    bench.run_continuous(cfg, params, gen, "tiny")
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+    ][-1]
+    out = json.loads(line)
+    assert out["metric"] == "cxr_report_images_per_sec_per_chip"
+    assert out["value"] > 0
+    assert out["fleet"] == (2 if fleet == "2" else 1)
+    assert out["requests"] == 4

@@ -75,7 +75,7 @@ def test_fleet_matches_single_engine(setup, rng, n_engines, tp_size):
     loads = [b.queue.qsize() for b in fleet.batchers]
     assert max(loads) - min(loads) <= 1
     fleet.start()
-    done = {r.uid: r for r in fleet.drain(timeout=300)}
+    done = {r.uid: r for r in fleet.drain(idle_timeout=300)}
     fleet.shutdown()
     assert len(done) == len(samples)
     for i, r in enumerate(reqs):
@@ -99,7 +99,7 @@ def test_fleet_error_isolation(setup, rng):
     fleet.batchers[0].run = boom
     reqs = [fleet.submit(s) for s in samples]
     fleet.start()
-    done = {r.uid: r for r in fleet.drain(timeout=300)}
+    done = {r.uid: r for r in fleet.drain(idle_timeout=300)}
     fleet.shutdown()
     assert len(done) == len(samples)
     failed = [r for r in done.values() if r.error]
@@ -107,6 +107,47 @@ def test_fleet_error_isolation(setup, rng):
     assert len(failed) == 2 and len(ok) == 2  # alternating least-loaded routing
     assert all("boom" in r.error for r in failed)
     assert all(len(r.emitted) == 4 for r in ok)
+
+
+def test_fleet_quarantines_broken_engine(setup, rng):
+    """After QUARANTINE_AFTER consecutive failures an engine leaves the
+    routing rotation — a request-free broken engine always looks
+    least-loaded and would otherwise black-hole all new traffic."""
+    import time
+
+    from radvlm_tpu.serve.fleet import QUARANTINE_AFTER
+
+    cfg, params = setup
+    fleet = FleetEngine(
+        params, cfg, GenerationConfig(max_new_tokens=3, eos_token_ids=()),
+        devices=jax.local_devices()[:2], **ENGINE_KW,
+    )
+
+    def boom():
+        raise RuntimeError("boom")
+
+    fleet.batchers[0].run = boom
+    fleet.start()
+    deadline = time.time() + 30
+    while fleet._errors[0] < QUARANTINE_AFTER and time.time() < deadline:
+        time.sleep(0.05)
+    assert fleet._errors[0] >= QUARANTINE_AFTER
+    samples = [_mk_sample(cfg, rng, n) for n in (6, 11, 8, 9)]
+    reqs = [fleet.submit(s) for s in samples]
+    assert fleet.batchers[0].queue.qsize() == 0  # nothing routed to engine 0
+    done = {r.uid: r for r in fleet.drain(idle_timeout=300)}
+    fleet.shutdown()
+    assert len(done) == 4 and all(not r.error for r in done.values())
+    assert all(len(done[r.uid].emitted) == 3 for r in reqs)
+
+
+def test_fleet_validates_device_count(setup):
+    cfg, params = setup
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        FleetEngine(
+            params, cfg, GenerationConfig(max_new_tokens=1),
+            fleet_size=16, **ENGINE_KW,
+        )
 
 
 class FakeReportDataset:
