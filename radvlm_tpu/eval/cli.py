@@ -67,8 +67,15 @@ def main(argv=None):
     )
     from radvlm_tpu.models.hf_import import config_from_hf_dir, load_radvlm_checkpoint
 
-    cfg = config_from_hf_dir(args.checkpoint)
-    params = load_radvlm_checkpoint(args.checkpoint, cfg, dtype=jnp.bfloat16)
+    from radvlm_tpu.models.quant_io import is_quantized_dir, load_quantized
+
+    if is_quantized_dir(args.checkpoint):
+        params, cfg = load_quantized(args.checkpoint)
+    else:
+        cfg = config_from_hf_dir(args.checkpoint)
+        params = load_radvlm_checkpoint(
+            args.checkpoint, cfg, dtype=jnp.bfloat16
+        )
     tok = HFTokenizer(args.tokenizer or args.checkpoint)
     runner = VLMRunner(
         params=params, cfg=cfg, tokenizer=tok,

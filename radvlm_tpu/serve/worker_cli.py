@@ -70,12 +70,21 @@ def main(argv=None):
         load_radvlm_checkpoint,
     )
 
-    cfg = config_from_hf_dir(args.checkpoint)
-    params = load_radvlm_checkpoint(args.checkpoint, cfg, dtype=jnp.bfloat16)
-    if args.int8:
-        from radvlm_tpu.ops.quant import quantize_params
+    from radvlm_tpu.models.quant_io import is_quantized_dir, load_quantized
 
-        params = quantize_params(params)
+    if is_quantized_dir(args.checkpoint):
+        # pre-quantized native checkpoint (models/quantize_cli.py): skip the
+        # bf16 load + quantize that otherwise dominates worker cold start
+        params, cfg = load_quantized(args.checkpoint)
+    else:
+        cfg = config_from_hf_dir(args.checkpoint)
+        params = load_radvlm_checkpoint(
+            args.checkpoint, cfg, dtype=jnp.bfloat16
+        )
+        if args.int8:
+            from radvlm_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params)
     tok = HFTokenizer(args.tokenizer or args.checkpoint)
     runner = VLMRunner(
         params=params, cfg=cfg, tokenizer=tok,
