@@ -259,6 +259,14 @@ class BatchWorker:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def do_GET(self):
+                if self.path == "/v1/models":
+                    from radvlm_tpu.serve import openai_api as oai
+
+                    self._json(oai.models_json(worker.model_names, oai.now()))
+                else:
+                    self._json({"error": "unknown endpoint"}, code=404)
+
             def do_POST(self):
                 if self.path == "/worker_get_status":
                     self._json({
@@ -274,6 +282,52 @@ class BatchWorker:
                                     "error_code": 1}, code=400)
                         return
                     self._json(worker.generate(data))
+                elif self.path == "/v1/chat/completions":
+                    from radvlm_tpu.serve import openai_api as oai
+
+                    try:
+                        data = self._read()
+                        params_req = oai.messages_to_request(
+                            data, worker.runner.template
+                        )
+                    except (ValueError, UnicodeDecodeError, TypeError) as e:
+                        self._json({"error": {
+                            "message": str(e), "type": "invalid_request_error",
+                        }}, code=400)
+                        return
+                    model = data.get("model") or worker.model_names[0]
+                    req_id, created = oai.new_request_id(), oai.now()
+                    if data.get("stream"):
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/event-stream")
+                        self.send_header("Cache-Control", "no-cache")
+                        self.end_headers()
+                        gen_chunks = worker.generate_stream(params_req)
+                        try:
+                            for frame in oai.sse_stream(
+                                model, gen_chunks, req_id, created
+                            ):
+                                self.wfile.write(frame)
+                                self.wfile.flush()
+                        except (BrokenPipeError, ConnectionResetError):
+                            log.info("SSE client disconnected")
+                        finally:
+                            gen_chunks.close()
+                        return
+                    result = worker.generate(params_req)
+                    if result.get("error_code", 0) != 0:
+                        self._json({"error": {
+                            "message": result.get("text", "generation failed"),
+                            "type": "server_error",
+                        }}, code=500)
+                        return
+                    self._json(
+                        oai.completion_json(model, result, req_id, created)
+                    )
+                elif self.path == "/v1/models":
+                    from radvlm_tpu.serve import openai_api as oai
+
+                    self._json(oai.models_json(worker.model_names, oai.now()))
                 elif self.path == "/worker_generate_stream":
                     try:
                         data = self._read()
