@@ -1,0 +1,44 @@
+#!/bin/bash
+# Hardware-validation queue for when the TPU tunnel is back
+# (probe: ss -tln | grep 808). Run ONE task at a time — a second TPU process
+# silently queues server-side and corrupts both runs' timings; never kill a
+# TPU client mid-compile (a mid-compile kill took the relay down for good
+# once). ~30 s cooldown between tasks.
+#
+# Usage: bash tools/tpu_validation_queue.sh [task...]   (default: all, in order)
+set -u
+cd "$(dirname "$0")/.."
+
+run() { echo "=== $* ==="; "$@"; echo "=== rc=$? ==="; sleep 30; }
+
+task_smoke() {      # 1. quick 0.5B smoke — engine + fused-W8A8 fallback sanity
+  run timeout 1800 env RADVLM_BENCH_SIZE=0.5b RADVLM_BENCH_REQS=8 \
+      RADVLM_BENCH_NEW_TOKENS=16 RADVLM_BENCH_SLOTS=8 python bench.py
+}
+task_bench7b() {    # 2. flagship bench (fused W8A8 kernel is the TPU default;
+                    #    warmup falls back to the XLA emitter on compile fail)
+  run timeout 3600 python bench.py
+}
+task_warm() {       # 3. warm rerun — persistent compile cache + parallel
+                    #    warmup A/B (compare compile_s + warmup_breakdown_s)
+  run timeout 3600 python bench.py
+  run timeout 3600 env RADVLM_PARALLEL_WARMUP=0 python bench.py
+}
+task_slots32() {    # 4. 32-slot trial (int8 KV 4.25 GB + 7.6 GB weights fits)
+  run timeout 3600 env RADVLM_BENCH_SLOTS=32 python bench.py
+}
+task_flash() {      # 5. real-TPU flash fwd+bwd + q8 decode kernel regression
+  run timeout 3600 env RADVLM_TEST_TPU=1 python -m pytest \
+      tests/test_tpu_flash.py -x -q
+}
+task_rehearsal() {  # 6. eval dress rehearsal on the chip (0.5B-class config
+                    #    is set inside the tool when RADVLM_REHEARSAL_TPU=1)
+  run timeout 7200 env RADVLM_REHEARSAL_TPU=1 PYTHONPATH=. \
+      python tools/dress_rehearsal.py --n 3314 --max-new-tokens 16 \
+      --slots 16 --out REHEARSAL_r03_tpu.json
+}
+
+if [ $# -eq 0 ]; then
+  set -- smoke bench7b warm slots32 flash rehearsal
+fi
+for t in "$@"; do "task_$t"; done
