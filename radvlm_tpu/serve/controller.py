@@ -172,18 +172,63 @@ class Controller:
                         self._json({"text": "no available worker", "error_code": 2},
                                    code=503)
                         return
+                    self._proxy_stream(
+                        addr + "/worker_generate_stream", data,
+                        "application/octet-stream",
+                    )
+                elif self.path == "/v1/chat/completions":
+                    # OpenAI gateway: one cluster endpoint, dispatched to a
+                    # batch worker's /v1 surface (serve/openai_api.py).
+                    model = data.get("model") or next(
+                        iter(registry.list_models()), ""
+                    )
+                    addr = registry.get_worker_address(model)
+                    if not addr:
+                        self._json({"error": {
+                            "message": f"no worker serves {model!r}",
+                            "type": "server_error",
+                        }}, code=503)
+                        return
+                    if data.get("stream"):
+                        self._proxy_stream(
+                            addr + "/v1/chat/completions", data,
+                            "text/event-stream",
+                        )
+                        return
                     import requests
 
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/octet-stream")
-                    self.end_headers()
-                    with requests.post(
-                        addr + "/worker_generate_stream", json=data, stream=True,
-                        timeout=600,
-                    ) as r:
-                        for chunk in r.iter_content(chunk_size=None):
-                            self.wfile.write(chunk)
-                            self.wfile.flush()
+                    r = requests.post(
+                        addr + "/v1/chat/completions", json=data, timeout=600
+                    )
+                    self._json(r.json(), code=r.status_code)
+                else:
+                    self._json({"error": "unknown endpoint"}, code=404)
+
+            def _proxy_stream(self, url, data, content_type):
+                import requests
+
+                self.send_response(200)
+                self.send_header("Content-Type", content_type)
+                self.end_headers()
+                with requests.post(
+                    url, json=data, stream=True, timeout=600
+                ) as r:
+                    for chunk in r.iter_content(chunk_size=None):
+                        self.wfile.write(chunk)
+                        self.wfile.flush()
+
+            def do_GET(self):
+                if self.path == "/v1/models":
+                    registry.expire_stale()
+                    self._json({
+                        "object": "list",
+                        "data": [
+                            {"id": n, "object": "model",
+                             "created": int(time.time()),
+                             "owned_by": "radvlm_tpu"}
+                            for n in registry.list_models()
+                        ],
+                    })
                 else:
                     self._json({"error": "unknown endpoint"}, code=404)
 

@@ -143,4 +143,26 @@ def test_chat_completions_http_round_trip():
                                           "content": "x"}]}, timeout=30)
     assert r.status_code == 400
     assert r.json()["error"]["type"] == "invalid_request_error"
+
+    # controller as OpenAI gateway: /v1 requests dispatch to the worker
+    from radvlm_tpu.serve.controller import Controller
+
+    ctrl = Controller(host="127.0.0.1", port=0)
+    ctrl.serve_forever(background=True)
+    caddr = f"http://127.0.0.1:{ctrl.port}"
+    requests.post(caddr + "/register_worker", json={
+        "worker_name": addr, "model_names": ["radvlm-tiny"],
+    }, timeout=30)
+    models = requests.get(caddr + "/v1/models", timeout=30).json()
+    assert [m["id"] for m in models["data"]] == ["radvlm-tiny"]
+    r = requests.post(caddr + "/v1/chat/completions", json=body, timeout=300)
+    assert r.status_code == 200
+    assert r.json()["choices"][0]["message"]["content"] == content
+    r = requests.post(caddr + "/v1/chat/completions",
+                      json={**body, "stream": True}, stream=True, timeout=300)
+    assert r.content.decode().rstrip().endswith("data: [DONE]")
+    r = requests.post(caddr + "/v1/chat/completions",
+                      json={**body, "model": "nope"}, timeout=30)
+    assert r.status_code == 503
+    ctrl.shutdown()
     worker.shutdown()
