@@ -2,14 +2,17 @@
 
 Scores saved report-generation outputs with the GREEN LLM judge
 (StanfordAIMI/GREEN-radllama2-7b). The judge backend is pluggable:
-- --judge hf: load the radllama2 judge with torch transformers from a local
-  path (the reference's torchrun path; needs the weights on disk);
+- --judge jax (default): the radllama2 judge runs NATIVELY on the TPU
+  through our text importer + the slot-refilled continuous engine, all
+  samples batched (greedy parity vs HF generate tested) — the reference
+  needs torchrun + one GPU `generate` per sample (`eval_green.py:20-26`);
+- --judge hf: torch transformers from a local path (the reference's path);
 - --judge azure: any chat LLM through the AzureOpenAI client;
 - --judge echo: parse-only smoke mode (expects precomputed responses).
 
     python -m radvlm_tpu.eval.green_cli \
-        --outputs results/radvlm_report_generation_outputs.json --judge hf \
-        --judge-model /models/GREEN-radllama2-7b
+        --outputs results/radvlm_report_generation_outputs.json \
+        --judge-model /models/GREEN-radllama2-7b --int8
 """
 
 from __future__ import annotations
@@ -17,6 +20,85 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+
+
+def make_jax_judge(model_path: str, *, max_new_tokens: int = 512,
+                   num_slots: int = 8, int8: bool = False, dtype=None):
+    """GREEN judging natively on the TPU serving engine.
+
+    The judge (StanfordAIMI/GREEN-radllama2-7b — a Llama-2 LM) loads through
+    our text importer and scores ALL report pairs batched through the
+    slot-refilled continuous batcher; the reference shells out to torchrun +
+    one HF `generate` per sample (`radvlm/evaluation/eval_green.py:20-26`).
+
+    The engine's fill graph is a VLM graph, so a tiny random vision tower +
+    projector ride along — GREEN prompts carry no `<image>` sentinel, so
+    tower outputs are never spliced and the generations are exactly the
+    text-only LM's. Returns a batch judge (`[prompts] -> [responses]`,
+    `.batched = True`)."""
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from radvlm_tpu import config as cfglib
+    from radvlm_tpu.generation.continuous import ContinuousBatcher
+    from radvlm_tpu.generation.engine import GenerationConfig
+    from radvlm_tpu.models import multimodal, radvlm
+    from radvlm_tpu.models.hf_import import (
+        config_from_hf_dir,
+        import_qwen2,
+        load_safetensors_dir,
+        normalize_keys,
+    )
+
+    dtype = dtype or jnp.bfloat16
+    text_cfg = config_from_hf_dir(model_path).text
+    tiny = cfglib.tiny_test_config()
+    cfg = cfglib.RadVLMConfig(
+        vision=tiny.vision, text=text_cfg, anyres=tiny.anyres
+    )
+    params = radvlm.init_params(cfg, jax.random.key(0), dtype=dtype)
+    params["text"] = import_qwen2(
+        normalize_keys(load_safetensors_dir(model_path)), text_cfg, dtype
+    )
+    if int8:
+        from radvlm_tpu.ops.quant import quantize_params
+
+        params = quantize_params(params)
+
+    tok = AutoTokenizer.from_pretrained(model_path)
+    eos = tuple(i for i in [tok.eos_token_id] if i is not None)
+    gen = GenerationConfig(
+        max_new_tokens=max_new_tokens, eos_token_ids=eos,
+        pad_token_id=tok.pad_token_id or 0,
+    )
+    # prompt budget mirrors the hf judge's truncation (max_length=3000)
+    batcher = ContinuousBatcher(
+        params, cfg, gen, num_slots=num_slots,
+        max_len=3072 + (-(-max_new_tokens // 128) * 128),
+        prompt_buckets=(1024, 2048, 3072), pad_tiles=1,
+    )
+
+    def batch_judge(prompts):
+        reqs = []
+        for p in prompts:
+            ids = tok(p, add_special_tokens=True).input_ids[:3000]
+            sample = multimodal.build_sample(ids, [], cfg)
+            reqs.append(batcher.submit(sample))
+        done = {}
+        while len(done) < len(reqs):
+            for req in batcher.run():
+                done[req.uid] = req
+        return [
+            tok.decode(
+                [t for t in done[r.uid].emitted if t not in eos],
+                skip_special_tokens=True,
+            )
+            for r in reqs
+        ]
+
+    batch_judge.batched = True
+    return batch_judge
 
 
 def make_hf_judge(model_path: str, *, max_new_tokens: int = 512):
@@ -43,8 +125,13 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--outputs", required=True,
                    help="eval-harness *_outputs.json for report_generation")
-    p.add_argument("--judge", default="hf", choices=["hf", "azure", "echo"])
+    p.add_argument("--judge", default="jax",
+                   choices=["jax", "hf", "azure", "echo"])
     p.add_argument("--judge-model", default="StanfordAIMI/GREEN-radllama2-7b")
+    p.add_argument("--judge-slots", type=int, default=8,
+                   help="concurrent decode slots for --judge jax")
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantize the jax judge's weights at load")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--save", default=None)
     args = p.parse_args(argv)
@@ -58,7 +145,11 @@ def main(argv=None):
     refs = [r["txt"] for r in results]
     hyps = [r["output"] for r in results]
 
-    if args.judge == "hf":
+    if args.judge == "jax":
+        judge = make_jax_judge(
+            args.judge_model, num_slots=args.judge_slots, int8=args.int8
+        )
+    elif args.judge == "hf":
         judge = make_hf_judge(args.judge_model)
     elif args.judge == "azure":
         from radvlm_tpu.data.llm_clients import AzureOpenAIClient
@@ -68,7 +159,12 @@ def main(argv=None):
     else:
         judge = lambda prompt: prompt  # echo: for piping/debugging only
 
-    mean, scores = green(refs, hyps, judge)
+    if getattr(judge, "batched", False):
+        from radvlm_tpu.eval.metrics.clinical import green_batched
+
+        mean, scores = green_batched(refs, hyps, judge)
+    else:
+        mean, scores = green(refs, hyps, judge)
     print(f"GREEN mean: {mean:.4f} over {len([s for s in scores if s is not None])} scored samples")
     if args.save:
         with open(args.save, "w") as f:

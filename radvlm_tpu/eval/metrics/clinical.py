@@ -163,3 +163,21 @@ def green(
         scores.append(None if counts is None else green_score_from_counts(counts))
     valid = [s for s in scores if s is not None]
     return (sum(valid) / len(valid) if valid else 0.0), scores
+
+
+def green_batched(
+    refs: Sequence[str],
+    hyps: Sequence[str],
+    batch_judge: Callable[[Sequence[str]], Sequence[str]],
+) -> Tuple[float, List[Optional[float]]]:
+    """green() over a BATCHED judge (`[prompts] -> [responses]`, e.g. the
+    continuous-engine jax judge) — all samples in flight at once instead of
+    one generate per sample."""
+    prompts = [green_prompt(r, h) for r, h in zip(refs, hyps)]
+    responses = batch_judge(prompts)
+    scores: List[Optional[float]] = []
+    for resp in responses:
+        counts = parse_green_response(resp)
+        scores.append(None if counts is None else green_score_from_counts(counts))
+    valid = [s for s in scores if s is not None]
+    return (sum(valid) / len(valid) if valid else 0.0), scores
