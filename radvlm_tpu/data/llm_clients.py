@@ -68,6 +68,39 @@ class AzureOpenAIClient(LLMClient):
         return None
 
 
+class LocalJAXClient(LLMClient):
+    """A LOCAL instruct LM on the TPU serving engine as the pipeline LLM.
+
+    The reference's synthesis pipelines (report filtering, conversation
+    generation) and GPT-judge eval only run against Azure GPT-4o
+    (`radvlm/data/utils.py:13-34`); this client runs them against any local
+    HF decoder checkpoint (qwen2/llama/mistral/gemma) through the continuous
+    batcher (`generation/text_lm.py`) — no egress, int8-quantizable,
+    `complete_batch` keeps every decode slot busy."""
+
+    def __init__(self, model_path: str, *, template: str = "qwen_1_5",
+                 max_tokens: int = 2048, num_slots: int = 8,
+                 int8: bool = False, temperature: float = 0.0):
+        from radvlm_tpu.data.chat import TEMPLATES
+        from radvlm_tpu.generation.text_lm import TextLMEngine
+
+        self.temperature = temperature
+        self.engine = TextLMEngine(
+            model_path, max_new_tokens=max_tokens, num_slots=num_slots,
+            int8=int8, template=TEMPLATES[template],
+        )
+
+    def complete(self, prompt: str) -> Optional[str]:
+        return self.engine.generate(
+            prompt, temperature=self.temperature or None
+        )
+
+    def complete_batch(self, prompts: Sequence[str]) -> List[str]:
+        return self.engine.generate_batch(
+            prompts, temperature=self.temperature or None
+        )
+
+
 class FakeLLMClient(LLMClient):
     """Deterministic test double: canned responses by substring match, a fixed
     default, and a call log. Optionally fails the first `fail_first` calls to

@@ -32,70 +32,19 @@ def make_jax_judge(model_path: str, *, max_new_tokens: int = 512,
     one HF `generate` per sample (`radvlm/evaluation/eval_green.py:20-26`).
 
     The engine's fill graph is a VLM graph, so a tiny random vision tower +
-    projector ride along — GREEN prompts carry no `<image>` sentinel, so
-    tower outputs are never spliced and the generations are exactly the
-    text-only LM's. Returns a batch judge (`[prompts] -> [responses]`,
-    `.batched = True`)."""
-    import jax
-    import jax.numpy as jnp
-    from transformers import AutoTokenizer
+    projector ride along (generation/text_lm.py) — GREEN prompts carry no
+    `<image>` sentinel, so tower outputs are never spliced and the
+    generations are exactly the text-only LM's. Returns a batch judge
+    (`[prompts] -> [responses]`, `.batched = True`)."""
+    from radvlm_tpu.generation.text_lm import TextLMEngine
 
-    from radvlm_tpu import config as cfglib
-    from radvlm_tpu.generation.continuous import ContinuousBatcher
-    from radvlm_tpu.generation.engine import GenerationConfig
-    from radvlm_tpu.models import multimodal, radvlm
-    from radvlm_tpu.models.hf_import import (
-        config_from_hf_dir,
-        import_qwen2,
-        load_safetensors_dir,
-        normalize_keys,
-    )
-
-    dtype = dtype or jnp.bfloat16
-    text_cfg = config_from_hf_dir(model_path).text
-    tiny = cfglib.tiny_test_config()
-    cfg = cfglib.RadVLMConfig(
-        vision=tiny.vision, text=text_cfg, anyres=tiny.anyres
-    )
-    params = radvlm.init_params(cfg, jax.random.key(0), dtype=dtype)
-    params["text"] = import_qwen2(
-        normalize_keys(load_safetensors_dir(model_path)), text_cfg, dtype
-    )
-    if int8:
-        from radvlm_tpu.ops.quant import quantize_params
-
-        params = quantize_params(params)
-
-    tok = AutoTokenizer.from_pretrained(model_path)
-    eos = tuple(i for i in [tok.eos_token_id] if i is not None)
-    gen = GenerationConfig(
-        max_new_tokens=max_new_tokens, eos_token_ids=eos,
-        pad_token_id=tok.pad_token_id or 0,
-    )
-    # prompt budget mirrors the hf judge's truncation (max_length=3000)
-    batcher = ContinuousBatcher(
-        params, cfg, gen, num_slots=num_slots,
-        max_len=3072 + (-(-max_new_tokens // 128) * 128),
-        prompt_buckets=(1024, 2048, 3072), pad_tiles=1,
+    engine = TextLMEngine(
+        model_path, max_new_tokens=max_new_tokens, num_slots=num_slots,
+        int8=int8, dtype=dtype,
     )
 
     def batch_judge(prompts):
-        reqs = []
-        for p in prompts:
-            ids = tok(p, add_special_tokens=True).input_ids[:3000]
-            sample = multimodal.build_sample(ids, [], cfg)
-            reqs.append(batcher.submit(sample))
-        done = {}
-        while len(done) < len(reqs):
-            for req in batcher.run():
-                done[req.uid] = req
-        return [
-            tok.decode(
-                [t for t in done[r.uid].emitted if t not in eos],
-                skip_special_tokens=True,
-            )
-            for r in reqs
-        ]
+        return engine.generate_batch(prompts)
 
     batch_judge.batched = True
     return batch_judge

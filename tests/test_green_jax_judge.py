@@ -70,6 +70,31 @@ def test_jax_judge_matches_torch_generate(llama_judge_dir):
         assert text == expect
 
 
+def test_local_jax_client_runs_synth_pipeline(llama_judge_dir, tmp_path):
+    """LocalJAXClient (data/llm_clients.py): the report-filter synthesis
+    pipeline runs against a local LM on the engine instead of Azure."""
+    from radvlm_tpu.data.llm_clients import LocalJAXClient
+    from radvlm_tpu.data.synth import filter_reports
+
+    path, _, _ = llama_judge_dir
+    client = LocalJAXClient(path, max_tokens=8, num_slots=2)
+    out = client.complete("Remove prior references: lungs clear.")
+    assert isinstance(out, str)
+    batch = client.complete_batch(["a", "b", "c"])
+    assert len(batch) == 3 and all(isinstance(t, str) for t in batch)
+
+    samples = [
+        {"study_id": f"s{i}", "txt": f"Report {i} with priors."}
+        for i in range(3)
+    ]
+    outdir = tmp_path / "filtered"
+    n = filter_reports(samples, client, str(outdir))
+    assert n == 3
+    assert sorted(p.name for p in outdir.iterdir()) == [
+        "s0.txt", "s1.txt", "s2.txt"
+    ]
+
+
 def test_green_cli_jax_judge_end_to_end(llama_judge_dir, tmp_path, capsys):
     from radvlm_tpu.eval.green_cli import main
 
