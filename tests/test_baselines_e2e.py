@@ -369,6 +369,109 @@ def llavamed_checkpoint(tmp_path):
     return str(tmp_path)
 
 
+CHEX_MODELING = '''
+from transformers import LlamaConfig, LlamaForCausalLM
+
+
+class TinyChexConfig(LlamaConfig):
+    model_type = "tiny_chexagent"
+
+
+class TinyChexForCausalLM(LlamaForCausalLM):
+    config_class = TinyChexConfig
+'''
+
+CHEX_TOKENIZATION = '''
+from transformers import PreTrainedTokenizerFast
+
+
+class TinyChexTokenizer(PreTrainedTokenizerFast):
+    """Interface stand-in for CheXagent's custom tokenizer: from_list_format
+    inlines image paths, apply_chat_template renders from/value turns."""
+
+    def from_list_format(self, items):
+        parts = []
+        for it in items:
+            if "image" in it:
+                parts.append("<img>" + it["image"] + "</img>")
+            elif "text" in it:
+                parts.append(it["text"])
+        return "".join(parts)
+
+    def apply_chat_template(self, conversation, add_generation_prompt=False,
+                            return_tensors=None, **kw):
+        text = "".join(
+            "<|im_start|>" + m["from"] + "\\n" + m["value"] + "<|im_end|>\\n"
+            for m in conversation
+        )
+        if add_generation_prompt:
+            text += "<|im_start|>gpt\\n"
+        ids = self(text, add_special_tokens=False).input_ids
+        if return_tensors == "pt":
+            import torch
+
+            return torch.tensor([ids])
+        return ids
+'''
+
+
+@pytest.fixture()
+def chexagent_checkpoint(tmp_path):
+    """Local trust_remote_code checkpoint whose custom classes implement
+    CheXagent's interfaces (`models_loading_inference.py:55-61,485-513`:
+    tokenizer.from_list_format + from/value apply_chat_template + causal-LM
+    generate) — the real hub code is unreachable (no egress), so this
+    executes the ADAPTER end-to-end against the same surface."""
+    import json
+
+    (tmp_path / "modeling_tiny_chexagent.py").write_text(CHEX_MODELING)
+    (tmp_path / "tokenization_tiny_chexagent.py").write_text(CHEX_TOKENIZATION)
+
+    tokenizer = _byte_tokenizer(["<|im_start|>", "<|im_end|>"])
+    tokenizer.save_pretrained(tmp_path)
+    cfg_path = tmp_path / "tokenizer_config.json"
+    tok_cfg = json.loads(cfg_path.read_text())
+    tok_cfg["auto_map"] = {
+        "AutoTokenizer": [None, "tokenization_tiny_chexagent.TinyChexTokenizer"]
+    }
+    cfg_path.write_text(json.dumps(tok_cfg))
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "modeling_tiny_chexagent", tmp_path / "modeling_tiny_chexagent.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    cfg = mod.TinyChexConfig(
+        vocab_size=len(tokenizer), hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=4096, eos_token_id=tokenizer.eos_token_id,
+    )
+    cfg.auto_map = {
+        "AutoConfig": "modeling_tiny_chexagent.TinyChexConfig",
+        "AutoModelForCausalLM": "modeling_tiny_chexagent.TinyChexForCausalLM",
+    }
+    model = mod.TinyChexForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path)
+    return str(tmp_path)
+
+
+def test_chexagent_baseline_runs_real_inference(chexagent_checkpoint, cxr_png):
+    from radvlm_tpu.eval.baselines import CheXagentBaseline, load_baseline
+
+    b = load_baseline("chexagent", chexagent_checkpoint)
+    assert isinstance(b, CheXagentBaseline)
+    out = b.infer(cxr_png, "Provide a radiology report.", max_new_tokens=4)
+    assert isinstance(out, str)
+    # the grounding branch runs the box-token decode over the generation
+    out2 = b.infer(cxr_png, "Locate the opacity.", max_new_tokens=4,
+                   grounding=True)
+    assert isinstance(out2, str)
+
+
 def test_llavamed_baseline_runs_real_inference(llavamed_checkpoint, cxr_png):
     from radvlm_tpu.eval.baselines import LlavaMedBaseline, load_baseline
 
