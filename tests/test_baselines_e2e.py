@@ -472,6 +472,112 @@ def test_chexagent_baseline_runs_real_inference(chexagent_checkpoint, cxr_png):
     assert isinstance(out2, str)
 
 
+MAIRA_PROCESSING = '''
+import torch
+from transformers import AutoTokenizer
+from transformers.feature_extraction_utils import BatchFeature
+
+
+class TinyMairaProcessor:
+    """Interface stand-in for microsoft/maira-2's custom processor
+    (format_and_preprocess_* builders, decode, grounded-sequence convert,
+    box adjustment)."""
+
+    def __init__(self, tokenizer):
+        self.tokenizer = tokenizer
+
+    @classmethod
+    def from_pretrained(cls, path, **kw):
+        return cls(AutoTokenizer.from_pretrained(path))
+
+    @classmethod
+    def register_for_auto_class(cls, auto_class="AutoProcessor"):
+        pass  # ProcessorMixin API surface AutoProcessor invokes
+
+    def _pack(self, text):
+        ids = self.tokenizer(text, add_special_tokens=False).input_ids
+        t = torch.tensor([ids])
+        return BatchFeature({"input_ids": t,
+                             "attention_mask": torch.ones_like(t)})
+
+    def format_and_preprocess_reporting_input(
+        self, current_frontal=None, current_lateral=None, prior_frontal=None,
+        indication=None, technique=None, comparison=None, prior_report=None,
+        return_tensors="pt", get_grounding=False,
+    ):
+        assert current_frontal is not None
+        return self._pack("report for image " + str(current_frontal.size))
+
+    def format_and_preprocess_phrase_grounding_input(
+        self, frontal_image=None, phrase=None, return_tensors="pt",
+    ):
+        return self._pack("ground: " + str(phrase))
+
+    def decode(self, ids, skip_special_tokens=True):
+        return self.tokenizer.decode(ids,
+                                     skip_special_tokens=skip_special_tokens)
+
+    def convert_output_to_plaintext_or_grounded_sequence(self, decoded):
+        if decoded.startswith("ground-marker"):  # never in random output
+            return [("phrase", [(0.1, 0.2, 0.5, 0.6)])]
+        return decoded
+
+    def adjust_box_for_original_image_size(self, x1, y1, x2, y2,
+                                           width=None, height=None):
+        return (x1, y1, x2, y2)
+'''
+
+
+@pytest.fixture()
+def maira2_checkpoint(tmp_path):
+    """Local trust_remote_code checkpoint implementing MAIRA-2's processor +
+    causal-LM interfaces (`models_loading_inference.py:79-89,118-178`)."""
+    import json
+
+    (tmp_path / "modeling_tiny_chexagent.py").write_text(CHEX_MODELING)
+    (tmp_path / "processing_tiny_maira.py").write_text(MAIRA_PROCESSING)
+    tokenizer = _byte_tokenizer([])
+    tokenizer.save_pretrained(tmp_path)
+    (tmp_path / "processor_config.json").write_text(json.dumps({
+        "auto_map": {"AutoProcessor": "processing_tiny_maira.TinyMairaProcessor"},
+        "processor_class": "TinyMairaProcessor",
+    }))
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "modeling_tiny_chexagent2", tmp_path / "modeling_tiny_chexagent.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    torch.manual_seed(0)
+    cfg = mod.TinyChexConfig(
+        vocab_size=len(tokenizer), hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=4096, eos_token_id=tokenizer.eos_token_id,
+    )
+    cfg.auto_map = {
+        "AutoConfig": "modeling_tiny_chexagent.TinyChexConfig",
+        "AutoModelForCausalLM": "modeling_tiny_chexagent.TinyChexForCausalLM",
+    }
+    model = mod.TinyChexForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path)
+    return str(tmp_path)
+
+
+def test_maira2_baseline_runs_real_inference(maira2_checkpoint, cxr_png):
+    from radvlm_tpu.eval.baselines import MAIRA2Baseline, load_baseline
+
+    b = load_baseline("maira2", maira2_checkpoint)
+    assert isinstance(b, MAIRA2Baseline)
+    out = b.infer(cxr_png, "Provide a radiology report.", max_new_tokens=4)
+    assert isinstance(out, str)
+    # phrase grounding: generate -> convert -> (no boxes in random output)
+    out2 = b.ground(cxr_png, "the opacity", max_new_tokens=4)
+    assert isinstance(out2, str)
+
+
 def test_llavamed_baseline_runs_real_inference(llavamed_checkpoint, cxr_png):
     from radvlm_tpu.eval.baselines import LlavaMedBaseline, load_baseline
 
