@@ -578,6 +578,70 @@ def test_maira2_baseline_runs_real_inference(maira2_checkpoint, cxr_png):
     assert isinstance(out2, str)
 
 
+@pytest.fixture()
+def llava_biovil_package():
+    """Stand-in for the external LLAVA_Biovil package (RaDialog's loader,
+    `models_loading_inference.py:23-48`): load_pretrained_model returns a
+    real tiny LM whose generate accepts the `images=` kwarg."""
+    import importlib.machinery
+
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    tokenizer = _byte_tokenizer(["<s>"])
+    tokenizer.bos_token = "<s>"
+    tokenizer.pad_token = tokenizer.eos_token
+    torch.manual_seed(0)
+    lm = LlamaForCausalLM(LlamaConfig(
+        vocab_size=len(tokenizer), hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=4096, eos_token_id=tokenizer.eos_token_id,
+    ))
+    lm.eval()
+
+    class BiovilLlava:
+        def generate(self, input_ids, images=None, **kw):
+            assert images is not None and images.dtype == torch.bfloat16
+            # the real model splices image features at the -200 sentinels
+            # (llava_arch prepare_inputs; absent on multi-turn calls, same
+            # as the reference `:205-235`); the stand-in LM just masks them
+            input_ids = input_ids.clamp(min=0)
+            kw.pop("do_sample", None)
+            kw.pop("use_cache", None)
+            with torch.no_grad():
+                return lm.generate(input_ids, do_sample=False, **kw)
+
+    def load_pretrained_model(model_path, model_base=None, model_name=None,
+                              load_8bit=False, load_4bit=False,
+                              device_map="cpu"):
+        return tokenizer, BiovilLlava(), None, None
+
+    created = []
+    for name in ("LLAVA_Biovil", "LLAVA_Biovil.llava", "LLAVA_Biovil.llava.model"):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = m
+        created.append(name)
+    builder = types.ModuleType("LLAVA_Biovil.llava.model.builder")
+    builder.load_pretrained_model = load_pretrained_model
+    sys.modules["LLAVA_Biovil.llava.model.builder"] = builder
+    created.append("LLAVA_Biovil.llava.model.builder")
+    yield
+    for name in created:
+        sys.modules.pop(name, None)
+
+
+def test_radialog_baseline_runs_real_inference(llava_biovil_package, cxr_png):
+    from radvlm_tpu.eval.baselines import RaDialogBaseline, load_baseline
+
+    b = load_baseline("radialog", "/fake/snapshot")
+    assert isinstance(b, RaDialogBaseline)
+    out = b.infer(cxr_png, "Provide a radiology report.", max_new_tokens=4)
+    assert isinstance(out, str)
+    out2 = b.infer(cxr_png, "And the heart?",
+                   chat_history=[("Report?", "Normal.")], max_new_tokens=4)
+    assert isinstance(out2, str)
+
+
 def test_llavamed_baseline_runs_real_inference(llavamed_checkpoint, cxr_png):
     from radvlm_tpu.eval.baselines import LlavaMedBaseline, load_baseline
 
