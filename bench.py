@@ -251,6 +251,15 @@ def _run_continuous(cfg, params, gen, size, slots):
     feeder.join()
     total = time.perf_counter() - t_start
 
+    # Spec-mode telemetry: tokens emitted per verify step (>= 1.0; plain
+    # greedy is exactly 1.0 per step).
+    spec_accept = None
+    stats = getattr(
+        b.batchers[0] if fleet > 1 else b, "spec_stats", None
+    )
+    if stats and stats["verify_steps"]:
+        spec_accept = round(stats["emitted"] / stats["verify_steps"], 3)
+
     n_chips = jax.device_count()
     print(json.dumps({
         "metric": "cxr_report_images_per_sec_per_chip",
@@ -264,6 +273,12 @@ def _run_continuous(cfg, params, gen, size, slots):
         "engine": "continuous",
         "kv_cache": "int8" if kv_quant else "bf16",
         "fill_batch": fill_batch,
+        # Prompt-lookup speculative decoding (RADVLM_SPEC_K>0): with random
+        # bench weights acceptance is ~0 (outputs are arbitrary tokens), so
+        # spec is off by default here; the mechanism's win tracks the real
+        # workload's acceptance rate (greedy outputs are identical either way).
+        "spec_k": int(os.environ.get("RADVLM_SPEC_K", "0")),
+        "spec_tokens_per_step": spec_accept,
         "slots": slots,
         "fleet": fleet if fleet > 1 else 1,
         "tp": tp if tp > 1 else 1,

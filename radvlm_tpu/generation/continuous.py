@@ -99,6 +99,7 @@ class ContinuousBatcher:
         mesh: Optional[Any] = None,
         tp_axis: str = "tensor",
         device: Optional[Any] = None,
+        spec_k: Optional[int] = None,
     ):
         import os
 
@@ -159,6 +160,15 @@ class ContinuousBatcher:
         if fill_batch is None:
             fill_batch = int(os.environ.get("RADVLM_FILL_BATCH", "1"))
         self.fill_batch = max(1, int(fill_batch))
+        # Speculative decoding (generation/spec.py): each greedy decode step
+        # verifies spec_k prompt-lookup drafts in one spec_k+1-wide cached
+        # forward — emitted tokens are IDENTICAL to plain greedy, steps
+        # collapse by the acceptance rate. Per-slot positions/write indices
+        # become DEVICE state (the accept count is data-dependent; host-side
+        # counters would force a readback between pipelined chunks).
+        if spec_k is None:
+            spec_k = int(os.environ.get("RADVLM_SPEC_K", "0"))
+        self.spec_k = max(0, int(spec_k))
 
         # Device state.
         self.cache = (
@@ -181,12 +191,25 @@ class ContinuousBatcher:
         # per-slot sampling params (requests may override the engine default)
         self.slot_temp = jnp.full((num_slots,), gen.temperature, jnp.float32)
         self.slot_top_p = jnp.full((num_slots,), gen.top_p, jnp.float32)
+        # Spec-mode device state: rope position + cache write index of the
+        # current token per slot, and the token history the prompt-lookup
+        # proposer matches against (prompt ids at fill, accepted tokens as
+        # decoding advances; -1 at pad/image positions).
+        if self.spec_k:
+            self.dec_pos = jnp.zeros((num_slots,), jnp.int32)
+            self.dec_widx = jnp.zeros((num_slots,), jnp.int32)
+            self.tok_hist = jnp.full((num_slots, max_len), -1, jnp.int32)
+            self.spec_stats = {"verify_steps": 0, "emitted": 0}
         if device is not None:
             self.cache, self.cache_seg, self.cur_tok, self.slot_temp, \
                 self.slot_top_p, self._rng = jax.device_put(
                     (self.cache, self.cache_seg, self.cur_tok,
                      self.slot_temp, self.slot_top_p, self._rng),
                     device,
+                )
+            if self.spec_k:
+                self.dec_pos, self.dec_widx, self.tok_hist = jax.device_put(
+                    (self.dec_pos, self.dec_widx, self.tok_hist), device
                 )
         # Host slot state (incremental counters — no per-step device readback
         # or O(slots x max_len) scans).
@@ -235,6 +258,9 @@ class ContinuousBatcher:
     def _build_step(self):
         import jax
         import jax.numpy as jnp
+
+        if self.spec_k:
+            return self._build_step_spec()
 
         cfg = self._local_cfg
 
@@ -302,6 +328,125 @@ class ContinuousBatcher:
 
         return {False: make_chunk(False), True: make_chunk(True)}
 
+    def _build_step_spec(self):
+        """Spec-mode decode chunks: the greedy variant verifies spec_k
+        prompt-lookup drafts per step in one (spec_k+1)-wide cached forward
+        (generation/spec.py); the sampling variant is the plain one-token
+        step, but BOTH carry the per-slot (pos, widx, hist) device state so
+        the host never needs a readback to know where each slot is.
+
+        Chunk outputs: toks [B, K, spec_k+1] greedy predictions (the emission
+        stream per step is toks[:, step, :counts]) and counts [B, K]
+        accepted+1 per step (all-ones for the sampling variant)."""
+        import jax
+        import jax.numpy as jnp
+
+        from radvlm_tpu.generation import spec as speclib
+
+        cfg = self._local_cfg
+        K = self.steps_per_sync
+        sk = self.spec_k
+        max_len = self.max_len
+
+        def make_chunk(use_sampling: bool):
+            def step_chunk(params, cache, cache_seg, tok, pos, widx, hist,
+                           slot_temp, slot_top_p, rng):
+                b = tok.shape[0]
+                rows = jnp.arange(b)
+
+                def body_sample(carry, _):
+                    cache, cache_seg, tok, pos, widx, hist, rng = carry
+                    wc = jnp.minimum(widx, max_len - 1)
+                    cache_seg = cache_seg.at[rows, wc].set(1)
+                    hist = hist.at[rows, wc].set(tok)
+                    embeds = qwen2.embed_tokens(
+                        params["text"], tok[:, None], cfg.text
+                    )
+                    rng, sub = jax.random.split(rng)
+                    logits, cache = qwen2.forward(
+                        params["text"], cfg.text,
+                        input_embeds=embeds,
+                        positions=pos[:, None],
+                        segment_ids=jnp.ones((b, 1), jnp.int32),
+                        kv_cache=cache,
+                        cache_index=wc,
+                        cache_segment_ids=cache_seg,
+                        attn_impl=self.attn_impl,
+                    )
+                    nxt = sample_token_vec(
+                        logits[:, 0], slot_temp, slot_top_p, sub,
+                        top_k=self.gen.top_k,
+                    )
+                    toks = jnp.concatenate(
+                        [nxt[:, None], jnp.zeros((b, sk), jnp.int32)], axis=1
+                    )
+                    return (
+                        cache, cache_seg, nxt, pos + 1,
+                        jnp.minimum(widx + 1, max_len - 1), hist, rng,
+                    ), (toks, jnp.ones((b,), jnp.int32))
+
+                def body_spec(carry, _):
+                    cache, cache_seg, tok, pos, widx, hist, rng = carry
+                    # Clamp so the whole window fits the cache (active slots
+                    # never bind — max_new is capped with spec_k headroom at
+                    # fill time; finished slots decode clamped garbage that
+                    # the refill's wholesale cache/seg/hist splice erases).
+                    wc = jnp.minimum(widx, max_len - 1 - sk)
+                    hist = speclib.write_history(hist, wc, tok[:, None])
+                    draft = speclib.propose_ngram(hist, wc, sk)
+                    window = jnp.concatenate([tok[:, None], draft], axis=1)
+                    span = jnp.arange(sk + 1)[None]
+                    idxw = wc[:, None] + span
+                    cache_seg = cache_seg.at[rows[:, None], idxw].set(1)
+                    embeds = qwen2.embed_tokens(
+                        params["text"], window, cfg.text
+                    )
+                    logits, cache = qwen2.forward(
+                        params["text"], cfg.text,
+                        input_embeds=embeds,
+                        positions=pos[:, None] + span,
+                        segment_ids=jnp.ones((b, sk + 1), jnp.int32),
+                        kv_cache=cache,
+                        cache_index=wc,
+                        cache_segment_ids=cache_seg,
+                        attn_impl=self.attn_impl,
+                    )
+                    pred, n_emit, nxt = speclib.greedy_accept(logits, draft)
+                    # History gets the model's own predictions (the accepted
+                    # prefix is the true stream; the tail is stale-but-safe
+                    # draft material for later lookups).
+                    hist = speclib.write_history(hist, wc + 1, pred[:, :sk])
+                    # Clear segment ids past the accepted prefix: the s==1
+                    # paths (sampling variant, Pallas decode kernel) mask by
+                    # segment only — a stale 1 would admit garbage K/V.
+                    cache_seg = cache_seg.at[rows[:, None], idxw].set(
+                        (span < n_emit[:, None]).astype(cache_seg.dtype)
+                    )
+                    return (
+                        cache, cache_seg, nxt, pos + n_emit, wc + n_emit,
+                        hist, rng,
+                    ), (pred, n_emit)
+
+                body = body_sample if use_sampling else body_spec
+                with self._tp_scope():
+                    (cache, cache_seg, tok, pos, widx, hist, _), \
+                        (toks, counts) = jax.lax.scan(
+                            body,
+                            (cache, cache_seg, tok, pos, widx, hist, rng),
+                            jnp.arange(K),
+                        )
+                return (
+                    cache, cache_seg, tok, pos, widx, hist,
+                    jnp.swapaxes(toks, 0, 1), jnp.swapaxes(counts, 0, 1),
+                )
+
+            return jax.jit(
+                self._shard_wrap(step_chunk, n_extra_in=8, n_extra_out=7),
+                donate_argnums=(1,),
+            )
+
+        return {False: make_chunk(False), True: make_chunk(True)}
+
     def _fill_fn(self, bucket: int, nfill: int = 1):
         """ONE jitted dispatch per refill of `nfill` slots: prefill the
         prompt batch, sample each first token, splice each row's
@@ -319,9 +464,11 @@ class ContinuousBatcher:
             cfg, attn_impl, max_len = self._local_cfg, self.attn_impl, self.max_len
             gen = self.gen
             cache_format = "int8" if self.kv_quant else "bf16"
+            spec_k = self.spec_k
 
             def fill(params, shared_cache, cache_seg, cur_tok, slot_temp,
-                     slot_top_p, batch, slots, rng, temp, top_p):
+                     slot_top_p, batch, slots, rng, temp, top_p,
+                     pos=None, widx=None, hist=None, lengths=None):
                 with self._tp_scope():
                     cache1, seg1, last_logits = prefill(
                         params, cfg, batch, max_len, attn_impl=attn_impl,
@@ -354,12 +501,40 @@ class ContinuousBatcher:
                         (slots[j], 0),
                     )
                 cur_tok = cur_tok.at[slots].set(tok0)
+                if spec_k:
+                    # Reset the spec device state for the filled slots: rope
+                    # position = real prompt length, write index = padded
+                    # length (prompt occupies cache [0, l) left-padded), and
+                    # the history row = prompt text ids (-1 at pad/image).
+                    from radvlm_tpu.generation import spec as speclib
+
+                    rows = speclib.history_from_prompt(
+                        batch["tokens"], batch["segment_ids"],
+                        batch["img_src"], max_len,
+                    )
+                    for j in range(nfill):
+                        hist = jax.lax.dynamic_update_slice(
+                            hist,
+                            jax.lax.dynamic_slice_in_dim(rows, j, 1, axis=0),
+                            (slots[j], 0),
+                        )
+                    l_pad = batch["tokens"].shape[1]
+                    pos = pos.at[slots].set(lengths.astype(jnp.int32))
+                    widx = widx.at[slots].set(l_pad)
+                    return (new_cache, cache_seg, cur_tok, slot_temp,
+                            slot_top_p, pos, widx, hist, tok0)
                 return new_cache, cache_seg, cur_tok, slot_temp, slot_top_p, tok0
 
-            self._fill_fns[key] = jax.jit(
-                self._shard_wrap(fill, n_extra_in=9, n_extra_out=5),
-                donate_argnums=(1, 2, 3, 4, 5),
-            )
+            if spec_k:
+                self._fill_fns[key] = jax.jit(
+                    self._shard_wrap(fill, n_extra_in=13, n_extra_out=8),
+                    donate_argnums=(1, 2, 3, 4, 5, 11, 12, 13),
+                )
+            else:
+                self._fill_fns[key] = jax.jit(
+                    self._shard_wrap(fill, n_extra_in=9, n_extra_out=5),
+                    donate_argnums=(1, 2, 3, 4, 5),
+                )
         return self._fill_fns[key]
 
     # ------------------------------------------------------------------
@@ -439,11 +614,17 @@ class ContinuousBatcher:
             tops = jnp.ones((nf,), jnp.float32)
             rng = jax.random.key(0)
             jitfn = self._fill_fn(l, nf)
-            compiled = jitfn.lower(
+            args = (
                 self.params, self.cache, self.cache_seg, self.cur_tok,
                 self.slot_temp, self.slot_top_p, batch, slots, rng, temps,
                 tops,
-            ).compile()
+            )
+            if self.spec_k:
+                args += (
+                    self.dec_pos, self.dec_widx, self.tok_hist,
+                    jnp.zeros((nf,), jnp.int32),
+                )
+            compiled = jitfn.lower(*args).compile()
             tiles_shape = batch["tiles"].shape
 
             # AOT executables are pinned to exact avals; an image needing
@@ -462,10 +643,19 @@ class ContinuousBatcher:
             # executable can replace the jit object directly
             positions = jnp.zeros((self.num_slots,), jnp.int32)
             rng = jax.random.key(0)
-            compiled = self._step_fns[sampling].lower(
-                self.params, self.cache, self.cache_seg, self.cur_tok,
-                positions, positions, self.slot_temp, self.slot_top_p, rng,
-            ).compile()
+            if self.spec_k:
+                args = (
+                    self.params, self.cache, self.cache_seg, self.cur_tok,
+                    self.dec_pos, self.dec_widx, self.tok_hist,
+                    self.slot_temp, self.slot_top_p, rng,
+                )
+            else:
+                args = (
+                    self.params, self.cache, self.cache_seg, self.cur_tok,
+                    positions, positions, self.slot_temp, self.slot_top_p,
+                    rng,
+                )
+            compiled = self._step_fns[sampling].lower(*args).compile()
             self._step_fns[sampling] = compiled
 
         jobs = [lambda g=g: compile_one(*g) for g in groups]
@@ -542,6 +732,11 @@ class ContinuousBatcher:
         # reset all device/host slot state touched by the dummies
         self.cache_seg = jnp.zeros_like(self.cache_seg)
         self.cur_tok = jnp.zeros_like(self.cur_tok)
+        if self.spec_k:
+            self.dec_pos = jnp.zeros_like(self.dec_pos)
+            self.dec_widx = jnp.zeros_like(self.dec_widx)
+            self.tok_hist = jnp.full_like(self.tok_hist, -1)
+            self.spec_stats = {"verify_steps": 0, "emitted": 0}
         self.slot_len[:] = 0
         self.slot_real_len[:] = 0
         self.slot_req = [None] * self.num_slots
@@ -653,16 +848,29 @@ class ContinuousBatcher:
              for _, r in pairs], jnp.float32,
         )
         slots = jnp.asarray([s for s, _ in pairs], jnp.int32)
-        (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
-         self.slot_top_p, tok0) = self._fill_fn(l, n)(
-            self.params, self.cache, self.cache_seg, self.cur_tok,
-            self.slot_temp, self.slot_top_p, batch, slots, sub, temps, tops,
-        )
+        if self.spec_k:
+            lengths = jnp.asarray([rl for _, rl in mats], jnp.int32)
+            (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
+             self.slot_top_p, self.dec_pos, self.dec_widx, self.tok_hist,
+             tok0) = self._fill_fn(l, n)(
+                self.params, self.cache, self.cache_seg, self.cur_tok,
+                self.slot_temp, self.slot_top_p, batch, slots, sub, temps,
+                tops, self.dec_pos, self.dec_widx, self.tok_hist, lengths,
+            )
+        else:
+            (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
+             self.slot_top_p, tok0) = self._fill_fn(l, n)(
+                self.params, self.cache, self.cache_seg, self.cur_tok,
+                self.slot_temp, self.slot_top_p, batch, slots, sub, temps,
+                tops,
+            )
         for j, ((slot, req), (_, real_len)) in enumerate(zip(pairs, mats)):
             # Cap the request so cache writes never pass max_len: emitting N
             # tokens writes indices [l, l+N-2] (ADVICE r1: clamping the write
             # index instead corrupted output past the end of the cache).
-            allowed = max(1, self.max_len - l + 1)
+            # Spec mode reserves spec_k extra: a verify window spans
+            # [widx, widx+spec_k].
+            allowed = max(1, self.max_len - l + 1 - self.spec_k)
             if req.max_new_tokens > allowed:
                 req.max_new_tokens = allowed
             self.slot_req[slot] = req
@@ -739,20 +947,33 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
-        positions = np.minimum(self.slot_real_len, 2 ** 30).astype(np.int32)
-        # Active slots never pass max_len (capped at fill time); inactive
-        # slots decode garbage, so clamping their stale index is harmless.
-        write_idx = np.minimum(self.slot_len, self.max_len - 1).astype(np.int32)
         self._rng, sub = jax.random.split(self._rng)
         sampling = (
             self._sampling_active() if force_sampling is None else force_sampling
         )
         step_fn = self._step_fns[sampling]
-        self.cache, self.cache_seg, self.cur_tok, toks = step_fn(
-            self.params, self.cache, self.cache_seg, self.cur_tok,
-            jnp.asarray(positions), jnp.asarray(write_idx),
-            self.slot_temp, self.slot_top_p, sub,
-        )
+        counts = None
+        if self.spec_k:
+            # Positions/write indices live on DEVICE in spec mode (the accept
+            # counts are data-dependent; host mirrors would need a readback).
+            (self.cache, self.cache_seg, self.cur_tok, self.dec_pos,
+             self.dec_widx, self.tok_hist, toks, counts) = step_fn(
+                self.params, self.cache, self.cache_seg, self.cur_tok,
+                self.dec_pos, self.dec_widx, self.tok_hist,
+                self.slot_temp, self.slot_top_p, sub,
+            )
+        else:
+            positions = np.minimum(self.slot_real_len, 2 ** 30).astype(np.int32)
+            # Active slots never pass max_len (capped at fill time); inactive
+            # slots decode garbage, so clamping their stale index is harmless.
+            write_idx = np.minimum(
+                self.slot_len, self.max_len - 1
+            ).astype(np.int32)
+            self.cache, self.cache_seg, self.cur_tok, toks = step_fn(
+                self.params, self.cache, self.cache_seg, self.cur_tok,
+                jnp.asarray(positions), jnp.asarray(write_idx),
+                self.slot_temp, self.slot_top_p, sub,
+            )
         self.slot_len += self.steps_per_sync
         self.slot_real_len += self.steps_per_sync
         # Snapshot (slot, req) pairs: at readback, a slot refilled since this
@@ -760,12 +981,13 @@ class ContinuousBatcher:
         snapshot = [
             (i, r) for i, r in enumerate(self.slot_req) if r is not None
         ]
-        inflight.append((toks, snapshot))
+        inflight.append((toks, counts, snapshot))
 
     def _process_chunk(self, inflight, finished) -> None:
         """Read back the OLDEST in-flight chunk and emit its tokens."""
-        toks_dev, snapshot = inflight.popleft()
+        toks_dev, counts_dev, snapshot = inflight.popleft()
         toks = np.asarray(toks_dev)  # waits for this chunk only (async queue)
+        counts = None if counts_dev is None else np.asarray(counts_dev)
         for slot, req in snapshot:
             if req.done or self.slot_req[slot] is not req:
                 continue  # finished earlier or slot since refilled
@@ -775,10 +997,24 @@ class ContinuousBatcher:
                 t0 = int(np.asarray(req.tok0_dev))
                 req.tok0_dev = None
                 self._emit(slot, t0)
-            for t in toks[slot]:
-                if req.done:
-                    break
-                self._emit(slot, int(t))
+            if counts is None:
+                for t in toks[slot]:
+                    if req.done:
+                        break
+                    self._emit(slot, int(t))
+            else:
+                # Spec chunk: toks [B, K, spec_k+1]; step emits the first
+                # counts[slot, step] predictions (accepted prefix + 1).
+                for step in range(toks.shape[1]):
+                    if req.done:
+                        break
+                    n = int(counts[slot, step])
+                    self.spec_stats["verify_steps"] += 1
+                    self.spec_stats["emitted"] += n
+                    for t in toks[slot, step, :n]:
+                        if req.done:
+                            break
+                        self._emit(slot, int(t))
             if req.done:
                 finished.append(req)
 

@@ -508,8 +508,41 @@ def _block_cached(
         )
         return _finish_block(cfg, layers, res, attn, idx=layer_idx), (ck_all, cv_all)
 
+    if sp_ctx is not None and s > 1:
+        raise NotImplementedError(
+            "multi-token cached decode (speculative verify) is not wired for "
+            "sequence-parallel decode — the cache here is a LOCAL seq shard"
+        )
     per_row = getattr(cache_index, "ndim", 0) == 1
-    if per_row:
+    if per_row and s > 1:
+        # Speculative-decoding verify window (generation/spec.py): each slot
+        # writes s = spec_k+1 candidate tokens at its own cache offset. The
+        # scatter covers [idx, idx+s) per row; positions past the accepted
+        # prefix hold stale K/V until the NEXT window — which always starts at
+        # idx+acc+1 <= idx+s and spans s positions, so it fully overwrites
+        # them before any query can attend at-or-beyond their cache index
+        # (the causal mask keys on cache index via per-row q_offset below).
+        rows = jnp.arange(b)[:, None]  # [B, 1]
+        idxw = cache_index[:, None] + jnp.arange(s)[None]  # [B, s]
+        if quantized:
+            from radvlm_tpu.ops.kv_quant import quantize_kv
+
+            kq, ksc = quantize_kv(k_flat, hkv)  # scales [B, Hkv, s]
+            vq, vsc = quantize_kv(v_flat, hkv)
+            ck_all = ck_all.at[layer_idx, rows, idxw].set(kq)
+            cv_all = cv_all.at[layer_idx, rows, idxw].set(vq)
+            # Scales layout [L, B, Hkv, S]: the slice between the advanced
+            # indices moves the advanced block to the front -> values [B, s, Hkv].
+            ks_all = ks_all.at[layer_idx, rows, :, idxw].set(
+                jnp.moveaxis(ksc, 1, 2)
+            )
+            vs_all = vs_all.at[layer_idx, rows, :, idxw].set(
+                jnp.moveaxis(vsc, 1, 2)
+            )
+        else:
+            ck_all = ck_all.at[layer_idx, rows, idxw].set(k_flat)
+            cv_all = cv_all.at[layer_idx, rows, idxw].set(v_flat)
+    elif per_row:
         # Continuous batching: each slot decodes at its own cache position —
         # scatter one row per slot (s == 1).
         rows = jnp.arange(b)

@@ -56,6 +56,9 @@ def parse_args(argv=None):
     # LoRA (reference config-5 style adapter finetune)
     p.add_argument("--lora-rank", type=int, default=0)
     p.add_argument("--lora-alpha", type=float, default=256.0)
+    p.add_argument("--quantize-base", action="store_true",
+                   help="QLoRA: int8-quantize the frozen base before LoRA "
+                        "(reference train.py 4/8-bit bitsandbytes prep)")
     return p.parse_args(argv)
 
 
@@ -119,6 +122,7 @@ def main(argv=None):
         seed=args.seed,
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
+        quantize_base=args.quantize_base,
     )
     state = train(run, tok.encode, hf_checkpoint=args.hf_checkpoint)
     print(f"training finished at step {int(state.step)}")

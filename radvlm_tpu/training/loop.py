@@ -51,6 +51,11 @@ class RunConfig:
     # LoRA (adapter-only) finetuning; 0 = full finetune.
     lora_rank: int = 0
     lora_alpha: float = 256.0
+    # QLoRA: int8-quantize the frozen base before attaching adapters (the
+    # reference's 4/8-bit bitsandbytes prep inside train(),
+    # `finetuning/llava/train/train.py:1466-1503`) — the base stays int8 in
+    # HBM, adapters train in f32 (training/lora.py). Requires lora_rank > 0.
+    quantize_base: bool = False
     # Ring-attention schedule when the mesh has seq > 1: "zigzag" (load-
     # balanced, default) or "contiguous".
     ring_schedule: str = "zigzag"
@@ -98,9 +103,15 @@ def train(
         params = radvlm.init_params(run.model, jax.random.key(run.seed))
 
     lora_base = None
+    if run.quantize_base and not run.lora_rank:
+        raise ValueError("--quantize-base is a QLoRA option: set lora_rank > 0")
     if run.lora_rank:
         from radvlm_tpu.training.lora import LoraConfig
 
+        if run.quantize_base:
+            from radvlm_tpu.ops import quant
+
+            params = quant.quantize_params(params)
         lcfg = LoraConfig(rank=run.lora_rank, alpha=run.lora_alpha)
         state, lora_base, step_fn = ts.setup_lora_training(
             mesh, run.model, run.train, lcfg, params,

@@ -139,3 +139,33 @@ def test_evaluate_conversations_end_to_end(tmp_path):
     assert rec["records"][0]["candidate"].count("USER:") == 2
     # judge saw both conversations
     assert "Ground-truth conversation" in judge.calls[0]
+
+
+def test_synth_cli_filter_and_generate(tmp_path, monkeypatch):
+    """The CLI entry (reference llm_filter_reports / llm_generate_conversations
+    analog) wires datasets + client + output dirs; run both subcommands with
+    the fake client over a stubbed MIMIC dataset."""
+    from radvlm_tpu.data import synth_cli
+
+    monkeypatch.setattr(
+        "radvlm_tpu.data.datasets.MIMICCXRDataset",
+        lambda **kw: FakeReportDS(),
+    )
+    rc = synth_cli.main([
+        "filter-reports", "--data-dir", str(tmp_path), "--client", "fake",
+        "--num-workers", "1",
+    ])
+    assert rc == 0
+    out = tmp_path / "MIMIC-CXR-JPG" / "filtered_reports"
+    assert (out / "s1.txt").exists() and not (out / "s2.txt").exists()
+
+    rc = synth_cli.main([
+        "generate-conversations", "--data-dir", str(tmp_path),
+        "--client", "fake", "--grounding", "--num-workers", "1",
+    ])
+    assert rc == 0
+    conv_dir = tmp_path / "MIMIC-CXR-JPG" / "conversations_grounded" / "train"
+    convs = list(conv_dir.glob("*.json"))
+    assert len(convs) == 1
+    data = json.loads(convs[0].read_text())
+    assert isinstance(data, list) and data

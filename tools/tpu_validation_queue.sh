@@ -38,7 +38,17 @@ task_rehearsal() {  # 6. eval dress rehearsal on the chip (0.5B-class config
       --slots 16 --out REHEARSAL_r03_tpu.json
 }
 
+task_spec() {       # 7. speculative decoding on-chip: verify-window graph
+                    #    compiles + token parity at 0.5B, then 7B overhead
+                    #    check (random weights -> acceptance ~0: spec run
+                    #    must stay within ~15% of the plain bench)
+  run timeout 1800 env RADVLM_BENCH_SIZE=0.5b RADVLM_BENCH_REQS=8 \
+      RADVLM_BENCH_NEW_TOKENS=16 RADVLM_BENCH_SLOTS=8 RADVLM_SPEC_K=4 \
+      python bench.py
+  run timeout 3600 env RADVLM_SPEC_K=4 python bench.py
+}
+
 if [ $# -eq 0 ]; then
-  set -- smoke bench7b warm slots32 flash rehearsal
+  set -- smoke bench7b warm slots32 flash rehearsal spec
 fi
 for t in "$@"; do "task_$t"; done
