@@ -45,12 +45,50 @@ from radvlm_tpu.models import multimodal, qwen2
 
 
 @dataclasses.dataclass
+class KVSnapshot:
+    """Device-resident KV state of a finished request (prompt + reply), the
+    unit of multi-turn conversation reuse (`Request.keep_kv` produces one,
+    `submit(resume=...)` consumes one).
+
+    The reference re-prefills the ENTIRE conversation every chat turn — its
+    serving loop is stateless HF `generate` over the full concatenated
+    history (`finetuning/llava/serve/model_worker.py:141-183`, prompts built
+    by `gradio_web_server.py`'s conversation state). At anyres CXR scale
+    that is ~3.4k tokens of prefill (vision tower included) per turn. A
+    snapshot instead keeps the turn's KV rows on device: the next turn
+    prefills ONLY its delta tokens (tens, not thousands) at the recorded
+    cache offset — the vision tower never re-runs for images already in the
+    prefix.
+
+    `widx` is the next free cache index (everything below it is the clean
+    prompt+reply KV — garbage beyond, from pipelined post-eos decode chunks,
+    is clamped out at resume). `real_len` is the rope position of the next
+    token (= count of real tokens so far; the cache is left-padded below
+    `widx - real_len`)."""
+
+    cache_rows: Tuple[Any, ...]  # per-component [L, 1, S, *] device rows
+    seg_row: Any  # [1, S] int32 cache segment row
+    widx: int  # next cache write index (clean-KV length)
+    real_len: int  # rope position of the next token
+    max_len: int  # cache geometry this snapshot was cut from
+    kv_quant: bool
+    hist_row: Optional[Any] = None  # [1, S] spec-mode token history row
+    engine_idx: int = 0  # fleet affinity (serve/fleet.py routes resumes here)
+
+
+@dataclasses.dataclass
 class Request:
     uid: int
     sample: multimodal.MMSample
     max_new_tokens: int
     emitted: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # Multi-turn KV reuse: keep_kv snapshots this slot's cache rows at
+    # completion into `kv_snapshot`; `resume` makes the fill a DELTA prefill
+    # on top of a previous snapshot instead of a from-scratch prompt prefill.
+    keep_kv: bool = False
+    kv_snapshot: Optional[KVSnapshot] = None
+    resume: Optional[KVSnapshot] = None
     # First token (sampled from the prefill logits), kept as a DEVICE scalar
     # until the next chunk readback so _fill_slot never blocks on the device
     # (reading it eagerly would stall the pipelined decode queue).
@@ -216,10 +254,19 @@ class ContinuousBatcher:
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self.slot_len = np.zeros((num_slots,), np.int64)  # tokens in cache
         self.slot_real_len = np.zeros((num_slots,), np.int64)  # excl. left pad
+        # Write index / rope position right AFTER each slot's fill: slot_len
+        # advances optimistically per dispatched chunk (pipelining), so the
+        # clean-KV extent of a finished request is fill_len + len(emitted) —
+        # what KVSnapshot records (multi-turn resume).
+        self.slot_fill_len = np.zeros((num_slots,), np.int64)
+        self.slot_fill_real = np.zeros((num_slots,), np.int64)
         self.queue: "queue.Queue[Request]" = queue.Queue()
         self._uid = itertools.count(1)  # thread-safe-enough uid source
 
         self._fill_fns: Dict[int, Callable] = {}
+        self._resume_fns: Dict[Tuple[int, int], Callable] = {}
+        self._snap_fns: Dict[str, Callable] = {}
+        self.resume_fills = 0  # telemetry: delta prefills served
         self._step_fns = self._build_step()
 
     # ------------------------------------------------------------------
@@ -537,6 +584,193 @@ class ContinuousBatcher:
                 )
         return self._fill_fns[key]
 
+    def _snap_fn(self, kind: str):
+        """Jitted row-slice of the shared cache (+ seg / spec history row) for
+        one slot — the device copy a KVSnapshot owns. A copy, not a view:
+        later chunks keep scattering garbage into the slot and refills splice
+        over it; the snapshot buffers are untouched."""
+        import jax
+
+        if kind not in self._snap_fns:
+            if kind == "cache":
+                def f(cache, seg, slot):
+                    rows = tuple(
+                        jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1)
+                        for c in cache
+                    )
+                    return rows, jax.lax.dynamic_slice_in_dim(seg, slot, 1, axis=0)
+            else:  # "hist"
+                def f(hist, slot):
+                    return jax.lax.dynamic_slice_in_dim(hist, slot, 1, axis=0)
+            self._snap_fns[kind] = jax.jit(f)
+        return self._snap_fns[kind]
+
+    def _take_snapshot(self, slot: int, req: Request) -> None:
+        """Cut the finished request's clean KV extent into req.kv_snapshot.
+
+        Runs on the engine thread at emission time (no device sync — the
+        slices queue behind the in-flight chunks). Clean extent: the cache
+        holds prompt + every FED token; tokens are fed in emission order, so
+        [0, fill_len + len(emitted)) is exactly prompt + reply even while
+        pipelined post-eos chunks still scatter garbage above it."""
+        n = len(req.emitted)
+        widx = int(self.slot_fill_len[slot]) + n
+        real = int(self.slot_fill_real[slot]) + n
+        rows, seg = self._snap_fn("cache")(
+            self.cache, self.cache_seg, np.int32(slot)
+        )
+        hist = None
+        if self.spec_k:
+            hist = self._snap_fn("hist")(self.tok_hist, np.int32(slot))
+        req.kv_snapshot = KVSnapshot(
+            cache_rows=rows, seg_row=seg, widx=widx, real_len=real,
+            max_len=self.max_len, kv_quant=self.kv_quant, hist_row=hist,
+            engine_idx=getattr(self, "_fleet_idx", 0),
+        )
+
+    def _resume_fill_fn(self, dl: int, t_tiles: int):
+        """ONE jitted dispatch per resumed-conversation refill: splice the
+        snapshot's KV rows back into the slot, run the new turn's tokens as a
+        windowed cached forward at the recorded offset (the same per-row
+        multi-token write path speculative verify uses,
+        `qwen2._block_cached` s>1), and sample the first reply token from the
+        last real delta position. The from-scratch alternative (_fill_fn)
+        recomputes the whole conversation — at CXR chat shapes that is ~3.4k
+        tokens + the vision tower per turn for an unchanged prefix."""
+        import jax
+        import jax.numpy as jnp
+
+        from radvlm_tpu.models import radvlm
+
+        key = (dl, t_tiles)
+        if key not in self._resume_fns:
+            cfg, attn_impl = self._local_cfg, self.attn_impl
+            gen, max_len, spec_k = self.gen, self.max_len, self.spec_k
+
+            def rfill(params, cache, cache_seg, cur_tok, slot_temp, slot_top_p,
+                      batch, slot, snap_cache, snap_seg, widx, prefix_real,
+                      rng, temp, top_p, pos_state=None, widx_state=None,
+                      hist_state=None, snap_hist=None):
+                ar = jnp.arange(max_len)[None]  # [1, S]
+                real_delta = batch["lengths"].astype(jnp.int32)  # [1]
+                # Clamp the snapshot's segment row to its clean extent (post-
+                # eos pipelined chunks set garbage seg bits above widx), then
+                # mark the delta's REAL positions; right-pad tail stays 0 so
+                # neither the window's own queries nor later decode steps can
+                # attend the pad writes.
+                seg1 = jnp.where(ar < widx, snap_seg, 0)
+                in_delta = (ar >= widx) & (ar < widx + real_delta[:, None])
+                seg1 = jnp.where(in_delta, 1, seg1).astype(snap_seg.dtype)
+                batch2 = dict(batch)
+                # collate(left_pad=False) numbered positions 0..n-1; the
+                # conversation continues at prefix_real (pad positions get
+                # garbage rope — masked by segment ids).
+                batch2["positions"] = batch["positions"] + prefix_real
+                with self._tp_scope():
+                    hidden, cache1 = radvlm.forward(
+                        params, cfg, batch2,
+                        kv_cache=snap_cache,
+                        cache_index=jnp.full((1,), 0, jnp.int32) + widx,
+                        cache_segment_ids=seg1,
+                        attn_impl=attn_impl,
+                        return_hidden=True,
+                    )
+                last = jnp.take_along_axis(
+                    hidden,
+                    jnp.reshape(real_delta - 1, (1, 1, 1)).astype(jnp.int32),
+                    axis=1,
+                )[:, 0]
+                logits = qwen2.unembed(params["text"], cfg.text, last)
+                tok0 = sample_token_vec(
+                    logits, temp, top_p, rng, top_k=gen.top_k
+                )  # [1]
+                new_cache = tuple(
+                    jax.lax.dynamic_update_slice(sh, rc, (0, slot, 0, 0))
+                    for sh, rc in zip(cache, cache1)
+                )
+                cache_seg = jax.lax.dynamic_update_slice(
+                    cache_seg, seg1, (slot, 0)
+                )
+                cur_tok = cur_tok.at[slot].set(tok0[0])
+                slot_temp = slot_temp.at[slot].set(temp[0])
+                slot_top_p = slot_top_p.at[slot].set(top_p[0])
+                if spec_k:
+                    # Rebuild the slot's prompt-lookup history: snapshot row
+                    # (clamped like seg) + the delta's text ids at their cache
+                    # positions (-1 at images/pad, same as fill).
+                    hist_row = jnp.where(ar < widx, snap_hist, -1)
+                    didx = jnp.clip(ar - widx, 0, dl - 1)
+                    dtext = jnp.where(
+                        (batch["segment_ids"] != 0) & (batch["img_src"] < 0),
+                        batch["tokens"], -1,
+                    ).astype(jnp.int32)
+                    dvals = jnp.take_along_axis(dtext, didx, axis=1)
+                    hist_row = jnp.where(in_delta, dvals, hist_row)
+                    hist_state = jax.lax.dynamic_update_slice(
+                        hist_state, hist_row, (slot, 0)
+                    )
+                    pos_state = pos_state.at[slot].set(
+                        prefix_real + real_delta[0]
+                    )
+                    widx_state = widx_state.at[slot].set(widx + real_delta[0])
+                    return (new_cache, cache_seg, cur_tok, slot_temp,
+                            slot_top_p, pos_state, widx_state, hist_state,
+                            tok0)
+                return (new_cache, cache_seg, cur_tok, slot_temp, slot_top_p,
+                        tok0)
+
+            # Donate the engine's own state; NEVER the snapshot args — the
+            # caller (a chat session store) keeps the snapshot alive for
+            # retry/fallback if this fill or the request fails.
+            donate = (1, 2, 3, 4, 5) + ((15, 16, 17) if spec_k else ())
+            self._resume_fns[key] = jax.jit(rfill, donate_argnums=donate)
+        return self._resume_fns[key]
+
+    def _resume_fill(self, slot: int, req: Request) -> None:
+        """Fill `slot` by delta prefill on req.resume (one dispatch)."""
+        import jax
+        import jax.numpy as jnp
+
+        batch, real_len = self._materialize(req)
+        snap = req.resume
+        dl = batch["tokens"].shape[1]
+        t_tiles = batch["tiles"].shape[1]
+        self._rng, sub = jax.random.split(self._rng)
+        temp = jnp.asarray(
+            [self.gen.temperature if req.temperature is None
+             else req.temperature], jnp.float32,
+        )
+        top = jnp.asarray(
+            [self.gen.top_p if req.top_p is None else req.top_p], jnp.float32,
+        )
+        args = (
+            self.params, self.cache, self.cache_seg, self.cur_tok,
+            self.slot_temp, self.slot_top_p, batch, np.int32(slot),
+            snap.cache_rows, snap.seg_row, np.int32(snap.widx),
+            np.int32(snap.real_len), sub, temp, top,
+        )
+        if self.spec_k:
+            args += (self.dec_pos, self.dec_widx, self.tok_hist,
+                     snap.hist_row)
+            (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
+             self.slot_top_p, self.dec_pos, self.dec_widx, self.tok_hist,
+             tok0) = self._resume_fill_fn(dl, t_tiles)(*args)
+        else:
+            (self.cache, self.cache_seg, self.cur_tok, self.slot_temp,
+             self.slot_top_p, tok0) = self._resume_fill_fn(dl, t_tiles)(*args)
+        end = snap.widx + real_len
+        real_end = snap.real_len + real_len
+        allowed = max(1, self.max_len - end + 1 - self.spec_k)
+        if req.max_new_tokens > allowed:
+            req.max_new_tokens = allowed
+        self.slot_req[slot] = req
+        self.slot_len[slot] = end
+        self.slot_real_len[slot] = real_end
+        self.slot_fill_len[slot] = end
+        self.slot_fill_real[slot] = real_end
+        self.resume_fills += 1
+        req.tok0_dev = tok0[0]
+
     # ------------------------------------------------------------------
     def warmup(self) -> None:
         """Compile every prompt-bucket fill graph + the decode chunk up front.
@@ -739,28 +973,61 @@ class ContinuousBatcher:
             self.spec_stats = {"verify_steps": 0, "emitted": 0}
         self.slot_len[:] = 0
         self.slot_real_len[:] = 0
+        self.slot_fill_len[:] = 0
+        self.slot_fill_real[:] = 0
         self.slot_req = [None] * self.num_slots
 
     def submit(self, sample: multimodal.MMSample,
                max_new_tokens: Optional[int] = None, *,
                temperature: Optional[float] = None,
                top_p: Optional[float] = None,
-               stream: bool = False) -> Request:
+               stream: bool = False,
+               keep_kv: bool = False,
+               resume: Optional[KVSnapshot] = None) -> Request:
         import jax.numpy as jnp
 
-        # Reject prompts the cache cannot hold: collate pads an over-bucket
-        # prompt to its real length (rounded to 128), and once that reaches
-        # max_len the prefill crashes on a negative pad — killing run() and,
-        # in serving, the engine daemon thread (code-review repro). Prompts
-        # between the largest bucket and max_len still work (they compile a
-        # one-off fill graph for their padded length).
-        largest = self.prompt_buckets[-1]
-        padded = largest if sample.length <= largest else -(-sample.length // 128) * 128
-        if padded > self.max_len:
-            raise ValueError(
-                f"prompt pads to {padded} tokens but the cache holds "
-                f"{self.max_len} — truncate the prompt or raise max_len"
-            )
+        if resume is not None:
+            # Delta prefill on a previous turn's KV (multi-turn chat): the
+            # sample holds ONLY the new turn's tokens/images. Right-padded to
+            # a 128 multiple — the delta window writes cache [widx, widx+dl),
+            # so the whole padded window must fit the cache.
+            if self.mesh is not None:
+                raise ValueError(
+                    "KV resume is not supported on TP mesh engines — use a "
+                    "single-device or fleet engine"
+                )
+            if resume.max_len != self.max_len or resume.kv_quant != self.kv_quant:
+                raise ValueError(
+                    "snapshot geometry mismatch: snapshot is "
+                    f"(max_len={resume.max_len}, int8={resume.kv_quant}), "
+                    f"engine is (max_len={self.max_len}, int8={self.kv_quant})"
+                )
+            if self.spec_k and resume.hist_row is None:
+                raise ValueError(
+                    "resuming on a spec-decoding engine needs a snapshot cut "
+                    "by a spec engine (hist_row missing)"
+                )
+            dl = max(128, -(-sample.length // 128) * 128)
+            if resume.widx + dl > self.max_len:
+                raise ValueError(
+                    f"delta pads to {dl} tokens at cache offset {resume.widx} "
+                    f"but the cache holds {self.max_len} — start a fresh "
+                    "conversation (full prefill)"
+                )
+        else:
+            # Reject prompts the cache cannot hold: collate pads an over-bucket
+            # prompt to its real length (rounded to 128), and once that reaches
+            # max_len the prefill crashes on a negative pad — killing run() and,
+            # in serving, the engine daemon thread (code-review repro). Prompts
+            # between the largest bucket and max_len still work (they compile a
+            # one-off fill graph for their padded length).
+            largest = self.prompt_buckets[-1]
+            padded = largest if sample.length <= largest else -(-sample.length // 128) * 128
+            if padded > self.max_len:
+                raise ValueError(
+                    f"prompt pads to {padded} tokens but the cache holds "
+                    f"{self.max_len} — truncate the prompt or raise max_len"
+                )
         if max_new_tokens is None:
             max_new_tokens = self.gen.max_new_tokens
         # 0/negative would silently fall back (falsy) or never terminate; the
@@ -771,14 +1038,23 @@ class ContinuousBatcher:
             max_new_tokens=max_new_tokens,
             temperature=temperature, top_p=top_p,
             stream_q=queue.Queue() if stream else None,
+            keep_kv=keep_kv, resume=resume,
         )
         # Collate + start the H2D transfer NOW (async): by the time the
         # engine loop refills a slot, the tiles are already on device.
-        bucket = self._bucket_for(sample.length)
-        host_batch = multimodal.collate(
-            [sample], pad_len=bucket, pad_tiles=self.pad_tiles,
-            pad_to_multiple=128, left_pad=True,
-        )
+        if resume is not None:
+            host_batch = multimodal.collate(
+                [sample], pad_len=dl,
+                # text-only deltas skip the padded vision tower entirely
+                pad_tiles=self.pad_tiles if (sample.img_src >= 0).any() else 1,
+                pad_to_multiple=128, left_pad=False,
+            )
+        else:
+            bucket = self._bucket_for(sample.length)
+            host_batch = multimodal.collate(
+                [sample], pad_len=bucket, pad_tiles=self.pad_tiles,
+                pad_to_multiple=128, left_pad=True,
+            )
         req.real_len = int(host_batch["lengths"][0])
         if self.device is not None:
             import jax
@@ -805,11 +1081,20 @@ class ContinuousBatcher:
             batch, real_len = req.dev_batch, req.real_len
             req.dev_batch = None  # release after fill
             return batch, real_len
-        bucket = self._bucket_for(req.sample.length)
-        host_batch = multimodal.collate(
-            [req.sample], pad_len=bucket, pad_tiles=self.pad_tiles,
-            pad_to_multiple=128, left_pad=True,
-        )
+        if req.resume is not None:  # delta prefill: right-pad (see submit)
+            dl = max(128, -(-req.sample.length // 128) * 128)
+            host_batch = multimodal.collate(
+                [req.sample], pad_len=dl,
+                pad_tiles=self.pad_tiles
+                if (req.sample.img_src >= 0).any() else 1,
+                pad_to_multiple=128, left_pad=False,
+            )
+        else:
+            bucket = self._bucket_for(req.sample.length)
+            host_batch = multimodal.collate(
+                [req.sample], pad_len=bucket, pad_tiles=self.pad_tiles,
+                pad_to_multiple=128, left_pad=True,
+            )
         real_len = int(host_batch["lengths"][0])  # host-known; no sync
         if self.device is not None:
             import jax
@@ -828,6 +1113,12 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
+        if pairs[0][1].resume is not None:
+            # Delta prefill (multi-turn KV reuse): always a singleton group —
+            # run()'s grouping key isolates resume requests by uid.
+            assert len(pairs) == 1
+            self._resume_fill(*pairs[0])
+            return
         mats = [self._materialize(req) for _, req in pairs]
         n = len(pairs)
         if n == 1:
@@ -876,6 +1167,8 @@ class ContinuousBatcher:
             self.slot_req[slot] = req
             self.slot_len[slot] = l  # prompt occupies [0, l) (left-padded)
             self.slot_real_len[slot] = real_len
+            self.slot_fill_len[slot] = l  # KVSnapshot clean-extent anchors
+            self.slot_fill_real[slot] = real_len
             # tok0 stays on device; emitted at the next chunk readback (keeps
             # the fill path free of device syncs so in-flight decode chunks
             # drain undisturbed).
@@ -898,6 +1191,12 @@ class ContinuousBatcher:
             if len(req.emitted) >= req.max_new_tokens:
                 req.done = True
         if req.done:
+            if req.keep_kv and req.error is None:
+                # Snapshot BEFORE the slot is freed (a refill splices over the
+                # rows). Cancelled streams still snapshot: their clean extent
+                # is prompt + whatever was emitted, a valid conversation
+                # prefix for the next turn.
+                self._take_snapshot(slot, req)
             self.slot_req[slot] = None
             if req.stream_q is not None:
                 req.stream_q.put(None)  # end-of-stream sentinel
@@ -1057,7 +1356,10 @@ class ContinuousBatcher:
             if taken:
                 by_len: Dict[Any, List[Request]] = {}
                 for req in taken:
-                    if req.dev_batch is not None:
+                    if req.resume is not None:
+                        # delta prefill: always its own singleton dispatch
+                        l = ("resume", req.uid)
+                    elif req.dev_batch is not None:
                         l = req.dev_batch["tokens"].shape[1]
                     else:
                         # not pre-collated: padded length unknown until

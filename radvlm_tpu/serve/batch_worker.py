@@ -56,6 +56,19 @@ class BatchWorker:
         self._events: Dict[int, threading.Event] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        # Multi-turn KV reuse (serve/sessions.py): requests carrying a
+        # "session_id" keep their finished KV on device and later turns
+        # prefill only the new tokens. TP-mesh engines don't support resume
+        # (and fleet TP groups are meshes), so sessions stay off there.
+        self._sessions = None
+        self._session_ctx: Dict[int, Any] = {}  # uid -> (sid, ids, hashes)
+        tp_engine = fleet_tp > 1 if fleet else getattr(runner, "mesh", None)
+        if not tp_engine:
+            from radvlm_tpu.serve.sessions import SessionStore
+
+            store = SessionStore()
+            if store.cap > 0:
+                self._sessions = store
         if fleet:
             # One engine per chip (or per TP submesh): the reference's
             # one-worker-per-GPU fleet folded into this process; the fleet
@@ -88,14 +101,57 @@ class BatchWorker:
         # Compile all fill/decode graphs at startup: the first live request
         # should stream immediately, not sit behind a minutes-long XLA compile.
         self.batcher.warmup()
+        if self._sessions is not None:
+            self._warmup_sessions()
         self._engine_thread = threading.Thread(target=self._engine_loop, daemon=True)
         self._engine_thread.start()
 
+    def _warmup_sessions(self) -> None:
+        """Compile the text-only resume-fill graph before serving: the first
+        resumed turn of a live chat would otherwise stall every slot on its
+        XLA compile mid-stream (same contract as ContinuousBatcher.warmup).
+        Runs a real 2-turn dummy conversation through the engine — cheap at
+        the tiny delta shapes — before the engine loop starts. Image-delta
+        graphs (rare) still compile lazily."""
+        b = self.batcher
+        dummy = multimodal.build_sample(
+            list(range(2, 8)), [], self.runner.cfg
+        )
+        r1 = b.submit(dummy, max_new_tokens=1, keep_kv=True)
+        for _ in b.run():
+            pass
+        if r1.kv_snapshot is not None:
+            b.submit(
+                multimodal.build_sample(list(range(2, 6)), [], self.runner.cfg),
+                max_new_tokens=1, resume=r1.kv_snapshot,
+            )
+            for _ in b.run():
+                pass
+        b.resume_fills = 0  # telemetry counts LIVE resumes, not warmup
+
     def _signal_done(self, req) -> None:
+        self._finalize_session(req)
         with self._lock:
             ev = self._events.get(req.uid)
         if ev:
             ev.set()
+
+    def _finalize_session(self, req) -> None:
+        """Store the finished request's KVSnapshot under its session id (runs
+        on the engine/fleet completion path — the snapshot is cut by the
+        engine thread at emission time, so it exists by now)."""
+        with self._lock:
+            ctx = self._session_ctx.pop(req.uid, None)
+        if ctx is None or req.error or req.kv_snapshot is None:
+            return
+        from radvlm_tpu.serve.sessions import Session
+
+        sid, ids, img_hashes = ctx
+        self._sessions.put(sid, Session(
+            ids=list(ids) + list(req.emitted),
+            img_hashes=img_hashes,
+            snapshot=req.kv_snapshot,
+        ))
 
     def _engine_loop(self):
         """Drive the batcher forever; signal request completion events.
@@ -108,13 +164,14 @@ class BatchWorker:
             try:
                 for req in self.batcher.run():
                     progressed = True
-                    with self._lock:
-                        ev = self._events.get(req.uid)
-                    if ev:
-                        ev.set()
+                    self._signal_done(req)
             except Exception as e:
                 log.exception("batcher engine error; continuing")
-                self.batcher.fail_all(f"engine error: {e}")
+                # on_each pops each failed request's session context (no
+                # snapshot to store) and wakes its waiter.
+                self.batcher.fail_all(
+                    f"engine error: {e}", on_each=self._signal_done
+                )
                 with self._lock:
                     for ev in self._events.values():
                         ev.set()
@@ -128,15 +185,19 @@ class BatchWorker:
 
     def _submit(self, params_req: Dict[str, Any], *, stream: bool = False):
         """Build the multimodal sample and enqueue it; returns the Request
-        (raises ValueError for protocol errors, e.g. over-bucket prompts)."""
+        (raises ValueError for protocol errors, e.g. over-bucket prompts).
+
+        Requests carrying a "session_id" participate in multi-turn KV reuse
+        (serve/sessions.py): if the prompt exactly extends the stored
+        conversation, only the delta tokens are prefilled (resume=); the
+        finished turn's KV is snapshotted for the next one. Every miss path
+        is the plain full prefill."""
         prompt = params_req["prompt"]
         images = [load_image_from_base64(b) for b in params_req.get("images", [])]
         tok = self.runner.tokenizer
         ids = multimodal.tokenize_with_images(tok.encode, prompt)
-        sample = multimodal.build_sample(ids, images, self.runner.cfg)
         engine = self.fleet if self.fleet is not None else self.batcher
-        return engine.submit(
-            sample,
+        kw = dict(
             max_new_tokens=int(params_req.get("max_new_tokens", 256)),
             # per-request sampling (same protocol fields serve/worker.py
             # honors; each slot samples with its own params)
@@ -150,6 +211,41 @@ class BatchWorker:
             ),
             stream=stream,
         )
+        sid = params_req.get("session_id")
+        keep = bool(sid) and self._sessions is not None
+        req = None
+        if keep:
+            from radvlm_tpu.serve.sessions import image_hash, split_delta
+
+            img_hashes = [image_hash(im) for im in images]
+            ent = self._sessions.get(sid)
+            delta = split_delta(ent, ids, img_hashes) if ent else None
+            if delta is not None:
+                d_ids, k = delta
+                try:
+                    req = engine.submit(
+                        multimodal.build_sample(
+                            d_ids, images[k:], self.runner.cfg
+                        ),
+                        keep_kv=True, resume=ent.snapshot, **kw,
+                    )
+                except (ValueError, RuntimeError):
+                    # geometry overflow / quarantined fleet engine: the full
+                    # prefill below serves the turn (reuse is best-effort)
+                    req = None
+        if req is None:
+            req = engine.submit(
+                multimodal.build_sample(ids, images, self.runner.cfg),
+                keep_kv=keep, **kw,
+            )
+        if keep:
+            with self._lock:
+                self._session_ctx[req.uid] = (sid, ids, img_hashes)
+            if req.done:
+                # completion raced the registration (tiny prompts): finalize
+                # here — the pop makes this idempotent with _signal_done
+                self._finalize_session(req)
+        return req
 
     def _stops(self, params_req: Dict[str, Any]):
         return list(self.runner.template.stop_strings) + list(

@@ -92,8 +92,11 @@ class FleetEngine:
         import itertools
 
         shared_uids = itertools.count(1)
-        for b in self.batchers:
+        for i, b in enumerate(self.batchers):
             b._uid = shared_uids
+            # KVSnapshot.engine_idx: a conversation's KV rows live on THIS
+            # engine's device, so resumed turns must route back to it.
+            b._fleet_idx = i
         self._on_complete = on_complete
         self._done: "queue.Queue[Request]" = queue.Queue()
         # Outstanding-request COUNT (incremented before the enqueue, see
@@ -177,14 +180,25 @@ class FleetEngine:
 
     def submit(self, sample, max_new_tokens=None, **kw) -> Request:
         """Route to the least-loaded healthy engine (the controller's
-        shortest-queue policy, applied intra-process)."""
-        loads = [self._load(i) for i in range(len(self.batchers))]
-        i = min(range(len(loads)), key=loads.__getitem__)
-        if loads[i] == float("inf"):
-            raise RuntimeError(
-                f"all {len(self.batchers)} fleet engines are quarantined "
-                f"({QUARANTINE_AFTER}+ consecutive failures each)"
-            )
+        shortest-queue policy, applied intra-process). A resumed conversation
+        (kw["resume"] KVSnapshot) is pinned to the engine that cut the
+        snapshot — its KV rows live on that engine's device."""
+        resume = kw.get("resume")
+        if resume is not None:
+            i = resume.engine_idx
+            if self._errors[i] >= QUARANTINE_AFTER:
+                raise RuntimeError(
+                    f"fleet engine {i} holding this conversation's KV is "
+                    "quarantined — start a fresh conversation"
+                )
+        else:
+            loads = [self._load(i) for i in range(len(self.batchers))]
+            i = min(range(len(loads)), key=loads.__getitem__)
+            if loads[i] == float("inf"):
+                raise RuntimeError(
+                    f"all {len(self.batchers)} fleet engines are quarantined "
+                    f"({QUARANTINE_AFTER}+ consecutive failures each)"
+                )
         with self._lock:
             self._pending_n += 1
         try:

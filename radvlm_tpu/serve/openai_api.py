@@ -85,6 +85,12 @@ def messages_to_request(
         req["stop"] = stop
     elif isinstance(stop, list) and stop:
         req["stop"] = stop[0]  # worker protocol carries one extra stop string
+    # OpenAI's `user` field (stable end-user id): doubles as the conversation
+    # key for the worker's multi-turn KV reuse (serve/sessions.py) — a client
+    # re-sending the growing message list under the same `user` only pays
+    # prefill for the new turn.
+    if body.get("user"):
+        req["session_id"] = str(body["user"])
     return req
 
 

@@ -316,6 +316,10 @@ class WebApp:
             "max_new_tokens": int(data.get("max_new_tokens", 512)),
             "temperature": float(data.get("temperature", 0.0)),
             "top_p": float(data.get("top_p", 1.0)),
+            # batch workers reuse the conversation's KV across turns when the
+            # controller routes consecutive turns to the same worker
+            # (serve/sessions.py); other workers ignore the field
+            "session_id": data.get("session_id"),
         }
 
     def finish_turn(self, sess: Session, model: str, text: str, ip: str) -> None:

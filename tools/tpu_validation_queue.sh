@@ -48,7 +48,14 @@ task_spec() {       # 7. speculative decoding on-chip: verify-window graph
   run timeout 3600 env RADVLM_SPEC_K=4 python bench.py
 }
 
+task_resume() {    # 8. multi-turn KV reuse on-chip: delta-prefill graph
+                   #    (windowed cached forward) compiles on TPU and the
+                   #    resumed stream bit-matches full re-prefill
+  run timeout 1800 env RADVLM_TEST_TPU=1 \
+      python -m pytest tests/test_kv_resume.py -x -q
+}
+
 if [ $# -eq 0 ]; then
-  set -- smoke bench7b warm slots32 flash rehearsal spec
+  set -- smoke bench7b warm slots32 flash rehearsal spec resume
 fi
 for t in "$@"; do "task_$t"; done
