@@ -74,6 +74,25 @@ class KVSnapshot:
     kv_quant: bool
     hist_row: Optional[Any] = None  # [1, S] spec-mode token history row
     engine_idx: int = 0  # fleet affinity (serve/fleet.py routes resumes here)
+    # How many of the request's emitted ids the snapshot covers. Usually all
+    # of them; fewer when the final emitted token was produced by the last
+    # dispatched chunk and never fed back (its K/V is then not in the cache —
+    # possible at pipeline_depth=0). Callers storing conversation state must
+    # pair the snapshot with ids[:n_reply] (see serve/batch_worker.py).
+    n_reply: int = 0
+
+    def truncated(self, k: int) -> "KVSnapshot":
+        """A snapshot covering `k` fewer trailing reply tokens (device rows
+        are shared — resume clamps segments/history at `widx`, so the extra
+        KV above the shorter extent is never attendable)."""
+        if k <= 0:
+            return self
+        if k > self.n_reply:
+            raise ValueError(f"cannot drop {k} of {self.n_reply} reply tokens")
+        return dataclasses.replace(
+            self, widx=self.widx - k, real_len=self.real_len - k,
+            n_reply=self.n_reply - k,
+        )
 
 
 @dataclasses.dataclass
@@ -613,7 +632,23 @@ class ContinuousBatcher:
         holds prompt + every FED token; tokens are fed in emission order, so
         [0, fill_len + len(emitted)) is exactly prompt + reply even while
         pipelined post-eos chunks still scatter garbage above it."""
+        # A token's K/V is written when it is FED (the step after it was
+        # produced). A final emitted token produced by the very last
+        # dispatched chunk has no later chunk to feed it when the engine goes
+        # idle (pipeline_depth=0), so it is excluded — the snapshot then
+        # covers n-1 reply tokens and records that in n_reply (the worker
+        # pairs stored ids with the covered count; the dropped token simply
+        # rides the next turn's delta). Plain mode counts dispatched decode
+        # writes exactly (slot_len advances K per chunk); spec mode advances
+        # data-dependently on device, so it uses the conservative "is any
+        # later chunk already dispatched" signal from _process_chunk.
         n = len(req.emitted)
+        if self.spec_k:
+            if getattr(self, "_chunks_in_flight", 0) == 0 and n > 0:
+                n -= 1
+        else:
+            fed = int(self.slot_len[slot] - self.slot_fill_len[slot])
+            n = min(n, max(0, fed))
         widx = int(self.slot_fill_len[slot]) + n
         real = int(self.slot_fill_real[slot]) + n
         rows, seg = self._snap_fn("cache")(
@@ -625,7 +660,7 @@ class ContinuousBatcher:
         req.kv_snapshot = KVSnapshot(
             cache_rows=rows, seg_row=seg, widx=widx, real_len=real,
             max_len=self.max_len, kv_quant=self.kv_quant, hist_row=hist,
-            engine_idx=getattr(self, "_fleet_idx", 0),
+            engine_idx=getattr(self, "_fleet_idx", 0), n_reply=n,
         )
 
     def _resume_fill_fn(self, dl: int, t_tiles: int):
@@ -1007,7 +1042,7 @@ class ContinuousBatcher:
                     "resuming on a spec-decoding engine needs a snapshot cut "
                     "by a spec engine (hist_row missing)"
                 )
-            dl = max(128, -(-sample.length // 128) * 128)
+            dl = self._delta_pad_len(sample)
             if resume.widx + dl > self.max_len:
                 raise ValueError(
                     f"delta pads to {dl} tokens at cache offset {resume.widx} "
@@ -1043,12 +1078,7 @@ class ContinuousBatcher:
         # Collate + start the H2D transfer NOW (async): by the time the
         # engine loop refills a slot, the tiles are already on device.
         if resume is not None:
-            host_batch = multimodal.collate(
-                [sample], pad_len=dl,
-                # text-only deltas skip the padded vision tower entirely
-                pad_tiles=self.pad_tiles if (sample.img_src >= 0).any() else 1,
-                pad_to_multiple=128, left_pad=False,
-            )
+            host_batch = self._collate_delta(sample)
         else:
             bucket = self._bucket_for(sample.length)
             host_batch = multimodal.collate(
@@ -1073,6 +1103,22 @@ class ContinuousBatcher:
                 return b
         return self.prompt_buckets[-1]
 
+    @staticmethod
+    def _delta_pad_len(sample: multimodal.MMSample) -> int:
+        """Padded width of a resume delta window (must fit above the
+        snapshot's widx — validated in submit, consumed in _collate_delta)."""
+        return max(128, -(-sample.length // 128) * 128)
+
+    def _collate_delta(self, sample: multimodal.MMSample):
+        """Right-padded batch for a resume delta prefill (the window writes
+        cache [widx, widx+dl), so real tokens lead and pads trail)."""
+        return multimodal.collate(
+            [sample], pad_len=self._delta_pad_len(sample),
+            # text-only deltas skip the padded vision tower entirely
+            pad_tiles=self.pad_tiles if (sample.img_src >= 0).any() else 1,
+            pad_to_multiple=128, left_pad=False,
+        )
+
     def _materialize(self, req: Request):
         """(device batch [1, L], real_len) for a request."""
         import jax.numpy as jnp
@@ -1082,13 +1128,7 @@ class ContinuousBatcher:
             req.dev_batch = None  # release after fill
             return batch, real_len
         if req.resume is not None:  # delta prefill: right-pad (see submit)
-            dl = max(128, -(-req.sample.length // 128) * 128)
-            host_batch = multimodal.collate(
-                [req.sample], pad_len=dl,
-                pad_tiles=self.pad_tiles
-                if (req.sample.img_src >= 0).any() else 1,
-                pad_to_multiple=128, left_pad=False,
-            )
+            host_batch = self._collate_delta(req.sample)
         else:
             bucket = self._bucket_for(req.sample.length)
             host_batch = multimodal.collate(
@@ -1285,6 +1325,9 @@ class ContinuousBatcher:
     def _process_chunk(self, inflight, finished) -> None:
         """Read back the OLDEST in-flight chunk and emit its tokens."""
         toks_dev, counts_dev, snapshot = inflight.popleft()
+        # chunks dispatched AFTER the one being read back — _take_snapshot's
+        # "was the final emitted token fed" signal in spec mode
+        self._chunks_in_flight = len(inflight)
         toks = np.asarray(toks_dev)  # waits for this chunk only (async queue)
         counts = None if counts_dev is None else np.asarray(counts_dev)
         for slot, req in snapshot:
@@ -1309,11 +1352,13 @@ class ContinuousBatcher:
                         break
                     n = int(counts[slot, step])
                     self.spec_stats["verify_steps"] += 1
-                    self.spec_stats["emitted"] += n
+                    before = len(req.emitted)
                     for t in toks[slot, step, :n]:
                         if req.done:
                             break
                         self._emit(slot, int(t))
+                    # count ACTUAL emissions (eos/max_new can cut the window)
+                    self.spec_stats["emitted"] += len(req.emitted) - before
             if req.done:
                 finished.append(req)
 

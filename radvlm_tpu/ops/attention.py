@@ -171,6 +171,13 @@ def mha(
     use_flash = False
     if window or alibi:
         impl = "xla"  # flash kernels have no sliding-window/ALiBi support
+    if impl == "flash" and not (isinstance(q_offset, int) and q_offset == 0):
+        # The flash kernel has no q_offset support: a query block sitting at
+        # a nonzero (or per-row) cache offset — speculative verify windows and
+        # resume delta prefills (`qwen2._block_cached` s>1) — would be masked
+        # as absolute positions 0..Sq. Force the XLA path rather than emit
+        # wrong attention under an explicit impl="flash".
+        impl = "xla"
     if impl == "flash":
         use_flash = True
     elif impl == "auto":

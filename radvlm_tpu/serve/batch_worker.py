@@ -87,6 +87,11 @@ class BatchWorker:
                 on_complete=self._signal_done,
             )
             self.fleet.warmup()
+            if self._sessions is not None:
+                # before start(): the dispatch loops are not running yet, so
+                # driving each batcher's run() directly is safe
+                for b in self.fleet.batchers:
+                    self._warmup_engine_sessions(b)
             self.fleet.start()
             return
         self.fleet = None
@@ -102,25 +107,25 @@ class BatchWorker:
         # should stream immediately, not sit behind a minutes-long XLA compile.
         self.batcher.warmup()
         if self._sessions is not None:
-            self._warmup_sessions()
+            self._warmup_engine_sessions(self.batcher)
         self._engine_thread = threading.Thread(target=self._engine_loop, daemon=True)
         self._engine_thread.start()
 
-    def _warmup_sessions(self) -> None:
+    def _warmup_engine_sessions(self, b) -> None:
         """Compile the text-only resume-fill graph before serving: the first
         resumed turn of a live chat would otherwise stall every slot on its
         XLA compile mid-stream (same contract as ContinuousBatcher.warmup).
         Runs a real 2-turn dummy conversation through the engine — cheap at
-        the tiny delta shapes — before the engine loop starts. Image-delta
+        the tiny delta shapes — before its dispatch loop starts. Image-delta
         graphs (rare) still compile lazily."""
-        b = self.batcher
         dummy = multimodal.build_sample(
             list(range(2, 8)), [], self.runner.cfg
         )
         r1 = b.submit(dummy, max_new_tokens=1, keep_kv=True)
         for _ in b.run():
             pass
-        if r1.kv_snapshot is not None:
+        snap = r1.kv_snapshot
+        if snap is not None and snap.widx + 128 <= b.max_len:
             b.submit(
                 multimodal.build_sample(list(range(2, 6)), [], self.runner.cfg),
                 max_new_tokens=1, resume=r1.kv_snapshot,
@@ -139,18 +144,42 @@ class BatchWorker:
     def _finalize_session(self, req) -> None:
         """Store the finished request's KVSnapshot under its session id (runs
         on the engine/fleet completion path — the snapshot is cut by the
-        engine thread at emission time, so it exists by now)."""
+        engine thread at emission time, so it exists by now).
+
+        Stored ids must be exactly what the CLIENT's next prompt will extend:
+        (a) only the snapshot-covered emitted tokens (KVSnapshot.n_reply — the
+        final token can be uncovered at pipeline_depth=0), and (b) only up to
+        the stop-string trim the worker applied to the returned text — the
+        client never saw tokens past the stop, so storing them would make
+        every future prefix match miss and silently disable reuse."""
         with self._lock:
             ctx = self._session_ctx.pop(req.uid, None)
         if ctx is None or req.error or req.kv_snapshot is None:
             return
         from radvlm_tpu.serve.sessions import Session
 
-        sid, ids, img_hashes = ctx
+        sid, ids, img_hashes, stops = ctx
+        snap = req.kv_snapshot
+        covered = snap.n_reply
+        tok = self.runner.tokenizer
+        raw = tok.decode(req.emitted)
+        trimmed = trim_at_stop_strings(raw, stops)
+        if trimmed != raw:
+            t = None
+            for i in range(len(req.emitted), -1, -1):
+                d = tok.decode(req.emitted[:i])
+                if d == trimmed:
+                    t = i
+                    break
+                if len(d) < len(trimmed):
+                    break  # decodes only shrink from here
+            if t is None:
+                return  # stop cut mid-token: no storable clean boundary
+            covered = min(covered, t)
         self._sessions.put(sid, Session(
-            ids=list(ids) + list(req.emitted),
+            ids=list(ids) + list(req.emitted[:covered]),
             img_hashes=img_hashes,
-            snapshot=req.kv_snapshot,
+            snapshot=snap.truncated(snap.n_reply - covered),
         ))
 
     def _engine_loop(self):
@@ -240,7 +269,9 @@ class BatchWorker:
             )
         if keep:
             with self._lock:
-                self._session_ctx[req.uid] = (sid, ids, img_hashes)
+                self._session_ctx[req.uid] = (
+                    sid, ids, img_hashes, self._stops(params_req)
+                )
             if req.done:
                 # completion raced the registration (tiny prompts): finalize
                 # here — the pop makes this idempotent with _signal_done
@@ -392,6 +423,13 @@ class BatchWorker:
                         }}, code=400)
                         return
                     model = data.get("model") or worker.model_names[0]
+                    if model not in worker.model_names:
+                        self._json({"error": {
+                            "message": f"model {model!r} not found",
+                            "type": "invalid_request_error",
+                            "code": "model_not_found",
+                        }}, code=404)
+                        return
                     req_id, created = oai.new_request_id(), oai.now()
                     if data.get("stream"):
                         self.send_response(200)

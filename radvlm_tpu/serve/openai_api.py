@@ -85,12 +85,24 @@ def messages_to_request(
         req["stop"] = stop
     elif isinstance(stop, list) and stop:
         req["stop"] = stop[0]  # worker protocol carries one extra stop string
-    # OpenAI's `user` field (stable end-user id): doubles as the conversation
-    # key for the worker's multi-turn KV reuse (serve/sessions.py) — a client
-    # re-sending the growing message list under the same `user` only pays
-    # prefill for the new turn.
+    # Multi-turn KV reuse key (serve/sessions.py): OpenAI's `user` is a
+    # per-end-user id, not a per-conversation one, so key on
+    # (user, first user message) — a growing message list keeps its first
+    # message stable while two interleaved chats under one user get distinct
+    # keys instead of evicting each other. Reuse is a best-effort cache: like
+    # any shared-prefix KV cache, a hit is observable as lower first-token
+    # latency, and the prefix match requires knowing the exact conversation
+    # (ids + image hashes); set RADVLM_SESSION_CAP=0 to disable entirely.
     if body.get("user"):
-        req["session_id"] = str(body["user"])
+        import hashlib
+
+        first_user = next(
+            (t for r, t in turns if r == "user"), ""
+        )
+        h = hashlib.sha256(
+            str(body["user"]).encode() + b"\x00" + first_user.encode()
+        ).hexdigest()[:32]
+        req["session_id"] = f"oai-{h}"
     return req
 
 

@@ -188,6 +188,67 @@ def test_resume_geometry_validation(rng):
         b.submit(multimodal.build_sample(big, [], cfg), resume=snap)
 
 
+def test_resume_pipeline_depth0_partial_coverage(rng):
+    """At pipeline_depth=0 the final emitted token's K/V may never be fed;
+    the snapshot must then cover fewer reply tokens (n_reply) and a resume
+    whose delta re-feeds the uncovered tail must still match full prefill."""
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(7))
+    ids1, img1, d2, _, _ = _conversation(cfg, rng)
+    steps = 4
+
+    b = ContinuousBatcher(
+        params, cfg, GenerationConfig(max_new_tokens=steps, eos_token_ids=()),
+        num_slots=2, max_len=512, prompt_buckets=(128,),
+        pad_tiles=2, attn_impl="xla", pipeline_depth=0,
+    )
+    s1 = multimodal.build_sample(ids1, [img1], cfg)
+    r1 = _run_one(b, s1, steps, keep_kv=True)
+    snap = r1.kv_snapshot
+    assert 0 <= snap.n_reply <= len(r1.emitted)
+
+    # the engine contract: the caller's delta starts after the COVERED ids
+    ids2 = ids1 + r1.emitted + d2
+    exp2 = _static_reference(
+        params, cfg, multimodal.build_sample(ids2, [img1], cfg), steps
+    )
+    delta = r1.emitted[snap.n_reply:] + d2
+    r2 = _run_one(b, multimodal.build_sample(delta, [], cfg), steps,
+                  resume=snap)
+    assert r2.emitted == exp2
+
+
+def test_snapshot_truncated(rng):
+    """KVSnapshot.truncated(k) drops trailing reply tokens; resuming from the
+    shorter prefix (delta re-feeds them) matches full prefill."""
+    cfg = cfglib.tiny_test_config()
+    params = radvlm.init_params(cfg, jax.random.key(7))
+    ids1, img1, d2, _, _ = _conversation(cfg, rng)
+    steps = 4
+    b = ContinuousBatcher(
+        params, cfg, GenerationConfig(max_new_tokens=steps, eos_token_ids=()),
+        num_slots=2, max_len=512, prompt_buckets=(128,),
+        pad_tiles=2, attn_impl="xla",
+    )
+    s1 = multimodal.build_sample(ids1, [img1], cfg)
+    r1 = _run_one(b, s1, steps, keep_kv=True)
+    snap = r1.kv_snapshot
+    assert snap.n_reply >= 2
+    short = snap.truncated(2)
+    assert short.widx == snap.widx - 2 and short.n_reply == snap.n_reply - 2
+
+    ids2 = ids1 + r1.emitted + d2
+    exp2 = _static_reference(
+        params, cfg, multimodal.build_sample(ids2, [img1], cfg), steps
+    )
+    delta = r1.emitted[short.n_reply:] + d2
+    r2 = _run_one(b, multimodal.build_sample(delta, [], cfg), steps,
+                  resume=short)
+    assert r2.emitted == exp2
+    with pytest.raises(ValueError):
+        snap.truncated(snap.n_reply + 1)
+
+
 def test_no_snapshot_without_keep_kv(rng):
     cfg = cfglib.tiny_test_config()
     params = radvlm.init_params(cfg, jax.random.key(7))

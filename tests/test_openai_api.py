@@ -144,6 +144,13 @@ def test_chat_completions_http_round_trip():
     assert r.status_code == 400
     assert r.json()["error"]["type"] == "invalid_request_error"
 
+    # unknown model -> 404 model_not_found (omitting model still serves the
+    # worker's single model, matching the reference worker's direct door)
+    r = requests.post(addr + "/v1/chat/completions",
+                      json={**body, "model": "nope"}, timeout=30)
+    assert r.status_code == 404
+    assert r.json()["error"]["code"] == "model_not_found"
+
     # controller as OpenAI gateway: /v1 requests dispatch to the worker
     from radvlm_tpu.serve.controller import Controller
 

@@ -142,6 +142,39 @@ def test_openai_user_field_keys_sessions(worker):
     assert w.batcher.resume_fills == before + 1
 
 
+def test_session_survives_stop_string_trim(worker):
+    """A client stop string trims the returned text; the stored session must
+    align with the TRIMMED reply so the next turn still resumes."""
+    w, addr = worker
+    img = _png_b64(np.full((48, 48, 3), 7, np.uint8))
+    p1 = "<image>\nS1"
+    r1 = _gen(addr, {"prompt": p1, "images": [img], "max_new_tokens": 4,
+                     "session_id": "sess-stop"})
+    assert r1["error_code"] == 0 and len(r1["text"]) == 4
+    # re-run trimming at a later reply char (one that does not also appear
+    # earlier, so the trim point is deterministic): the worker must store
+    # only the tokens the client saw
+    stop_char = next(
+        (c for c in r1["text"][2:] if c not in r1["text"][:2]), None
+    )
+    if stop_char is None:
+        pytest.skip("degenerate greedy output: every char repeats")
+    cut = r1["text"].index(stop_char)
+    w._sessions.drop("sess-stop")
+    r1b = _gen(addr, {"prompt": p1, "images": [img], "max_new_tokens": 4,
+                      "session_id": "sess-stop", "stop": stop_char})
+    assert r1b["error_code"] == 0
+    assert r1b["text"] == r1["text"][:cut]
+    before = w.batcher.resume_fills
+    p2 = p1 + r1b["text"] + "S2"
+    r2 = _gen(addr, {"prompt": p2, "images": [img], "max_new_tokens": 3,
+                     "session_id": "sess-stop"})
+    assert r2["error_code"] == 0
+    assert w.batcher.resume_fills == before + 1
+    r2_full = _gen(addr, {"prompt": p2, "images": [img], "max_new_tokens": 3})
+    assert r2["text"] == r2_full["text"]
+
+
 def test_store_lru_eviction():
     store = SessionStore(cap=2)
     for i in range(3):
