@@ -97,7 +97,51 @@ def rec_reward(
     return r
 
 
-REWARD_FNS: Dict[str, Callable[..., float]] = {"rec": rec_reward}
+def report_reward(text: str, solution: str, gc: GRPOConfig) -> float:
+    """Report-generation reward: ROUGE-L F vs the ground-truth report (the
+    exact scorer the eval harness reports, `eval/metrics/nlg.py rouge`) plus
+    a BLEU-4 term — dense lexical signal for the flagship task the reference
+    evaluates with these same metrics (`vilmedic/utils.py:36-66`)."""
+    from radvlm_tpu.eval.metrics.nlg import bleu4, rouge
+
+    if not text.strip() or not solution.strip():
+        return 0.0
+    rl, _ = rouge([solution], [text], kind="rougeL")
+    bl, _ = bleu4([solution], [text])
+    return 0.5 * rl + 0.5 * bl
+
+
+def classification_reward(text: str, solution: str, gc: GRPOConfig) -> float:
+    """Abnormality-classification reward: F1 between the pathology set named
+    in the completion and in the solution, matched with the SAME substring
+    rule the eval harness scores with
+    (`eval/metrics/classification.predicted_labels_from_text`, mirroring
+    `compute_metrics_tasks.py:171-231`)."""
+    from radvlm_tpu.data.datasets import CHEXPERT_PATHOLOGIES
+    from radvlm_tpu.eval.metrics.classification import (
+        predicted_labels_from_text,
+    )
+
+    pred = set(predicted_labels_from_text(text, CHEXPERT_PATHOLOGIES))
+    gt = set(predicted_labels_from_text(solution, CHEXPERT_PATHOLOGIES))
+    if not gt:
+        # "no finding"-style solution: reward silence, penalize hallucination
+        return 1.0 if not pred else 0.0
+    if not pred:
+        return 0.0
+    tp = len(pred & gt)
+    prec, rec = tp / len(pred), tp / len(gt)
+    return 2 * prec * rec / (prec + rec) if tp else 0.0
+
+
+# Registry contract: fn(completion_text, cell, grpo_config) -> float.
+REWARD_FNS: Dict[str, Callable[..., float]] = {
+    "rec": lambda text, cell, gc: rec_reward(text, cell.gt_boxes, gc),
+    "report": lambda text, cell, gc: report_reward(text, cell.solution, gc),
+    "classification": lambda text, cell, gc: classification_reward(
+        text, cell.solution, gc
+    ),
+}
 
 
 def group_advantages(rewards: np.ndarray, group_size: int, eps: float) -> np.ndarray:
@@ -251,6 +295,7 @@ class GRPOCell:
     prompt_ids: List[int]  # tokenized user turn incl. IMAGE_TOKEN_INDEX
     images: List[np.ndarray]
     gt_boxes: List[List[float]]
+    solution: str = ""  # raw solution text (report / label rewards)
 
 
 def rollout_wave(
@@ -293,7 +338,7 @@ def rollout_wave(
             {"cell": cell, "ids": cell.prompt_ids, "emitted": list(req.emitted),
              "text": text}
         )
-        rewards.append(reward_fn(text, cell.gt_boxes, gc))
+        rewards.append(reward_fn(text, cell, gc))
     return rollouts, np.asarray(rewards, np.float32)
 
 
@@ -373,6 +418,7 @@ def load_grpo_cells(
                 GRPOCell(
                     prompt_ids=ids, images=images,
                     gt_boxes=parse_solution_boxes(sol),
+                    solution=str(sol),
                 )
             )
     return cells

@@ -51,6 +51,55 @@ def test_rec_reward():
     assert 0.1 < r < 1.1
 
 
+def test_report_reward():
+    from radvlm_tpu.training.grpo import report_reward
+
+    gc = GRPOConfig()
+    sol = "There is a small left pleural effusion. No pneumothorax."
+    # exact match scores highest; unrelated text scores near zero
+    assert report_reward(sol, sol, gc) == pytest.approx(1.0, abs=1e-6)
+    hi = report_reward("Small left pleural effusion present.", sol, gc)
+    lo = report_reward("The weather is sunny today.", sol, gc)
+    assert hi > lo >= 0.0
+    assert report_reward("", sol, gc) == 0.0
+
+
+def test_classification_reward():
+    from radvlm_tpu.training.grpo import classification_reward
+
+    gc = GRPOConfig()
+    sol = "Findings: Pleural Effusion, Cardiomegaly."
+    # exact label set -> F1 = 1
+    assert classification_reward(
+        "pleural effusion and cardiomegaly", sol, gc
+    ) == pytest.approx(1.0)
+    # one of two labels + no false positives -> F1 = 2/3
+    assert classification_reward("cardiomegaly", sol, gc) == pytest.approx(2 / 3)
+    # hallucinated extra label lowers precision
+    assert classification_reward(
+        "cardiomegaly, pneumonia", sol, gc
+    ) < classification_reward("cardiomegaly", sol, gc) + 1e-9
+    # clean "no finding" case
+    assert classification_reward("no findings", "No Finding", gc) in (0.0, 1.0)
+    assert classification_reward("", "nothing acute", gc) == 1.0
+
+
+def test_reward_registry_dispatch():
+    """Registry fns take (text, cell, gc) — the rollout loop's contract."""
+    cell = grpo.GRPOCell(
+        prompt_ids=[1], images=[], gt_boxes=[[0.1, 0.1, 0.5, 0.5]],
+        solution="There is evidence of cardiomegaly on the chest radiograph.",
+    )
+    gc = GRPOConfig()
+    assert grpo.REWARD_FNS["rec"](
+        "[0.10, 0.10, 0.50, 0.50]", cell, gc
+    ) == pytest.approx(2.1)
+    assert grpo.REWARD_FNS["classification"]("cardiomegaly", cell, gc) == 1.0
+    assert grpo.REWARD_FNS["report"](cell.solution, cell, gc) == pytest.approx(
+        1.0, abs=1e-6
+    )
+
+
 def test_group_advantages():
     rewards = np.array([1.0, 0.0, 1.0, 0.0, 5.0, 5.0, 5.0, 5.0], np.float32)
     adv = group_advantages(rewards, 4, eps=1e-4)

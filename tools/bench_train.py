@@ -1,0 +1,201 @@
+"""Training-step throughput benchmark (samples/s/chip, tokens/s, MFU).
+
+BASELINE.md pins the reference's training scale — 1,022,742 image-instruction
+pairs, 1 epoch in ~12 h on 128 GH200-class GPUs (`finetune_radio_7b.sh:4-9`),
+i.e. ~0.185 samples/s/GPU — but publishes no throughput figure. This tool
+measures OUR side of that contract on whatever accelerator is attached: the
+jitted SFT (or QLoRA) train step over synthetic anyres CXR batches at the
+reference's sample geometry (one anyres image -> ~3.4k multimodal tokens,
+supervised report tail; `finetune_radio_7b.sh:53-61`).
+
+Modes (RADVLM_TRAIN_BENCH_SIZE):
+  tiny      CPU smoke (tests)
+  0.5b      full SFT step, fits one chip
+  7b-qlora  LoRA over an int8-frozen base (`training/lora.py` +
+            `train_step.make_lora_train_step`) — the 16 GB v5e single-chip
+            training mode (reference QLoRA prep, `train.py:1466-1503`)
+  7b        full bf16 SFT, sharded over RADVLM_TRAIN_BENCH_MESH (needs >1 chip
+            or a virtual CPU mesh)
+
+Env knobs: RADVLM_TRAIN_BENCH_SEQ (pad bucket, default 4096), _BATCH (per-step
+global batch, default 1), _STEPS (timed steps, default 8),
+_MESH ("data=1,fsdp=8"), _IMG_PX (square synthetic image override).
+
+Prints ONE JSON line {"metric", "value", "unit", ...extras}. MFU counts
+decoder matmul FLOPs only (6 * text-params * tokens — attention-score and
+vision-tower FLOPs excluded, so it is a conservative lower bound) against the
+per-chip bf16 peak.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, str(default)))
+
+
+def _make_batch(cfg, *, batch: int, pad_len: int, rng) -> dict:
+    """Synthetic anyres CXR training batch at the reference geometry:
+    [IMAGE]<prompt ~40 tok><report ~160 tok supervised>."""
+    from radvlm_tpu.config import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+    from radvlm_tpu.models import multimodal
+
+    img_px = _env_int("RADVLM_TRAIN_BENCH_IMG_PX", 0)
+    samples = []
+    for _ in range(batch):
+        h = img_px or int(rng.integers(480, 560))
+        w = img_px or int(rng.integers(400, 520))
+        img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        prompt = list(rng.integers(100, 1000, size=40))
+        report = list(rng.integers(100, 1000, size=160))
+        ids = [IMAGE_TOKEN_INDEX] + prompt + report
+        labels = [IGNORE_INDEX] * (1 + len(prompt)) + report
+        samples.append(multimodal.build_sample(ids, [img], cfg, labels=labels))
+    pad_tiles = max(int(s.tiles.shape[0]) for s in samples)
+    return multimodal.collate(
+        samples, pad_len=pad_len, pad_tiles=pad_tiles, pad_to_multiple=128
+    )
+
+
+def _text_param_count(cfg) -> int:
+    """Decoder parameter count from the config (analytic — independent of
+    whether the stored base is int8/int4)."""
+    t = cfg.text
+    d, v, L = t.hidden_size, t.vocab_size, t.num_layers
+    kv = t.num_kv_heads * t.head_dim
+    attn = d * d + 2 * d * kv + d * d  # q, k, v, o
+    mlp = 3 * d * t.intermediate_size
+    return L * (attn + mlp) + 2 * v * d  # + embed + lm_head
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from radvlm_tpu import config as cfglib
+    from radvlm_tpu.parallel.mesh import make_mesh
+    from radvlm_tpu.training import train_step as ts
+    from radvlm_tpu.training.optimizer import TrainConfig
+
+    size = os.environ.get("RADVLM_TRAIN_BENCH_SIZE", "7b-qlora")
+    seq = _env_int("RADVLM_TRAIN_BENCH_SEQ", 4096)
+    batch = _env_int("RADVLM_TRAIN_BENCH_BATCH", 1)
+    steps = _env_int("RADVLM_TRAIN_BENCH_STEPS", 8)
+    mesh_spec = os.environ.get("RADVLM_TRAIN_BENCH_MESH", "")
+
+    qlora = size.endswith("-qlora")
+    base_size = size[: -len("-qlora")] if qlora else size
+    if base_size == "tiny":
+        cfg = cfglib.tiny_test_config()
+        seq = min(seq, 512)
+    elif base_size == "7b":
+        cfg = cfglib.radvlm_7b()
+    elif base_size == "0.5b":
+        cfg = cfglib.radvlm_0_5b()
+    else:
+        raise SystemExit(f"unknown RADVLM_TRAIN_BENCH_SIZE={size!r}")
+
+    mesh_shape = None
+    if mesh_spec:
+        mesh_shape = {
+            k: int(v) for k, v in
+            (kv.split("=") for kv in mesh_spec.split(","))
+        }
+    mesh = make_mesh(mesh_shape)
+    n_chips = int(np.prod(list(mesh.shape.values()))) or 1
+
+    rng = np.random.default_rng(0)
+    host_batch = _make_batch(cfg, batch=batch, pad_len=seq, rng=rng)
+
+    train_cfg = TrainConfig(
+        learning_rate=1e-5, warmup_ratio=0.0, grad_accum_steps=1,
+        total_steps=max(steps + 4, 8),
+    )
+
+    if qlora:
+        from radvlm_tpu.training.lora import LoraConfig
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)) or ".")
+        from bench import _random_quantized_params
+
+        base = _random_quantized_params(cfg, bits=8)
+        state, base, step_fn = ts.setup_lora_training(
+            mesh, cfg, train_cfg, LoraConfig(), base,
+        )
+        run = lambda st, b: step_fn(st, base, b)
+        n_train_params = sum(
+            int(np.prod(x.shape)) for x in jax.tree.leaves(state.params)
+        )
+    else:
+        from radvlm_tpu.models import radvlm
+
+        params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+        state, step_fn, _ = ts.setup_training(mesh, cfg, train_cfg, params)
+        del params
+        run = step_fn
+        n_train_params = sum(
+            int(np.prod(x.shape)) for x in jax.tree.leaves(state.params)
+        )
+
+    dev_batch = ts.put_batch(mesh, host_batch)
+
+    t0 = time.perf_counter()
+    for _ in range(2):  # compile + first exec
+        state, metrics = run(state, dev_batch)
+    _ = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(steps):
+        t = time.perf_counter()
+        state, metrics = run(state, dev_batch)
+        _ = float(metrics["loss"])  # forces device sync (tunnel-safe)
+        times.append(time.perf_counter() - t)
+
+    step_s = float(np.median(times))
+    samples_s = batch / step_s
+    tokens = int(host_batch["tokens"].shape[0] * host_batch["tokens"].shape[1])
+    sup_tokens = int((host_batch["labels"] != -100).sum())
+    # Conservative matmul-only model FLOPs: 6 * N_text * processed tokens
+    # (fwd 2N + bwd 4N per token); remat recompute and attention scores are
+    # extra real work not counted, so true hardware utilization is higher.
+    flops = 6.0 * _text_param_count(cfg) * tokens
+    tflops_s = flops / step_s / 1e12
+    peak_per_chip = 197.0 if jax.devices()[0].platform == "tpu" else float("nan")
+    mfu = tflops_s / (peak_per_chip * n_chips) if peak_per_chip == peak_per_chip else None
+
+    # Reference scale: 1,022,742 pairs / (12 h * 128 GPUs) ~ 0.185 samples/s
+    # per GH200 (BASELINE.md training-scale row). Geometry differs per sample;
+    # this is a scale comparison, not a controlled A/B.
+    ref_per_gpu = 1022742 / (12 * 3600 * 128)
+    per_chip = samples_s / n_chips
+
+    print(json.dumps({
+        "metric": "train_samples_per_s_per_chip",
+        "value": round(per_chip, 4),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(per_chip / ref_per_gpu, 2),
+        "mode": size,
+        "n_chips": n_chips,
+        "mesh": dict(mesh.shape),
+        "seq": seq,
+        "batch": batch,
+        "step_s": round(step_s, 4),
+        "compile_s": round(compile_s, 1),
+        "tokens_per_s": round(tokens * samples_s / batch, 1),
+        "supervised_tokens_per_batch": sup_tokens,
+        "model_tflops_per_s": round(tflops_s, 2),
+        "mfu_lower_bound": round(mfu, 4) if mfu is not None else None,
+        "trainable_params": n_train_params,
+        "ref_samples_per_s_per_gpu": round(ref_per_gpu, 4),
+        "device": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

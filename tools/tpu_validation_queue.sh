@@ -55,7 +55,15 @@ task_resume() {    # 8. multi-turn KV reuse on-chip: delta-prefill graph
       python -m pytest tests/test_kv_resume.py -x -q
 }
 
+task_train() {     # 9. training-step throughput: 0.5B full SFT then the
+                   #    7B QLoRA (int8 base + LoRA) single-chip mode
+  run timeout 1800 env RADVLM_TRAIN_BENCH_SIZE=0.5b PYTHONPATH=. \
+      python tools/bench_train.py
+  run timeout 3600 env RADVLM_TRAIN_BENCH_SIZE=7b-qlora PYTHONPATH=. \
+      python tools/bench_train.py
+}
+
 if [ $# -eq 0 ]; then
-  set -- smoke bench7b warm slots32 flash rehearsal spec resume
+  set -- smoke bench7b warm slots32 flash rehearsal spec resume train
 fi
 for t in "$@"; do "task_$t"; done
