@@ -7,6 +7,7 @@ named axes, over which pjit/GSPMD compiles all collectives onto ICI/DCN.
 
 Axes:
   data   — data parallelism (batch split; ZeRO-style optimizer sharding rides fsdp)
+  stage  — pipeline parallelism (GPipe layer stages, parallel/pp.py)
   fsdp   — parameter/optimizer sharding (ZeRO-3 equivalent, `scripts/zero3.json`)
   seq    — sequence/context parallelism (ring attention, parallel/ring.py)
   tensor — tensor parallelism (not in the reference — SURVEY.md §2.7 — but first-class
@@ -22,7 +23,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "seq", "tensor", "expert")
+AXES = ("data", "stage", "fsdp", "seq", "tensor", "expert")
 
 
 def make_mesh(

@@ -1,0 +1,362 @@
+"""Pipeline parallelism (GPipe schedule) over a `stage` mesh axis.
+
+TPU-native pipeline training: the decoder layer stack — already *stacked*
+along a leading [L, ...] axis and scanned (`models/qwen2.py forward`) — is
+split into S contiguous stages sharded over the `stage` mesh axis. Inside one
+`shard_map`, microbatches flow through the stages with `lax.ppermute` hops
+over ICI neighbors: tick t has stage s working on microbatch (t - s), the
+classic GPipe schedule with (S - 1) bubble ticks on each side. Autodiff
+through the tick scan + ppermute yields the backward pipeline automatically
+(ppermute transposes to the reversed hop), so one `jax.value_and_grad` gives
+pipelined fwd+bwd with no hand-written schedule.
+
+The reference has no pipeline engine of its own — its 7B runs fit one GPU
+under ZeRO-3 (`finetuning/scripts/zero3.json`; sharded *states*, replicated
+compute). PP is here for the scale story SURVEY.md §2.7 asks for: models
+whose layer stack exceeds one chip's HBM train with layers split across
+chips, composing with the `data` axis (DP x PP), while embeddings, the
+vision tower, and the LM head stay replicated (they are <5% of 7B-and-up
+parameter bytes).
+
+Design notes (vs a naive translation):
+  - everything under ONE jit: the tick loop is a `lax.scan`, stage identity
+    is `lax.axis_index` (runtime), so a single SPMD program serves all
+    stages — no per-stage Python programs or p2p send/recv threads.
+  - non-last stages skip the LM-head/CE work and non-first stages skip the
+    vision tower via `lax.cond` on the stage index (both branches compile,
+    only one executes per device).
+  - per-layer `jax.checkpoint` (remat) inside the stage body keeps the
+    GPipe activation footprint at O(microbatches x layer boundaries), the
+    standard memory profile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from radvlm_tpu.config import IGNORE_INDEX, RadVLMConfig
+from radvlm_tpu.parallel.sharding import path_str
+
+_LAYER_RE = re.compile(r"(^|/)text/layers/")
+
+
+def pp_param_pspecs(params: Any) -> Any:
+    """PartitionSpecs for PP: decoder layer stacks shard their leading [L]
+    axis over `stage`; everything else (vision tower, embed, final norm,
+    lm_head, projector) is replicated across stages."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: P("stage") if _LAYER_RE.search(path_str(path)) else P(),
+        params,
+    )
+
+
+def shard_params_pp(mesh: Mesh, params: Any) -> Any:
+    specs = pp_param_pspecs(params)
+    sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
+    )
+    return jax.device_put(params, sh)
+
+
+def _check_mesh(mesh: Mesh, cfg: RadVLMConfig) -> int:
+    shape = dict(mesh.shape)
+    stages = shape.get("stage", 1)
+    if stages < 2:
+        raise ValueError("PP needs a `stage` mesh axis of size >= 2")
+    for ax in ("fsdp", "seq", "tensor", "expert"):
+        if shape.get(ax, 1) != 1:
+            raise ValueError(
+                f"PP v1 composes with `data` only; mesh axis {ax}="
+                f"{shape[ax]} unsupported"
+            )
+    if cfg.text.num_layers % stages:
+        raise ValueError(
+            f"num_layers={cfg.text.num_layers} not divisible by "
+            f"stage={stages}"
+        )
+    if cfg.text.num_experts:
+        raise ValueError("PP v1 does not support MoE router aux")
+    return stages
+
+
+def _microbatch(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    return x.reshape((m, x.shape[0] // m) + x.shape[1:])
+
+
+def make_pp_loss_fn(
+    mesh: Mesh,
+    cfg: RadVLMConfig,
+    *,
+    n_microbatches: int,
+    remat: bool = True,
+    attn_impl: str = "auto",
+) -> Callable[[Any, Dict[str, jnp.ndarray]], Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
+    """Build the per-shard loss closure run inside shard_map.
+
+    Returns fn(local_params, local_batch) -> (local_loss, metrics): the
+    differentiated value is this device's numerator over the global token
+    count, so grad(fn) is exactly this device's contribution to the global
+    gradient (summed afterwards in make_pp_grad_fn); metrics carry the
+    psum'd global loss for reporting."""
+    from radvlm_tpu.models import qwen2, radvlm
+
+    S = dict(mesh.shape)["stage"]
+    M = n_microbatches
+
+    def loss_fn(local_params, batch):
+        my = jax.lax.axis_index("stage")
+        tcfg = cfg.text
+        b, L = batch["tokens"].shape
+        if b % M:
+            raise ValueError(f"per-shard batch {b} not divisible by M={M}")
+        dtype = local_params["text"]["norm"].dtype
+
+        # ---- embeds (vision tower + splice) on stage 0 only ----
+        def compute_embeds(_):
+            bt, t = batch["tiles"].shape[:2]
+            flat = batch["tiles"].reshape((bt * t,) + batch["tiles"].shape[2:])
+            feats = radvlm.encode_tiles(
+                local_params, cfg, flat, remat=remat, attn_impl=attn_impl
+            ).reshape(bt, t, cfg.tokens_per_tile, -1)
+            merged = radvlm.merge_image_features(
+                local_params, feats, batch["merge_indices"],
+                batch["merge_weights"],
+            )
+            return radvlm.splice_embeds(
+                local_params, batch["tokens"], batch["img_src"], merged, cfg
+            ).astype(dtype)
+
+        embeds = jax.lax.cond(
+            my == 0,
+            compute_embeds,
+            lambda _: jnp.zeros((b, L, tcfg.hidden_size), dtype),
+            None,
+        )
+
+        micro_e = _microbatch(embeds, M)               # [M, mb, L, D]
+        micro_pos = _microbatch(batch["positions"], M)  # [M, mb, L]
+        micro_seg = _microbatch(batch["segment_ids"], M)
+        micro_lab = _microbatch(batch["labels"], M)
+        mb = b // M
+
+        local_layers = local_params["text"]["layers"]  # [L/S, ...]
+
+        def stage_fwd(x, pos, seg):
+            def body(carry, lp):
+                return (
+                    qwen2._block(tcfg, lp, carry, pos, seg, attn_impl),
+                    None,
+                )
+
+            if remat:
+                body = jax.checkpoint(
+                    body, policy=jax.checkpoint_policies.nothing_saveable
+                )
+            x, _ = jax.lax.scan(body, x, local_layers)
+            return x
+
+        # ---- GPipe tick loop: stage s runs microbatch (t - s) at tick t ----
+        perm = [(i, i + 1) for i in range(S - 1)]
+        inbuf0 = jnp.zeros((mb, L, tcfg.hidden_size), dtype)
+        outbuf0 = jnp.zeros((M, mb, L, tcfg.hidden_size), dtype)
+
+        def tick(carry, t):
+            inbuf, outbuf = carry
+            m = jnp.clip(t - my, 0, M - 1)
+            first = jax.lax.dynamic_index_in_dim(micro_e, m, keepdims=False)
+            x_in = jnp.where(my == 0, first, inbuf)
+            pos = jax.lax.dynamic_index_in_dim(micro_pos, m, keepdims=False)
+            seg = jax.lax.dynamic_index_in_dim(micro_seg, m, keepdims=False)
+            y = stage_fwd(x_in, pos, seg)
+            nxt = jax.lax.ppermute(y, "stage", perm)
+            oidx = jnp.clip(t - (S - 1), 0, M - 1)
+            write = (my == S - 1) & (t >= S - 1)
+            cur = jax.lax.dynamic_index_in_dim(outbuf, oidx, keepdims=False)
+            outbuf = jax.lax.dynamic_update_index_in_dim(
+                outbuf, jnp.where(write, y, cur), oidx, 0
+            )
+            return (nxt, outbuf), None
+
+        (_, outbuf), _ = jax.lax.scan(
+            tick, (inbuf0, outbuf0), jnp.arange(M + S - 1)
+        )
+
+        # ---- LM head + CE on the last stage only ----
+        def ce(outbuf):
+            def mb_body(acc, xs):
+                hid, lab, seg = xs
+                x = qwen2._norm(tcfg, hid, local_params["text"]["norm"])
+                logits = qwen2.unembed(local_params["text"], tcfg, x)
+                sl = logits[:, :-1]
+                sy = lab[:, 1:]
+                mask = (sy != IGNORE_INDEX) & (seg[:, 1:] != 0)
+                safe = jnp.where(mask, sy, 0)
+                logp = jax.nn.log_softmax(sl.astype(jnp.float32), axis=-1)
+                nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+                tot, cnt = acc
+                return (
+                    tot + jnp.sum(nll * mask),
+                    cnt + jnp.sum(mask).astype(jnp.float32),
+                ), None
+
+            (tot, cnt), _ = jax.lax.scan(
+                mb_body,
+                (jnp.float32(0.0), jnp.float32(0.0)),
+                (outbuf, micro_lab, micro_seg),
+            )
+            return tot, cnt
+
+        tot, cnt = jax.lax.cond(
+            my == S - 1,
+            ce,
+            lambda _: (jnp.float32(0.0), jnp.float32(0.0)),
+            outbuf,
+        )
+        # Differentiate a LOCAL numerator over the GLOBAL token count: under
+        # check_vma=False, psum transposes to psum (not identity), so a psum
+        # on the to-be-differentiated path would inflate every gradient by
+        # the axis size. The global-loss value itself is psum'd behind a
+        # stop_gradient for reporting only; grad_fn psums the per-device
+        # gradient contributions explicitly.
+        cnt_g = jax.lax.psum(cnt, ("data", "stage"))
+        denom = jnp.maximum(cnt_g, 1.0)
+        loss_local = tot / denom
+        loss_metric = (
+            jax.lax.psum(jax.lax.stop_gradient(tot), ("data", "stage")) / denom
+        )
+        return loss_local, {"loss": loss_metric, "tokens": cnt_g}
+
+    return loss_fn
+
+
+def make_pp_grad_fn(
+    mesh: Mesh,
+    cfg: RadVLMConfig,
+    params_tree: Any,
+    *,
+    n_microbatches: int,
+    remat: bool = True,
+    attn_impl: str = "auto",
+):
+    """shard_map'd fn(params, batch) -> (grads, metrics) with grads laid out
+    like the PP param shardings (layer stacks over `stage`, rest replicated).
+    """
+    shard_map = jax.shard_map
+
+    _check_mesh(mesh, cfg)
+    loss_fn = make_pp_loss_fn(
+        mesh, cfg, n_microbatches=n_microbatches, remat=remat,
+        attn_impl=attn_impl,
+    )
+    pspecs = pp_param_pspecs(params_tree)
+    batch_spec = P(("data", "fsdp"))
+
+    def grad_fn(local_params, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            local_params, batch
+        )
+        # Layer grads live on one stage each (sum replicas over data); the
+        # replicated leaves (embed/vision/lm_head/norms) accumulate their
+        # contributions from every stage (vision+embed touch stage 0, the
+        # head stage S-1) AND every data shard.
+        def sync(path, g):
+            if _LAYER_RE.search(path_str(path)):
+                return jax.lax.psum(g, ("data", "fsdp"))
+            return jax.lax.psum(g, ("data", "fsdp", "stage"))
+
+        grads = jax.tree_util.tree_map_with_path(sync, grads)
+        return grads, metrics
+
+    def batch_specs(batch):
+        return {k: batch_spec for k in batch}
+
+    def wrapped(params, batch):
+        fn = shard_map(
+            grad_fn,
+            mesh=mesh,
+            in_specs=(pspecs, batch_specs(batch)),
+            out_specs=(pspecs, P()),
+            check_vma=False,
+        )
+        return fn(params, batch)
+
+    return wrapped
+
+
+@dataclasses.dataclass
+class PPStepConfig:
+    n_microbatches: int = 4
+    remat: bool = True
+    attn_impl: str = "auto"
+
+
+def setup_pp_training(
+    mesh: Mesh,
+    model_cfg: RadVLMConfig,
+    train_cfg,
+    params: Any,
+    *,
+    pp_cfg: Optional[PPStepConfig] = None,
+):
+    """One-call PP setup mirroring `train_step.setup_training`: shard params
+    (layer stacks over `stage`), init the optimizer sharded, return
+    (state, step_fn, tx). step_fn(state, device_batch) -> (state, metrics).
+
+    Consumes `params`: the sharded copies may alias the caller's buffers and
+    the donated step deletes them — don't reuse the input tree afterwards.
+    """
+    from radvlm_tpu.training.optimizer import make_optimizer
+    from radvlm_tpu.training.train_step import TrainState
+
+    pp_cfg = pp_cfg or PPStepConfig()
+    _check_mesh(mesh, model_cfg)
+    tx, _ = make_optimizer(params, train_cfg)
+    params = shard_params_pp(mesh, params)
+    opt_state = jax.jit(tx.init)(params)
+    rep = NamedSharding(mesh, P())
+
+    def _on_mesh(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape:
+            return x
+        return jax.device_put(x, rep)
+
+    opt_state = jax.tree.map(_on_mesh, opt_state)
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+        params=params,
+        opt_state=opt_state,
+    )
+    grad_fn = make_pp_grad_fn(
+        mesh, model_cfg, params,
+        n_microbatches=pp_cfg.n_microbatches, remat=pp_cfg.remat,
+        attn_impl=pp_cfg.attn_impl,
+    )
+
+    def step_fn(state: TrainState, batch):
+        grads, metrics = grad_fn(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(
+                step=state.step + 1, params=new_params, opt_state=opt_state
+            ),
+            metrics,
+        )
+
+    return state, jax.jit(step_fn, donate_argnums=(0,)), tx
+
+
+def put_batch_pp(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Host batch -> device, batch dim over `data`, replicated over `stage`."""
+    sh = NamedSharding(mesh, P(("data", "fsdp")))
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}

@@ -51,6 +51,15 @@ def parse_args(argv=None):
     p.add_argument("--mesh-seq", type=int, default=1,
                    help=">1 enables ring-attention sequence parallelism")
     p.add_argument("--mesh-tensor", type=int, default=1)
+    p.add_argument("--mesh-stage", type=int, default=1,
+                   help="pipeline stages (GPipe over the `stage` axis)")
+    p.add_argument("--pp-microbatches", type=int, default=4)
+    p.add_argument("--buckets", default=None,
+                   help="length buckets as 'max_len:max_tiles,...' (e.g. "
+                        "'2048:5,4096:6'); default = loader.DEFAULT_BUCKETS. "
+                        "The reference pads to model_max_length 32768 "
+                        "(finetune_radio_7b.sh); buckets keep XLA shapes "
+                        "static per tier instead")
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     # LoRA (reference config-5 style adapter finetune)
@@ -92,6 +101,14 @@ def main(argv=None):
         )
 
     tok = HFTokenizer(args.tokenizer or args.hf_checkpoint)
+    extra = {}
+    if args.buckets:
+        from radvlm_tpu.data.loader import Bucket
+
+        extra["buckets"] = tuple(
+            Bucket(int(ln), int(tiles))
+            for ln, tiles in (b.split(":") for b in args.buckets.split(","))
+        )
     run = RunConfig(
         model=model_cfg,
         train=TrainConfig(
@@ -112,7 +129,9 @@ def main(argv=None):
             "fsdp": args.mesh_fsdp,
             "seq": args.mesh_seq,
             "tensor": args.mesh_tensor,
+            "stage": args.mesh_stage,
         },
+        pp_microbatches=args.pp_microbatches,
         micro_batch_size=args.micro_batch_size,
         num_epochs=args.num_epochs,
         max_steps=args.max_steps,
@@ -123,6 +142,7 @@ def main(argv=None):
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
         quantize_base=args.quantize_base,
+        **extra,
     )
     state = train(run, tok.encode, hf_checkpoint=args.hf_checkpoint)
     print(f"training finished at step {int(state.step)}")

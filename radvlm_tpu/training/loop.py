@@ -59,6 +59,9 @@ class RunConfig:
     # Ring-attention schedule when the mesh has seq > 1: "zigzag" (load-
     # balanced, default) or "contiguous".
     ring_schedule: str = "zigzag"
+    # Pipeline parallelism: when the mesh has stage > 1 the SFT step runs the
+    # GPipe schedule (parallel/pp.py) with this many microbatches per step.
+    pp_microbatches: int = 4
 
 
 def train(
@@ -105,6 +108,9 @@ def train(
     lora_base = None
     if run.quantize_base and not run.lora_rank:
         raise ValueError("--quantize-base is a QLoRA option: set lora_rank > 0")
+    if dict(mesh.shape).get("stage", 1) > 1 and run.lora_rank:
+        raise ValueError("pipeline parallelism (stage > 1) does not compose "
+                         "with LoRA yet — use fsdp/tensor for adapter runs")
     if run.lora_rank:
         from radvlm_tpu.training.lora import LoraConfig
 
@@ -116,6 +122,16 @@ def train(
         state, lora_base, step_fn = ts.setup_lora_training(
             mesh, run.model, run.train, lcfg, params,
             seed=run.seed, remat=run.remat, attn_impl=attn_impl,
+        )
+    elif dict(mesh.shape).get("stage", 1) > 1:
+        from radvlm_tpu.parallel import pp
+
+        state, step_fn, tx = pp.setup_pp_training(
+            mesh, run.model, run.train, params,
+            pp_cfg=pp.PPStepConfig(
+                n_microbatches=run.pp_microbatches, remat=run.remat,
+                attn_impl=attn_impl,
+            ),
         )
     else:
         state, step_fn, tx = ts.setup_training(

@@ -19,7 +19,10 @@ Modes (RADVLM_TRAIN_BENCH_SIZE):
 
 Env knobs: RADVLM_TRAIN_BENCH_SEQ (pad bucket, default 4096), _BATCH (per-step
 global batch, default 1), _STEPS (timed steps, default 8),
-_MESH ("data=1,fsdp=8"), _IMG_PX (square synthetic image override).
+_MESH ("data=1,fsdp=8"; a `stage>1` axis switches the step to the GPipe
+pipeline, parallel/pp.py — _BATCH must then be divisible by
+data * _MICROBATCHES), _MICROBATCHES (PP microbatches, default 4),
+_IMG_PX (square synthetic image override).
 
 Prints ONE JSON line {"metric", "value", "unit", ...extras}. MFU counts
 decoder matmul FLOPs only (6 * text-params * tokens — attention-score and
@@ -128,6 +131,23 @@ def main() -> None:
             mesh, cfg, train_cfg, LoraConfig(), base,
         )
         run = lambda st, b: step_fn(st, base, b)
+        n_train_params = sum(
+            int(np.prod(x.shape)) for x in jax.tree.leaves(state.params)
+        )
+    elif dict(mesh.shape).get("stage", 1) > 1:
+        from radvlm_tpu.models import radvlm
+        from radvlm_tpu.parallel import pp
+
+        params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+        state, step_fn, _ = pp.setup_pp_training(
+            mesh, cfg, train_cfg,
+            params,
+            pp_cfg=pp.PPStepConfig(
+                n_microbatches=_env_int("RADVLM_TRAIN_BENCH_MICROBATCHES", 4)
+            ),
+        )
+        del params
+        run = step_fn
         n_train_params = sum(
             int(np.prod(x.shape)) for x in jax.tree.leaves(state.params)
         )
