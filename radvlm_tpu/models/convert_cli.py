@@ -53,6 +53,11 @@ def main(argv=None):
     # only `params` is exported. Host memory must hold params + opt state once.
     restored = manager.restore(step)
     params = restored["params"] if isinstance(restored, dict) else restored.params
+    # Interleaved-PP runs checkpoint layer stacks as [V, S, C, ...]; restore
+    # the canonical [L, ...] stack before the HF key remap (no-op otherwise).
+    from radvlm_tpu.parallel.pp import canonicalize_layer_stacks
+
+    params = canonicalize_layer_stacks(params, cfg.text.num_layers)
     save_radvlm_hf(params, cfg, args.output)
     log.info("wrote %s", args.output)
 

@@ -28,6 +28,20 @@ Design notes (vs a naive translation):
   - per-layer `jax.checkpoint` (remat) inside the stage body keeps the
     GPipe activation footprint at O(microbatches x layer boundaries), the
     standard memory profile.
+
+Interleaved schedule (`PPStepConfig.interleave = V > 1`, Megatron-style
+virtual stages): each device holds V round-robin layer chunks instead of one
+contiguous block, so a microbatch visits every device V times and the warmup/
+drain bubble shrinks from (S-1)/(M+S-1) of the step to (S-1)/(M*V+S-1).
+Layout: the stacked [L, ...] layer leaves are reshaped [V, S, C, ...]
+(C = L/(S*V); the reshape is order-preserving, so global stage g = v*S + s
+covers layers [g*C, (g+1)*C) exactly) and sharded P(None, "stage") — device s
+holds chunk v at local index [v, 0]. The tick loop walks per-device work
+index u = t - s; u decodes to (round r, chunk v, slot j) = (u//(S*V),
+(u%(S*V))//S, u%S) and microbatch m = r*S + j; activations hop the FULL ring
+(stage S-1 -> 0 carries a microbatch to its next chunk). `lax.switch` on v
+picks the chunk body (static layer slices; one branch executes per tick).
+Requires L % (S*V) == 0 and M % S == 0.
 """
 
 from __future__ import annotations
@@ -38,6 +52,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -47,25 +62,80 @@ from radvlm_tpu.parallel.sharding import path_str
 _LAYER_RE = re.compile(r"(^|/)text/layers/")
 
 
-def pp_param_pspecs(params: Any) -> Any:
+def pp_param_pspecs(params: Any, interleave: int = 1) -> Any:
     """PartitionSpecs for PP: decoder layer stacks shard their leading [L]
-    axis over `stage`; everything else (vision tower, embed, final norm,
-    lm_head, projector) is replicated across stages."""
+    axis over `stage` (interleaved: [V, S, C, ...] leaves shard dim 1);
+    everything else (vision tower, embed, final norm, lm_head, projector) is
+    replicated across stages."""
+    layer_spec = P(None, "stage") if interleave > 1 else P("stage")
     return jax.tree_util.tree_map_with_path(
-        lambda path, _: P("stage") if _LAYER_RE.search(path_str(path)) else P(),
+        lambda path, _: layer_spec if _LAYER_RE.search(path_str(path)) else P(),
         params,
     )
 
 
-def shard_params_pp(mesh: Mesh, params: Any) -> Any:
-    specs = pp_param_pspecs(params)
+def fold_layers_interleaved(params: Any, stages: int, interleave: int) -> Any:
+    """Reshape stacked decoder-layer leaves [L, ...] -> [V, S, C, ...] so a
+    P(None, "stage") sharding places chunk v of device s (= global stage
+    v*S + s, layers [(v*S+s)*C, ...)) at local index [v, 0]. Order-preserving
+    (pure reshape), so `unfold_layers_interleaved` restores the canonical
+    stack for checkpoints/HF export."""
+    V, S = interleave, stages
+
+    def fold(path, x):
+        if _LAYER_RE.search(path_str(path)):
+            return x.reshape((V, S, x.shape[0] // (V * S)) + x.shape[1:])
+        return x
+
+    return jax.tree_util.tree_map_with_path(fold, params)
+
+
+def unfold_layers_interleaved(params: Any) -> Any:
+    """Inverse of `fold_layers_interleaved`: [V, S, C, ...] -> [L, ...]."""
+
+    def unfold(path, x):
+        if _LAYER_RE.search(path_str(path)):
+            return x.reshape((x.shape[0] * x.shape[1] * x.shape[2],) + x.shape[3:])
+        return x
+
+    return jax.tree_util.tree_map_with_path(unfold, params)
+
+
+def canonicalize_layer_stacks(params: Any, num_layers: int) -> Any:
+    """Restore canonical [L, ...] layer stacks on a tree that may come from
+    an interleaved-PP checkpoint (leaves saved as [V, S, C, ...]). No-op for
+    standard layouts."""
+    sample = None
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        if _LAYER_RE.search(path_str(path)):
+            sample = leaf
+            break
+    if sample is None or sample.shape[0] == num_layers:
+        return params
+    if int(np.prod(sample.shape[:3])) != num_layers:
+        raise ValueError(
+            f"layer stack leading dims {sample.shape[:3]} do not fold to "
+            f"num_layers={num_layers}"
+        )
+    return unfold_layers_interleaved(params)
+
+
+def shard_params_pp(mesh: Mesh, params: Any, interleave: int = 1) -> Any:
+    if interleave > 1:
+        params = fold_layers_interleaved(
+            params, dict(mesh.shape)["stage"], interleave
+        )
+    specs = pp_param_pspecs(params, interleave)
     sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
     )
     return jax.device_put(params, sh)
 
 
-def _check_mesh(mesh: Mesh, cfg: RadVLMConfig) -> int:
+def _check_mesh(
+    mesh: Mesh, cfg: RadVLMConfig, *, interleave: int = 1,
+    n_microbatches: Optional[int] = None,
+) -> int:
     shape = dict(mesh.shape)
     stages = shape.get("stage", 1)
     if stages < 2:
@@ -76,10 +146,15 @@ def _check_mesh(mesh: Mesh, cfg: RadVLMConfig) -> int:
                 f"PP v1 composes with `data` only; mesh axis {ax}="
                 f"{shape[ax]} unsupported"
             )
-    if cfg.text.num_layers % stages:
+    if cfg.text.num_layers % (stages * interleave):
         raise ValueError(
             f"num_layers={cfg.text.num_layers} not divisible by "
-            f"stage={stages}"
+            f"stage={stages} x interleave={interleave}"
+        )
+    if interleave > 1 and n_microbatches is not None and n_microbatches % stages:
+        raise ValueError(
+            f"interleaved PP needs microbatches divisible by stages: "
+            f"M={n_microbatches}, S={stages}"
         )
     if cfg.text.num_experts:
         raise ValueError("PP v1 does not support MoE router aux")
@@ -97,6 +172,7 @@ def make_pp_loss_fn(
     n_microbatches: int,
     remat: bool = True,
     attn_impl: str = "auto",
+    interleave: int = 1,
 ) -> Callable[[Any, Dict[str, jnp.ndarray]], Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
     """Build the per-shard loss closure run inside shard_map.
 
@@ -109,6 +185,7 @@ def make_pp_loss_fn(
 
     S = dict(mesh.shape)["stage"]
     M = n_microbatches
+    V = interleave
 
     def loss_fn(local_params, batch):
         my = jax.lax.axis_index("stage")
@@ -146,9 +223,7 @@ def make_pp_loss_fn(
         micro_lab = _microbatch(batch["labels"], M)
         mb = b // M
 
-        local_layers = local_params["text"]["layers"]  # [L/S, ...]
-
-        def stage_fwd(x, pos, seg):
+        def stage_fwd(layers, x, pos, seg):
             def body(carry, lp):
                 return (
                     qwen2._block(tcfg, lp, carry, pos, seg, attn_impl),
@@ -159,34 +234,76 @@ def make_pp_loss_fn(
                 body = jax.checkpoint(
                     body, policy=jax.checkpoint_policies.nothing_saveable
                 )
-            x, _ = jax.lax.scan(body, x, local_layers)
+            x, _ = jax.lax.scan(body, x, layers)
             return x
 
-        # ---- GPipe tick loop: stage s runs microbatch (t - s) at tick t ----
-        perm = [(i, i + 1) for i in range(S - 1)]
         inbuf0 = jnp.zeros((mb, L, tcfg.hidden_size), dtype)
         outbuf0 = jnp.zeros((M, mb, L, tcfg.hidden_size), dtype)
 
-        def tick(carry, t):
-            inbuf, outbuf = carry
-            m = jnp.clip(t - my, 0, M - 1)
-            first = jax.lax.dynamic_index_in_dim(micro_e, m, keepdims=False)
-            x_in = jnp.where(my == 0, first, inbuf)
-            pos = jax.lax.dynamic_index_in_dim(micro_pos, m, keepdims=False)
-            seg = jax.lax.dynamic_index_in_dim(micro_seg, m, keepdims=False)
-            y = stage_fwd(x_in, pos, seg)
-            nxt = jax.lax.ppermute(y, "stage", perm)
-            oidx = jnp.clip(t - (S - 1), 0, M - 1)
-            write = (my == S - 1) & (t >= S - 1)
-            cur = jax.lax.dynamic_index_in_dim(outbuf, oidx, keepdims=False)
-            outbuf = jax.lax.dynamic_update_index_in_dim(
-                outbuf, jnp.where(write, y, cur), oidx, 0
-            )
-            return (nxt, outbuf), None
+        if V == 1:
+            # ---- GPipe tick loop: stage s runs microbatch (t - s) at tick t
+            local_layers = local_params["text"]["layers"]  # [L/S, ...]
+            perm = [(i, i + 1) for i in range(S - 1)]
 
-        (_, outbuf), _ = jax.lax.scan(
-            tick, (inbuf0, outbuf0), jnp.arange(M + S - 1)
-        )
+            def tick(carry, t):
+                inbuf, outbuf = carry
+                m = jnp.clip(t - my, 0, M - 1)
+                first = jax.lax.dynamic_index_in_dim(micro_e, m, keepdims=False)
+                x_in = jnp.where(my == 0, first, inbuf)
+                pos = jax.lax.dynamic_index_in_dim(micro_pos, m, keepdims=False)
+                seg = jax.lax.dynamic_index_in_dim(micro_seg, m, keepdims=False)
+                y = stage_fwd(local_layers, x_in, pos, seg)
+                nxt = jax.lax.ppermute(y, "stage", perm)
+                oidx = jnp.clip(t - (S - 1), 0, M - 1)
+                write = (my == S - 1) & (t >= S - 1)
+                cur = jax.lax.dynamic_index_in_dim(outbuf, oidx, keepdims=False)
+                outbuf = jax.lax.dynamic_update_index_in_dim(
+                    outbuf, jnp.where(write, y, cur), oidx, 0
+                )
+                return (nxt, outbuf), None
+
+            (_, outbuf), _ = jax.lax.scan(
+                tick, (inbuf0, outbuf0), jnp.arange(M + S - 1)
+            )
+        else:
+            # ---- interleaved tick loop: device s at tick t works item
+            # u = t - s; u decodes to (round, chunk, slot) and the activation
+            # rides the FULL ring (S-1 -> 0 advances a microbatch to its next
+            # chunk on the same device group). See module docstring.
+            local_layers = jax.tree.map(
+                lambda x: x[:, 0], local_params["text"]["layers"]
+            )  # [V, 1, C, ...] shard -> [V, C, ...]
+            perm = [(i, (i + 1) % S) for i in range(S)]
+            chunk_fns = [
+                (lambda vv: lambda x, pos, seg: stage_fwd(
+                    jax.tree.map(lambda p: p[vv], local_layers), x, pos, seg
+                ))(vv)
+                for vv in range(V)
+            ]
+
+            def tick(carry, t):
+                inbuf, outbuf = carry
+                u = jnp.clip(t - my, 0, M * V - 1)
+                r = u // (S * V)
+                rem = u % (S * V)
+                v = rem // S
+                m = r * S + rem % S
+                first = jax.lax.dynamic_index_in_dim(micro_e, m, keepdims=False)
+                x_in = jnp.where((my == 0) & (v == 0), first, inbuf)
+                pos = jax.lax.dynamic_index_in_dim(micro_pos, m, keepdims=False)
+                seg = jax.lax.dynamic_index_in_dim(micro_seg, m, keepdims=False)
+                y = jax.lax.switch(v, chunk_fns, x_in, pos, seg)
+                nxt = jax.lax.ppermute(y, "stage", perm)
+                write = (my == S - 1) & (v == V - 1) & (t - my >= 0)
+                cur = jax.lax.dynamic_index_in_dim(outbuf, m, keepdims=False)
+                outbuf = jax.lax.dynamic_update_index_in_dim(
+                    outbuf, jnp.where(write, y, cur), m, 0
+                )
+                return (nxt, outbuf), None
+
+            (_, outbuf), _ = jax.lax.scan(
+                tick, (inbuf0, outbuf0), jnp.arange(M * V + S - 1)
+            )
 
         # ---- LM head + CE on the last stage only ----
         def ce(outbuf):
@@ -244,18 +361,21 @@ def make_pp_grad_fn(
     n_microbatches: int,
     remat: bool = True,
     attn_impl: str = "auto",
+    interleave: int = 1,
 ):
     """shard_map'd fn(params, batch) -> (grads, metrics) with grads laid out
     like the PP param shardings (layer stacks over `stage`, rest replicated).
+    `params_tree` must already be in the PP layout (interleave > 1: layer
+    leaves folded [V, S, C, ...] — `shard_params_pp` does this).
     """
     shard_map = jax.shard_map
 
-    _check_mesh(mesh, cfg)
+    _check_mesh(mesh, cfg, interleave=interleave, n_microbatches=n_microbatches)
     loss_fn = make_pp_loss_fn(
         mesh, cfg, n_microbatches=n_microbatches, remat=remat,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, interleave=interleave,
     )
-    pspecs = pp_param_pspecs(params_tree)
+    pspecs = pp_param_pspecs(params_tree, interleave)
     batch_spec = P(("data", "fsdp"))
 
     def grad_fn(local_params, batch):
@@ -295,6 +415,9 @@ class PPStepConfig:
     n_microbatches: int = 4
     remat: bool = True
     attn_impl: str = "auto"
+    # Megatron-style virtual stages: V layer chunks per device, bubble / V.
+    # Needs num_layers % (stages * V) == 0 and n_microbatches % stages == 0.
+    interleave: int = 1
 
 
 def setup_pp_training(
@@ -316,9 +439,12 @@ def setup_pp_training(
     from radvlm_tpu.training.train_step import TrainState
 
     pp_cfg = pp_cfg or PPStepConfig()
-    _check_mesh(mesh, model_cfg)
+    _check_mesh(
+        mesh, model_cfg, interleave=pp_cfg.interleave,
+        n_microbatches=pp_cfg.n_microbatches,
+    )
     tx, _ = make_optimizer(params, train_cfg)
-    params = shard_params_pp(mesh, params)
+    params = shard_params_pp(mesh, params, interleave=pp_cfg.interleave)
     opt_state = jax.jit(tx.init)(params)
     rep = NamedSharding(mesh, P())
 
@@ -337,7 +463,7 @@ def setup_pp_training(
     grad_fn = make_pp_grad_fn(
         mesh, model_cfg, params,
         n_microbatches=pp_cfg.n_microbatches, remat=pp_cfg.remat,
-        attn_impl=pp_cfg.attn_impl,
+        attn_impl=pp_cfg.attn_impl, interleave=pp_cfg.interleave,
     )
 
     def step_fn(state: TrainState, batch):

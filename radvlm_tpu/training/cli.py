@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--mesh-stage", type=int, default=1,
                    help="pipeline stages (GPipe over the `stage` axis)")
     p.add_argument("--pp-microbatches", type=int, default=4)
+    p.add_argument("--pp-interleave", type=int, default=1,
+                   help="virtual stages per device (Megatron interleaved "
+                        "schedule, bubble/V); needs layers %% (stage*V) == 0 "
+                        "and microbatches %% stage == 0")
     p.add_argument("--buckets", default=None,
                    help="length buckets as 'max_len:max_tiles,...' (e.g. "
                         "'2048:5,4096:6'); default = loader.DEFAULT_BUCKETS. "
@@ -132,6 +136,7 @@ def main(argv=None):
             "stage": args.mesh_stage,
         },
         pp_microbatches=args.pp_microbatches,
+        pp_interleave=args.pp_interleave,
         micro_batch_size=args.micro_batch_size,
         num_epochs=args.num_epochs,
         max_steps=args.max_steps,

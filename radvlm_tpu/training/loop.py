@@ -62,6 +62,8 @@ class RunConfig:
     # Pipeline parallelism: when the mesh has stage > 1 the SFT step runs the
     # GPipe schedule (parallel/pp.py) with this many microbatches per step.
     pp_microbatches: int = 4
+    # Virtual stages per device (Megatron interleaved schedule): bubble / V.
+    pp_interleave: int = 1
 
 
 def train(
@@ -130,7 +132,7 @@ def train(
             mesh, run.model, run.train, params,
             pp_cfg=pp.PPStepConfig(
                 n_microbatches=run.pp_microbatches, remat=run.remat,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, interleave=run.pp_interleave,
             ),
         )
     else:

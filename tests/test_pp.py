@@ -76,6 +76,60 @@ def test_pp_loss_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_pp_interleaved_matches_single_device(rng):
+    """Interleaved schedule (V=2 virtual stages/device): loss + grads match
+    the plain single-jit loss, and the folded [V, S, C] layer layout round-
+    trips back to the canonical [L] stack."""
+    cfg = pp_config()  # 4 layers; S=2, V=2 -> C=1
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    batch = make_batch(cfg, rng)
+    ref_loss, _ = radvlm.loss_fn(
+        params, cfg, jax.device_put(batch), remat=False, attn_impl="xla"
+    )
+    ref_grads = jax.grad(
+        lambda p: radvlm.loss_fn(
+            p, cfg, jax.device_put(batch), remat=False, attn_impl="xla"
+        )[0]
+    )(params)
+
+    mesh = meshlib.make_mesh({"data": 4, "stage": 2})
+    sharded = pp.shard_params_pp(mesh, params, interleave=2)
+    grad_fn = pp.make_pp_grad_fn(
+        mesh, cfg, sharded, n_microbatches=2, remat=False, attn_impl="xla",
+        interleave=2,
+    )
+    grads, metrics = jax.jit(grad_fn)(sharded, pp.put_batch_pp(mesh, batch))
+    assert float(metrics["loss"]) == pytest.approx(float(ref_loss), rel=1e-5)
+
+    # Grads come back folded [V, S, C, ...]; unfold restores the canonical
+    # [L, ...] order for comparison (and checkpoints/HF export).
+    grads = pp.unfold_layers_interleaved(jax.device_get(grads))
+    for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_pp_fold_roundtrip_and_canonicalize():
+    cfg = pp_config()
+    params = radvlm.init_params(cfg, jax.random.key(3))
+    folded = pp.fold_layers_interleaved(params, stages=2, interleave=2)
+    lf = jax.tree.leaves(folded["text"]["layers"])[0]
+    assert lf.shape[:2] == (2, 2)
+    back = pp.unfold_layers_interleaved(folded)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # canonicalize: no-op on canonical, unfold on folded
+    canon = pp.canonicalize_layer_stacks(folded, cfg.text.num_layers)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(canon["text"]["layers"])[0]),
+        np.asarray(jax.tree.leaves(params["text"]["layers"])[0]),
+    )
+    assert pp.canonicalize_layer_stacks(params, cfg.text.num_layers) is params
+    # fold places global stage g = v*S + s at [v, s]: layer index (v*S+s)*C
+    l0 = jax.tree.leaves(params["text"]["layers"])[0]
+    f0 = jax.tree.leaves(folded["text"]["layers"])[0]
+    np.testing.assert_array_equal(np.asarray(f0[1, 0, 0]), np.asarray(l0[2]))
+
+
 def test_pp_microbatch_count_invariant(rng):
     cfg = pp_config()
     params = radvlm.init_params(cfg, jax.random.key(1))
@@ -216,3 +270,9 @@ def test_pp_mesh_validation():
             meshlib.make_mesh({"stage": 2, "tensor": 4}), cfg4, {},
             n_microbatches=1,
         )
+    # interleaved: layers must divide by S*V, microbatches by S
+    mesh2 = meshlib.make_mesh({"data": 4, "stage": 2})
+    with pytest.raises(ValueError, match="interleave"):
+        pp.make_pp_grad_fn(mesh2, cfg4, {}, n_microbatches=2, interleave=4)
+    with pytest.raises(ValueError, match="microbatches divisible"):
+        pp.make_pp_grad_fn(mesh2, cfg4, {}, n_microbatches=3, interleave=2)

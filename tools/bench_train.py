@@ -143,7 +143,8 @@ def main() -> None:
             mesh, cfg, train_cfg,
             params,
             pp_cfg=pp.PPStepConfig(
-                n_microbatches=_env_int("RADVLM_TRAIN_BENCH_MICROBATCHES", 4)
+                n_microbatches=_env_int("RADVLM_TRAIN_BENCH_MICROBATCHES", 4),
+                interleave=_env_int("RADVLM_TRAIN_BENCH_INTERLEAVE", 1),
             ),
         )
         del params
