@@ -84,6 +84,11 @@ def fold_layers_interleaved(params: Any, stages: int, interleave: int) -> Any:
 
     def fold(path, x):
         if _LAYER_RE.search(path_str(path)):
+            if x.shape[0] % (V * S):
+                raise ValueError(
+                    f"num_layers={x.shape[0]} not divisible by "
+                    f"stage={S} x interleave={V}"
+                )
             return x.reshape((V, S, x.shape[0] // (V * S)) + x.shape[1:])
         return x
 
@@ -140,6 +145,8 @@ def _check_mesh(
     stages = shape.get("stage", 1)
     if stages < 2:
         raise ValueError("PP needs a `stage` mesh axis of size >= 2")
+    if n_microbatches is not None and n_microbatches < 1:
+        raise ValueError(f"n_microbatches must be >= 1, got {n_microbatches}")
     for ax in ("fsdp", "seq", "tensor", "expert"):
         if shape.get(ax, 1) != 1:
             raise ValueError(
@@ -186,8 +193,12 @@ def make_pp_loss_fn(
     S = dict(mesh.shape)["stage"]
     M = n_microbatches
     V = interleave
+    # Stochastic train-time resampling (masked_drop) needs the per-step rng
+    # the plain SFT step threads through (train_step.py:75-88); only stage 0
+    # (the vision/embed stage) consumes it.
+    needs_rng = cfg.resampler.kind == "masked_drop"
 
-    def loss_fn(local_params, batch):
+    def loss_fn(local_params, batch, rng):
         my = jax.lax.axis_index("stage")
         tcfg = cfg.text
         b, L = batch["tokens"].shape
@@ -200,7 +211,8 @@ def make_pp_loss_fn(
             bt, t = batch["tiles"].shape[:2]
             flat = batch["tiles"].reshape((bt * t,) + batch["tiles"].shape[2:])
             feats = radvlm.encode_tiles(
-                local_params, cfg, flat, remat=remat, attn_impl=attn_impl
+                local_params, cfg, flat, remat=remat, attn_impl=attn_impl,
+                resampler_rng=rng if needs_rng else None,
             ).reshape(bt, t, cfg.tokens_per_tile, -1)
             merged = radvlm.merge_image_features(
                 local_params, feats, batch["merge_indices"],
@@ -378,9 +390,9 @@ def make_pp_grad_fn(
     pspecs = pp_param_pspecs(params_tree, interleave)
     batch_spec = P(("data", "fsdp"))
 
-    def grad_fn(local_params, batch):
+    def grad_fn(local_params, batch, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            local_params, batch
+            local_params, batch, rng
         )
         # Layer grads live on one stage each (sum replicas over data); the
         # replicated leaves (embed/vision/lm_head/norms) accumulate their
@@ -397,15 +409,17 @@ def make_pp_grad_fn(
     def batch_specs(batch):
         return {k: batch_spec for k in batch}
 
-    def wrapped(params, batch):
+    def wrapped(params, batch, rng=None):
+        if rng is None:
+            rng = jax.random.key(0)
         fn = shard_map(
             grad_fn,
             mesh=mesh,
-            in_specs=(pspecs, batch_specs(batch)),
+            in_specs=(pspecs, batch_specs(batch), P()),
             out_specs=(pspecs, P()),
             check_vma=False,
         )
-        return fn(params, batch)
+        return fn(params, batch, rng)
 
     return wrapped
 
@@ -466,8 +480,14 @@ def setup_pp_training(
         attn_impl=pp_cfg.attn_impl, interleave=pp_cfg.interleave,
     )
 
+    needs_rng = model_cfg.resampler.kind == "masked_drop"
+
     def step_fn(state: TrainState, batch):
-        grads, metrics = grad_fn(state.params, batch)
+        rng = (
+            jax.random.fold_in(jax.random.key(0), state.step)
+            if needs_rng else jax.random.key(0)
+        )
+        grads, metrics = grad_fn(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
@@ -483,6 +503,11 @@ def setup_pp_training(
 
 
 def put_batch_pp(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Host batch -> device, batch dim over `data`, replicated over `stage`."""
-    sh = NamedSharding(mesh, P(("data", "fsdp")))
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    """Host batch -> device, batch dim over `data`, replicated over `stage`.
+
+    Delegates to the shared batch-placement rules so PP callers and the
+    training loop (which uses `train_step.put_batch`) cannot drift; with
+    seq=1 (PP invariant) both produce P(("data", "fsdp")) on every leaf."""
+    from radvlm_tpu.parallel import sharding as shardlib
+
+    return jax.device_put(batch, shardlib.batch_shardings(mesh, batch))

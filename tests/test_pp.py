@@ -130,6 +130,29 @@ def test_pp_fold_roundtrip_and_canonicalize():
     np.testing.assert_array_equal(np.asarray(f0[1, 0, 0]), np.asarray(l0[2]))
 
 
+def test_pp_masked_drop_rng(rng):
+    """The masked_drop resampler trains stochastically under PP: the per-step
+    rng reaches the resampler on stage 0 (same rng -> same loss, different
+    rng -> different loss), matching the plain SFT step's semantics."""
+    cfg = pp_config()
+    cfg = dataclasses.replace(
+        cfg, resampler=cfglib.ResamplerConfig(kind="masked_drop", drop_ratio=0.5)
+    )
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    batch = make_batch(cfg, rng)
+    mesh = meshlib.make_mesh({"data": 2, "stage": 4})
+    sharded = pp.shard_params_pp(mesh, params)
+    dev_batch = pp.put_batch_pp(mesh, batch)
+    fn = jax.jit(pp.make_pp_grad_fn(
+        mesh, cfg, sharded, n_microbatches=2, remat=False, attn_impl="xla"
+    ))
+    _, m_a = fn(sharded, dev_batch, jax.random.key(1))
+    _, m_a2 = fn(sharded, dev_batch, jax.random.key(1))
+    _, m_b = fn(sharded, dev_batch, jax.random.key(2))
+    assert float(m_a["loss"]) == float(m_a2["loss"])
+    assert float(m_a["loss"]) != float(m_b["loss"])
+
+
 def test_pp_microbatch_count_invariant(rng):
     cfg = pp_config()
     params = radvlm.init_params(cfg, jax.random.key(1))

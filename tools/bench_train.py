@@ -21,7 +21,9 @@ Env knobs: RADVLM_TRAIN_BENCH_SEQ (pad bucket, default 4096), _BATCH (per-step
 global batch, default 1), _STEPS (timed steps, default 8),
 _MESH ("data=1,fsdp=8"; a `stage>1` axis switches the step to the GPipe
 pipeline, parallel/pp.py — _BATCH must then be divisible by
-data * _MICROBATCHES), _MICROBATCHES (PP microbatches, default 4),
+data * _MICROBATCHES, and the size must not be a -qlora mode),
+_MICROBATCHES (PP microbatches, default 4), _INTERLEAVE (virtual stages
+per device, Megatron interleaved schedule, default 1),
 _IMG_PX (square synthetic image override).
 
 Prints ONE JSON line {"metric", "value", "unit", ...extras}. MFU counts
@@ -120,6 +122,12 @@ def main() -> None:
         total_steps=max(steps + 4, 8),
     )
 
+    if qlora and dict(mesh.shape).get("stage", 1) > 1:
+        raise SystemExit(
+            "pipeline (stage>1) does not compose with the QLoRA bench — the "
+            "default RADVLM_TRAIN_BENCH_SIZE is 7b-qlora; set a non-qlora "
+            "size (e.g. 7b) for a pipeline bench"
+        )
     if qlora:
         from radvlm_tpu.training.lora import LoraConfig
 
