@@ -502,6 +502,157 @@ def setup_pp_training(
     return state, jax.jit(step_fn, donate_argnums=(0,)), tx
 
 
+def make_pp_lora_grad_fn(
+    mesh: Mesh,
+    cfg: RadVLMConfig,
+    lora_cfg,
+    adapters_tree: Any,
+    base_tree: Any,
+    *,
+    n_microbatches: int,
+    remat: bool = True,
+    attn_impl: str = "auto",
+    interleave: int = 1,
+):
+    """shard_map'd fn(adapters, base, batch, rng) -> (adapter_grads, metrics).
+
+    LoRA/QLoRA over the pipeline (reference peft injection `train.py:1515-1532`
+    + 4/8-bit base prep `:1466-1503`): every adapter target lives under
+    `text/layers/`, so the adapter tree folds/shards exactly like the base
+    layer stacks and `merge_lora` runs on the LOCAL shard inside shard_map
+    (path strings are shard-invariant). Both trees must already be in the PP
+    layout (`shard_params_pp`)."""
+    shard_map = jax.shard_map
+
+    _check_mesh(mesh, cfg, interleave=interleave, n_microbatches=n_microbatches)
+    loss_fn = make_pp_loss_fn(
+        mesh, cfg, n_microbatches=n_microbatches, remat=remat,
+        attn_impl=attn_impl, interleave=interleave,
+    )
+    a_specs = pp_param_pspecs(adapters_tree, interleave)
+    b_specs = pp_param_pspecs(base_tree, interleave)
+    batch_spec = P(("data", "fsdp"))
+
+    def grad_fn(local_adapters, local_base, batch, rng):
+        from radvlm_tpu.ops import quant
+        from radvlm_tpu.training.lora import merge_lora
+
+        def lora_loss(adapters):
+            # A quantized frozen base (QLoRA) must matmul via differentiable
+            # dequant — the W8A8 round / Pallas int8 kernels have no gradient.
+            with quant.training_mode():
+                merged = merge_lora(local_base, adapters, lora_cfg)
+                return loss_fn(merged, batch, rng)
+
+        (loss, metrics), grads = jax.value_and_grad(lora_loss, has_aux=True)(
+            local_adapters
+        )
+
+        def sync(path, g):
+            if _LAYER_RE.search(path_str(path)):
+                return jax.lax.psum(g, ("data", "fsdp"))
+            return jax.lax.psum(g, ("data", "fsdp", "stage"))
+
+        grads = jax.tree_util.tree_map_with_path(sync, grads)
+        return grads, metrics
+
+    def wrapped(adapters, base, batch, rng=None):
+        if rng is None:
+            rng = jax.random.key(0)
+        fn = shard_map(
+            grad_fn,
+            mesh=mesh,
+            in_specs=(a_specs, b_specs, {k: batch_spec for k in batch}, P()),
+            out_specs=(a_specs, P()),
+            check_vma=False,
+        )
+        return fn(adapters, base, batch, rng)
+
+    return wrapped
+
+
+def setup_pp_lora_training(
+    mesh: Mesh,
+    model_cfg: RadVLMConfig,
+    train_cfg,
+    lora_cfg,
+    base_params: Any,
+    *,
+    seed: int = 0,
+    pp_cfg: Optional[PPStepConfig] = None,
+):
+    """PP x LoRA setup mirroring `train_step.setup_lora_training`: the frozen
+    base (dense or int8-quantized — QLoRA) shards its layer stacks over
+    `stage`, adapters shard the same way, AdamW over adapters only. Returns
+    (state, base, step_fn); step_fn(state, base, device_batch). Consumes
+    neither tree destructively, but `base_params` buffers may be aliased into
+    the returned `base` — don't mutate the input afterwards."""
+    import optax as _optax
+
+    from radvlm_tpu.training.lora import init_lora
+    from radvlm_tpu.training.optimizer import make_schedule
+    from radvlm_tpu.training.train_step import TrainState
+
+    pp_cfg = pp_cfg or PPStepConfig()
+    _check_mesh(
+        mesh, model_cfg, interleave=pp_cfg.interleave,
+        n_microbatches=pp_cfg.n_microbatches,
+    )
+    adapters = init_lora(base_params, lora_cfg, jax.random.key(seed))
+    base = shard_params_pp(mesh, base_params, interleave=pp_cfg.interleave)
+    adapters = shard_params_pp(mesh, adapters, interleave=pp_cfg.interleave)
+    tx = _optax.chain(
+        _optax.clip_by_global_norm(train_cfg.max_grad_norm),
+        _optax.adamw(
+            make_schedule(train_cfg, train_cfg.learning_rate),
+            b1=train_cfg.adam_b1, b2=train_cfg.adam_b2, eps=train_cfg.adam_eps,
+            weight_decay=train_cfg.weight_decay,
+        ),
+    )
+    if train_cfg.grad_accum_steps > 1:
+        tx = _optax.MultiSteps(tx, train_cfg.grad_accum_steps)
+    opt_state = jax.jit(tx.init)(adapters)
+    rep = NamedSharding(mesh, P())
+
+    def _on_mesh(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape:
+            return x
+        return jax.device_put(x, rep)
+
+    opt_state = jax.tree.map(_on_mesh, opt_state)
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+        params=adapters,
+        opt_state=opt_state,
+    )
+    grad_fn = make_pp_lora_grad_fn(
+        mesh, model_cfg, lora_cfg, adapters, base,
+        n_microbatches=pp_cfg.n_microbatches, remat=pp_cfg.remat,
+        attn_impl=pp_cfg.attn_impl, interleave=pp_cfg.interleave,
+    )
+    needs_rng = model_cfg.resampler.kind == "masked_drop"
+
+    def step_fn(state: TrainState, base_params, batch):
+        rng = (
+            jax.random.fold_in(jax.random.key(0), state.step)
+            if needs_rng else jax.random.key(0)
+        )
+        grads, metrics = grad_fn(state.params, base_params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_adapters = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(
+                step=state.step + 1, params=new_adapters, opt_state=opt_state
+            ),
+            metrics,
+        )
+
+    return state, base, jax.jit(step_fn, donate_argnums=(0,))
+
+
 def put_batch_pp(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Host batch -> device, batch dim over `data`, replicated over `stage`.
 

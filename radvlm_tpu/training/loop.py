@@ -110,9 +110,6 @@ def train(
     lora_base = None
     if run.quantize_base and not run.lora_rank:
         raise ValueError("--quantize-base is a QLoRA option: set lora_rank > 0")
-    if dict(mesh.shape).get("stage", 1) > 1 and run.lora_rank:
-        raise ValueError("pipeline parallelism (stage > 1) does not compose "
-                         "with LoRA yet — use fsdp/tensor for adapter runs")
     if run.lora_rank:
         from radvlm_tpu.training.lora import LoraConfig
 
@@ -121,10 +118,22 @@ def train(
 
             params = quant.quantize_params(params)
         lcfg = LoraConfig(rank=run.lora_rank, alpha=run.lora_alpha)
-        state, lora_base, step_fn = ts.setup_lora_training(
-            mesh, run.model, run.train, lcfg, params,
-            seed=run.seed, remat=run.remat, attn_impl=attn_impl,
-        )
+        if dict(mesh.shape).get("stage", 1) > 1:
+            from radvlm_tpu.parallel import pp
+
+            state, lora_base, step_fn = pp.setup_pp_lora_training(
+                mesh, run.model, run.train, lcfg, params,
+                seed=run.seed,
+                pp_cfg=pp.PPStepConfig(
+                    n_microbatches=run.pp_microbatches, remat=run.remat,
+                    attn_impl=attn_impl, interleave=run.pp_interleave,
+                ),
+            )
+        else:
+            state, lora_base, step_fn = ts.setup_lora_training(
+                mesh, run.model, run.train, lcfg, params,
+                seed=run.seed, remat=run.remat, attn_impl=attn_impl,
+            )
     elif dict(mesh.shape).get("stage", 1) > 1:
         from radvlm_tpu.parallel import pp
 

@@ -212,6 +212,79 @@ def test_pp_train_step_matches_plain_sft(rng):
     assert np.isfinite(float(metrics2["loss"]))
 
 
+def test_pp_lora_matches_plain_lora(rng):
+    """One PP LoRA step == one plain (fsdp-mesh) LoRA step: same adapter
+    init (seed), same optimizer chain, loss + updated adapters match."""
+    from radvlm_tpu.training.lora import LoraConfig
+
+    cfg = pp_config()
+    tcfg = TrainConfig(
+        learning_rate=1e-3, warmup_ratio=0.0, grad_accum_steps=1, total_steps=8
+    )
+    lcfg = LoraConfig(rank=4, alpha=8.0)
+    batch = make_batch(cfg, rng)
+
+    mesh_pp = meshlib.make_mesh({"data": 2, "stage": 4})
+    base = radvlm.init_params(cfg, jax.random.key(5))
+    state, pbase, step = pp.setup_pp_lora_training(
+        mesh_pp, cfg, tcfg, lcfg, base, seed=1,
+        pp_cfg=pp.PPStepConfig(n_microbatches=2, attn_impl="xla"),
+    )
+    state, metrics = step(state, pbase, pp.put_batch_pp(mesh_pp, batch))
+    assert int(state.step) == 1
+    assert float(metrics["grad_norm"]) > 0
+
+    base2 = radvlm.init_params(cfg, jax.random.key(5))
+    mesh_ref = meshlib.make_mesh({"data": 2, "fsdp": 4})
+    rstate, rbase, rstep = ts.setup_lora_training(
+        mesh_ref, cfg, tcfg, lcfg, base2, seed=1, attn_impl="xla"
+    )
+    rstate, rmetrics = rstep(rstate, rbase, ts.put_batch(mesh_ref, batch))
+    assert float(metrics["loss"]) == pytest.approx(
+        float(rmetrics["loss"]), rel=1e-5
+    )
+    # Adapters updated identically (PP grads are folded? no — V=1 keeps [L]).
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state.params)),
+        jax.tree.leaves(jax.device_get(rstate.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+def test_pp_qlora_interleaved_step(rng):
+    """QLoRA over the interleaved pipeline: int8 frozen base sharded over
+    stages, adapters train (loss matches the plain QLoRA step)."""
+    from radvlm_tpu.ops import quant
+    from radvlm_tpu.training.lora import LoraConfig
+
+    cfg = pp_config()
+    tcfg = TrainConfig(
+        learning_rate=1e-3, warmup_ratio=0.0, grad_accum_steps=1, total_steps=8
+    )
+    lcfg = LoraConfig(rank=4, alpha=8.0)
+    batch = make_batch(cfg, rng)
+
+    qbase = quant.quantize_params(radvlm.init_params(cfg, jax.random.key(6)))
+    mesh_pp = meshlib.make_mesh({"data": 4, "stage": 2})
+    state, pbase, step = pp.setup_pp_lora_training(
+        mesh_pp, cfg, tcfg, lcfg, qbase, seed=1,
+        pp_cfg=pp.PPStepConfig(n_microbatches=2, attn_impl="xla", interleave=2),
+    )
+    state, metrics = step(state, pbase, pp.put_batch_pp(mesh_pp, batch))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+    qbase2 = quant.quantize_params(radvlm.init_params(cfg, jax.random.key(6)))
+    mesh_ref = meshlib.make_mesh({"data": 2, "fsdp": 4})
+    rstate, rbase, rstep = ts.setup_lora_training(
+        mesh_ref, cfg, tcfg, lcfg, qbase2, seed=1, attn_impl="xla"
+    )
+    rstate, rmetrics = rstep(rstate, rbase, ts.put_batch(mesh_ref, batch))
+    assert float(metrics["loss"]) == pytest.approx(
+        float(rmetrics["loss"]), rel=1e-5
+    )
+
+
 @pytest.mark.slow
 def test_pp_train_driver(tmp_path):
     """Full train() driver under a DP x PP mesh: llava-json on disk ->
