@@ -29,6 +29,11 @@ BATCH = int(os.environ.get("RADVLM_BENCH_BATCH", "8"))
 BATCHES = int(os.environ.get("RADVLM_BENCH_BATCHES", "4"))
 NEW_TOKENS = int(os.environ.get("RADVLM_BENCH_NEW_TOKENS", "128"))
 
+# Set when the TPU tunnel is down and the run degrades to a tiny-model CPU
+# sanity pass: the headline value is then NOT a hardware measurement and must
+# not be compared across rounds — the flag makes that machine-readable.
+_FALLBACK_EXTRA: dict = {}
+
 
 def _random_quantized_params(cfg, bits: int = 8):
     """Random params with quantizable kernels born int8/int4, generated ON
@@ -157,7 +162,8 @@ def _run_continuous(cfg, params, gen, size, slots):
         h = img_px or int(rng.integers(480, 560))
         w = img_px or int(rng.integers(400, 520))
         img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
-        ids = [IMAGE_TOKEN_INDEX] + list(rng.integers(100, 50000, size=40))
+        hi = min(50000, cfg.text.vocab_size - 1)  # tiny widths have small vocabs
+        ids = [IMAGE_TOKEN_INDEX] + list(rng.integers(100, hi, size=40))
         return multimodal.build_sample(ids, [img], cfg)
 
     steps_per_sync = int(os.environ.get("RADVLM_BENCH_STEPS_PER_SYNC", "16"))
@@ -233,27 +239,36 @@ def _run_continuous(cfg, params, gen, size, slots):
     # Timed run. Submissions stream from a feeder thread (collate + H2D
     # happen during the engine's device waits — the production arrival
     # pattern) after a 2x-slots head start fills the pipeline.
+    # RADVLM_BENCH_PROFILE=<dir>: wrap the timed window in a jax.profiler
+    # trace (xplane dump for XProf/TensorBoard) to localize fill/decode time.
+    import contextlib
     import threading
+
+    from radvlm_tpu.utils import profiling
+
+    prof_dir = os.environ.get("RADVLM_BENCH_PROFILE", "")
+    prof_ctx = profiling.trace(prof_dir) if prof_dir else contextlib.nullcontext()
 
     t_start = time.perf_counter()
     done_at = []
     head = min(2 * slots, n_reqs)
-    for _ in range(head):
-        b.submit(make_sample(), NEW_TOKENS)
-
-    def feed():
-        for _ in range(n_reqs - head):
+    with prof_ctx:
+        for _ in range(head):
             b.submit(make_sample(), NEW_TOKENS)
 
-    feeder = threading.Thread(target=feed)
-    feeder.start()
-    while len(done_at) < n_reqs:  # re-enter if the engine drains early
-        for _req in pump():
-            done_at.append(time.perf_counter() - t_start)
-        if len(done_at) < n_reqs:
-            time.sleep(0.01)
-    feeder.join()
-    total = time.perf_counter() - t_start
+        def feed():
+            for _ in range(n_reqs - head):
+                b.submit(make_sample(), NEW_TOKENS)
+
+        feeder = threading.Thread(target=feed)
+        feeder.start()
+        while len(done_at) < n_reqs:  # re-enter if the engine drains early
+            for _req in pump():
+                done_at.append(time.perf_counter() - t_start)
+            if len(done_at) < n_reqs:
+                time.sleep(0.01)
+        feeder.join()
+        total = time.perf_counter() - t_start
 
     # Spec-mode telemetry: tokens emitted per verify step (>= 1.0; plain
     # greedy is exactly 1.0 per step). Fleet mode aggregates every engine.
@@ -296,6 +311,7 @@ def _run_continuous(cfg, params, gen, size, slots):
         "warmup_breakdown_s": {
             k: round(v, 1) for k, v in warmup_timings().items()
         },
+        **_FALLBACK_EXTRA,
     }))
 
 
@@ -306,32 +322,28 @@ def main():
     # If the tunneled TPU backend is unreachable (relay down), fall back to a
     # tiny CPU run rather than crash or hang: the driver should always record
     # a JSON line, and the "device" field makes the fallback unambiguous.
-    # The axon backend RETRIES its relay connection indefinitely (a plain
-    # jax.devices() probe blocks forever), so probe the relay socket instead
-    # — it listens on 8082+ when the tunnel is up.
-    def _tunnel_up() -> bool:
-        if os.environ.get("JAX_PLATFORMS", "") != "axon":
-            return True  # local backends initialize (or fail) fast
-        import socket
+    from radvlm_tpu.utils.backend import ensure_backend
 
-        try:
-            socket.create_connection(("127.0.0.1", 8082), timeout=3).close()
-            return True
-        except OSError:
-            return False
-
-    if not _tunnel_up():
+    if not ensure_backend():
         sys.stderr.write("bench: TPU tunnel relay unreachable; CPU fallback\n")
-        jax.config.update("jax_platforms", "cpu")
-        os.environ.setdefault("RADVLM_BENCH_SIZE", "0.5b")
+        # tiny width: a 0.5B CPU fallback was measured >10 min on the 1-core
+        # driver host (risking a driver timeout with no JSON line at all);
+        # tiny (16-token tiles) runs the identical engine flow in ~2 min.
+        os.environ.setdefault("RADVLM_BENCH_SIZE", "tiny")
         os.environ.setdefault("RADVLM_BENCH_REQS", "4")
         os.environ.setdefault("RADVLM_BENCH_SLOTS", "2")
-        # small images still expand to 1,525 anyres tokens (base + 1 tile);
-        # one 1664 bucket keeps the CPU prefill tractable
         os.environ.setdefault("RADVLM_BENCH_IMG_PX", "64")
-        os.environ.setdefault("RADVLM_BENCH_BUCKETS", "1664")
+        os.environ.setdefault("RADVLM_BENCH_BUCKETS", "128")
         globals()["NEW_TOKENS"] = int(
             os.environ.setdefault("RADVLM_BENCH_NEW_TOKENS", "16")
+        )
+        _FALLBACK_EXTRA.update(
+            fallback=True,
+            note=(
+                "TPU tunnel down: tiny-model CPU sanity run — value is NOT a "
+                "hardware measurement; see PARITY.md for the last measured "
+                "7B TPU numbers"
+            ),
         )
 
     # Persistent XLA compile cache: warm reruns load executables from disk
@@ -350,6 +362,12 @@ def main():
     size = os.environ.get("RADVLM_BENCH_SIZE", "7b-int8")
     if size.startswith("7b"):
         cfg = cfglib.radvlm_7b()
+    elif size == "tiny":
+        # CPU-fallback / smoke width: the point is a bounded end-to-end run
+        # through the REAL engine flow (collate -> fill -> chunked decode),
+        # not a meaningful number. A 0.5B CPU run exceeds 10 min on the
+        # 1-core driver host; tiny compiles + runs in ~2 min.
+        cfg = cfglib.tiny_test_config(vocab_size=4096)
     else:
         cfg = cfglib.radvlm_0_5b()
     if size.endswith("-int8"):
@@ -451,6 +469,7 @@ def main():
         "n_chips": n_chips,
         "device": str(jax.devices()[0].device_kind),
         "compile_s": round(compile_s, 1),
+        **_FALLBACK_EXTRA,
     }))
 
 

@@ -24,7 +24,8 @@ pipeline, parallel/pp.py — _BATCH must then be divisible by
 data * _MICROBATCHES, and the size must not be a -qlora mode),
 _MICROBATCHES (PP microbatches, default 4), _INTERLEAVE (virtual stages
 per device, Megatron interleaved schedule, default 1),
-_IMG_PX (square synthetic image override).
+_IMG_PX (square synthetic image override), _PROFILE (dir: jax.profiler
+xplane trace over the timed steps).
 
 Prints ONE JSON line {"metric", "value", "unit", ...extras}. MFU counts
 decoder matmul FLOPs only (6 * text-params * tokens — attention-score and
@@ -81,6 +82,25 @@ def _text_param_count(cfg) -> int:
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    # Dead-tunnel guard: pin a usable backend BEFORE the first trace (the
+    # axon plugin otherwise blocks forever); degrade to a flagged tiny CPU
+    # run so the caller always gets a JSON line.
+    from radvlm_tpu.utils.backend import ensure_backend
+
+    fallback_extra: dict = {}
+    if not ensure_backend():
+        sys.stderr.write("bench_train: TPU tunnel unreachable; CPU fallback\n")
+        os.environ.setdefault("RADVLM_TRAIN_BENCH_SIZE", "tiny")
+        os.environ.setdefault("RADVLM_TRAIN_BENCH_STEPS", "2")
+        fallback_extra = {
+            "fallback": True,
+            # spread LAST in the output dict: nulls the tiny-vs-GH200 ratio,
+            # which is meaningless off-hardware
+            "vs_baseline": None,
+            "note": "TPU tunnel down: tiny-model CPU sanity run — value is "
+                    "NOT a hardware measurement",
+        }
 
     from radvlm_tpu import config as cfglib
     from radvlm_tpu.parallel.mesh import make_mesh
@@ -179,12 +199,22 @@ def main() -> None:
     _ = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
 
+    # RADVLM_TRAIN_BENCH_PROFILE=<dir>: jax.profiler trace over the timed
+    # steps (xplane dump) — localizes fwd/bwd/collective time per step.
+    import contextlib
+
+    from radvlm_tpu.utils import profiling
+
+    prof_dir = os.environ.get("RADVLM_TRAIN_BENCH_PROFILE", "")
+    prof_ctx = profiling.trace(prof_dir) if prof_dir else contextlib.nullcontext()
+
     times = []
-    for _ in range(steps):
-        t = time.perf_counter()
-        state, metrics = run(state, dev_batch)
-        _ = float(metrics["loss"])  # forces device sync (tunnel-safe)
-        times.append(time.perf_counter() - t)
+    with prof_ctx:
+        for _ in range(steps):
+            t = time.perf_counter()
+            state, metrics = run(state, dev_batch)
+            _ = float(metrics["loss"])  # forces device sync (tunnel-safe)
+            times.append(time.perf_counter() - t)
 
     step_s = float(np.median(times))
     samples_s = batch / step_s
@@ -223,6 +253,7 @@ def main() -> None:
         "trainable_params": n_train_params,
         "ref_samples_per_s_per_gpu": round(ref_per_gpu, 4),
         "device": jax.devices()[0].platform,
+        **fallback_extra,
     }))
 
 
