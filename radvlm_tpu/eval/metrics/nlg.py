@@ -155,3 +155,72 @@ def _all_ngrams(tokens: List[str], n: int) -> Counter:
         for i in range(len(tokens) - k + 1):
             c[tuple(tokens[i:i + k])] += 1
     return c
+
+
+def corpus_doc_freq(corpus: Sequence[str], *, n: int = 4) -> Dict[tuple, float]:
+    """n-gram document frequencies over a training corpus — the precomputed
+    `df` the RL-reward CIDEr-D variant scores against
+    (`NLG/ciderD_RL/ciderD_RL.py:26-29`: DF built once from a corpus file,
+    then reused for every reward call)."""
+    doc_freq: Dict[tuple, float] = defaultdict(float)
+    for doc in corpus:
+        for ngram in _all_ngrams(doc.split(), n):
+            doc_freq[ngram] += 1.0
+    return doc_freq
+
+
+def cider_d_rl(
+    refs: Sequence[str],
+    hyps: Sequence[str],
+    doc_freq: Dict[tuple, float],
+    *,
+    n: int = 4,
+    sigma: float = 6.0,
+    log_norm: float | None = None,
+) -> Tuple[float, List[float]]:
+    """RL-reward CIDEr-D (`NLG/ciderD_RL/ciderD_RL_scorer.py`): identical to
+    :func:`cider_d` except the document frequencies come from an external
+    corpus (``corpus_doc_freq``) instead of the eval refs, so per-sample
+    scores are stable rewards independent of the sampled batch.
+
+    Reference quirk kept for parity: the default idf log-normalizer is
+    ``log(len(refs))`` — the *eval batch* size (`ciderD_RL_scorer.py:167`),
+    not the corpus size, even though the DF counts are corpus-level. Pass
+    ``log_norm`` (e.g. ``log(corpus_size)``) to pin it — required for
+    per-sample reward calls, where ``log(1) = 0`` would zero the idf.
+    """
+    ref_counts = [_all_ngrams(r.split(), n) for r in refs]
+    hyp_counts = [_all_ngrams(h.split(), n) for h in hyps]
+    if log_norm is not None:
+        log_corpus = log_norm
+    else:
+        log_corpus = math.log(float(len(ref_counts))) if ref_counts else 0.0
+
+    def to_vec(counts: Counter):
+        vec = [defaultdict(float) for _ in range(n)]
+        norm = [0.0] * n
+        length = 0
+        for ngram, tf in counts.items():
+            df = math.log(max(1.0, doc_freq.get(ngram, 0.0)))
+            k = len(ngram) - 1
+            vec[k][ngram] = tf * (log_corpus - df)
+            norm[k] += vec[k][ngram] ** 2
+            if k == 1:  # coco quirk: "length" counts bigrams
+                length += tf
+        return vec, [math.sqrt(x) for x in norm], length
+
+    scores: List[float] = []
+    for h_cnt, r_cnt in zip(hyp_counts, ref_counts):
+        hv, hn, hl = to_vec(h_cnt)
+        rv, rn, rl = to_vec(r_cnt)
+        delta = float(hl - rl)
+        penalty = math.exp(-(delta ** 2) / (2 * sigma ** 2))
+        val = np.zeros(n)
+        for k in range(n):
+            for ngram, w in hv[k].items():
+                val[k] += min(w, rv[k][ngram]) * rv[k][ngram]
+            if hn[k] != 0 and rn[k] != 0:
+                val[k] /= hn[k] * rn[k]
+            val[k] *= penalty
+        scores.append(float(np.mean(val)) * 10.0)
+    return float(np.mean(scores)) if scores else 0.0, scores

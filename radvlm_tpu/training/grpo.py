@@ -50,6 +50,10 @@ class GRPOConfig:
     iou_weight: float = 1.0  # continuous-IoU term
     acc_weight: float = 1.0  # IoU>=0.5 accuracy term (VLM-R1's reward)
     format_weight: float = 0.1  # "a parseable box is present" term
+    # ciderdrl reward: path to a report corpus (one per line) for document
+    # frequencies — vilmedic's REWARD_COMPLIANT CiderDRL contract
+    # (`vilmedic/scores.py:16-28`, `NLG/ciderD_RL/ciderD_RL.py:26-29`)
+    cider_corpus: str = ""
 
 
 # ---------------------------------------------------------------------------
@@ -134,11 +138,41 @@ def classification_reward(text: str, solution: str, gc: GRPOConfig) -> float:
     return 2 * prec * rec / (prec + rec) if tp else 0.0
 
 
+_CIDER_DF_CACHE: Dict[str, Tuple[dict, float]] = {}
+
+
+def cider_rl_reward(text: str, solution: str, gc: GRPOConfig) -> float:
+    """RL CIDEr-D reward (vilmedic REWARD_COMPLIANT CiderDRL,
+    `vilmedic/scores.py:16-28`): per-completion CIDEr-D against the solution
+    report, idf from the `gc.cider_corpus` file (one report per line) with
+    the log-normalizer pinned to log(corpus size) — per-sample calls would
+    otherwise zero the idf (see `eval/metrics/nlg.cider_d_rl`)."""
+    import math
+
+    from radvlm_tpu.eval.metrics.nlg import cider_d_rl, corpus_doc_freq
+
+    if not gc.cider_corpus:
+        raise ValueError("reward='ciderdrl' needs GRPOConfig.cider_corpus")
+    if gc.cider_corpus not in _CIDER_DF_CACHE:
+        with open(gc.cider_corpus) as f:
+            corpus = [line.strip() for line in f if line.strip()]
+        _CIDER_DF_CACHE[gc.cider_corpus] = (
+            corpus_doc_freq(corpus), math.log(float(max(2, len(corpus))))
+        )
+    df, log_norm = _CIDER_DF_CACHE[gc.cider_corpus]
+    if not text.strip() or not solution.strip():
+        return 0.0
+    return cider_d_rl([solution], [text], df, log_norm=log_norm)[0]
+
+
 # Registry contract: fn(completion_text, cell, grpo_config) -> float.
 REWARD_FNS: Dict[str, Callable[..., float]] = {
     "rec": lambda text, cell, gc: rec_reward(text, cell.gt_boxes, gc),
     "report": lambda text, cell, gc: report_reward(text, cell.solution, gc),
     "classification": lambda text, cell, gc: classification_reward(
+        text, cell.solution, gc
+    ),
+    "ciderdrl": lambda text, cell, gc: cider_rl_reward(
         text, cell.solution, gc
     ),
 }
