@@ -124,6 +124,8 @@ class VLMRunner:
         images_per_prompt: Sequence[Sequence[np.ndarray]],
         *,
         max_new_tokens: Optional[int] = None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
     ) -> List[str]:
         """prompts contain <image> markers; returns decoded, stop-trimmed text."""
         import jax
@@ -133,6 +135,8 @@ class VLMRunner:
             max_new_tokens=max_new_tokens or self.max_new_tokens,
             eos_token_ids=self.tokenizer.eos_token_ids,
             pad_token_id=self.tokenizer.pad_token_id,
+            temperature=temperature,
+            top_p=top_p,
         )
         samples = [
             multimodal.build_sample(
