@@ -220,11 +220,17 @@ def _run_continuous(cfg, params, gen, size, slots):
         )
         pump = b.run
         warmup_timings = lambda: b.warmup_timings  # noqa: E731
+    cache_before = _compile_cache_entries()
     t0 = time.perf_counter()
     b.warmup()
     if fleet > 1:
         b.start()
     compile_s = time.perf_counter() - t0
+    cache_after = _compile_cache_entries()
+    # Kernel-path provenance: which implementations the compiled graphs
+    # actually use (a silent fused-W8A8 fallback or a decode-kernel predicate
+    # miss must be visible in the recorded JSON, not a regression mystery).
+    provenance = (b.batchers[0] if fleet > 1 else b).kernel_provenance()
     # Unloaded latency (BASELINE.md "p50 latency per report"): single request
     # on the idle engine, no queueing — the per-request number a user sees,
     # vs p50_report_completion_s which is queue-dominated under load.
@@ -311,8 +317,31 @@ def _run_continuous(cfg, params, gen, size, slots):
         "warmup_breakdown_s": {
             k: round(v, 1) for k, v in warmup_timings().items()
         },
+        # Provenance: engine kernel paths + host-side accelerators. A warm
+        # persistent compile cache writes no new entries during warmup.
+        **provenance,
+        "native_anyres": _native_anyres_available(),
+        "compile_cache_hit": (
+            None if cache_before is None else cache_after == cache_before
+        ),
         **_FALLBACK_EXTRA,
     }))
+
+
+def _compile_cache_entries():
+    """Entry count of the persistent XLA compile cache dir (None if off)."""
+    import jax
+
+    d = jax.config.jax_compilation_cache_dir
+    if not d or not os.path.isdir(d):
+        return None
+    return sum(len(files) for _, _, files in os.walk(d))
+
+
+def _native_anyres_available() -> bool:
+    from radvlm_tpu import native
+
+    return bool(native.available())
 
 
 def main():

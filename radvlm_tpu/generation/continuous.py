@@ -829,7 +829,7 @@ class ContinuousBatcher:
         except jax.errors.JaxRuntimeError as e:
             msg = str(e)
             fused = (
-                os.environ.get("RADVLM_W8A8_IMPL", "fused") == "fused"
+                os.environ.get("RADVLM_W8A8_IMPL", "xla") == "fused"
                 and jax.default_backend() == "tpu"
             )
             # Only the fused kernel's own compile failures are recoverable by
@@ -1011,6 +1011,52 @@ class ContinuousBatcher:
         self.slot_fill_len[:] = 0
         self.slot_fill_real[:] = 0
         self.slot_req = [None] * self.num_slots
+
+    def kernel_provenance(self) -> Dict[str, str]:
+        """Which kernel implementations this engine's compiled graphs use.
+
+        Emitted into the bench JSON / serving logs so a silent fallback (a
+        fused-W8A8 compile failure flipping the env to `xla` in warmup(), or
+        the decode-kernel predicate missing and landing on XLA attention)
+        can never masquerade as an unexplained perf regression — the round-3
+        1.98->1.20 img/s mystery was exactly such an invisible kernel-path
+        change. Mirrors the dispatch predicates at their sources of truth:
+        prefill W8A8 in ops/quant.w8a8_matmul, decode attention in
+        models/qwen2.py (stacked-kernel eligibility).
+        """
+        import os
+
+        import jax
+
+        from radvlm_tpu.ops import quant
+
+        has_q = any(
+            quant.is_qnode(x)
+            for x in jax.tree_util.tree_leaves(
+                self.params, is_leaf=quant.is_qnode
+            )
+        )
+        on_tpu = jax.default_backend() == "tpu"
+        if not (has_q and quant.w8a8_enabled()):
+            w8a8 = "off"
+        elif not on_tpu:
+            w8a8 = "xla"
+        else:
+            w8a8 = os.environ.get("RADVLM_W8A8_IMPL", "xla")
+        tcfg = self.cfg.text
+        kernel_ok = (
+            self.attn_impl in ("auto", "flash")
+            and self.max_len % 128 == 0
+            and tcfg.head_dim % 64 == 0
+            and tcfg.sliding_window == 0
+            and tcfg.pos_embedding == "rope"
+            and on_tpu
+        )
+        if not kernel_ok:
+            decode = "xla"
+        else:
+            decode = "q8" if self.kv_quant else "bf16"
+        return {"w8a8_impl": w8a8, "decode_kernel": decode}
 
     def submit(self, sample: multimodal.MMSample,
                max_new_tokens: Optional[int] = None, *,

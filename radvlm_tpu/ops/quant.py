@@ -166,18 +166,25 @@ def w8a8_matmul(x: jnp.ndarray, node: Dict[str, Any]) -> jnp.ndarray:
     SmoothQuant-style W8A8 serving stacks do; weight scales are the node's
     per-output-channel scales.
 
-    RADVLM_W8A8_IMPL picks the emitter: `fused` (default on TPU) is the
-    Pallas kernel that quantizes x row-tiles in VMEM inside the matmul
-    (`ops/w8a8_matmul.w8a8_matmul_fused` — no separate HBM quantize pass);
-    `pallas` is the explicit-tiling kernel over pre-quantized activations;
-    `xla` the s8xs8 dot emitter (both pay the XLA quantize pre-pass).
+    RADVLM_W8A8_IMPL picks the emitter: `xla` (default) is the s8xs8 dot
+    emitter below; `pallas` the explicit-tiling kernel over pre-quantized
+    activations (both pay the XLA quantize pre-pass); `fused` the Pallas
+    kernel that quantizes x row-tiles in VMEM inside the matmul
+    (`ops/w8a8_matmul.w8a8_matmul_fused`). `fused` was the TPU default in
+    round 3 and caused a 37% e2e serving regression measured on v5e
+    (1.24 vs 1.98 img/s/chip at the flagship 7B bench, 2026-08-19): its
+    resident-row-tile layout caps bm at ~64 rows for the D=18944 down
+    projection (VMEM budget), so the full int8 weight re-streams from HBM
+    m/bm (~54) times per matmul site — the quantize round-trip it saves is
+    ~2 orders of magnitude smaller than the weight traffic it adds. It
+    stays available as an opt-in for narrow-D shapes only.
 
     Equivalent role to the reference's bitsandbytes int8 inference path
     (`model/builder.py:30-34`), but on the prefill hot loop."""
     import os
 
     q, ws = node[Q_KEY], node[SCALE_KEY]  # [D, F] int8, [1, F] f32
-    impl = os.environ.get("RADVLM_W8A8_IMPL", "fused")
+    impl = os.environ.get("RADVLM_W8A8_IMPL", "xla")
     tpu_aligned = (
         jax.default_backend() == "tpu"
         and q.shape[0] % 128 == 0

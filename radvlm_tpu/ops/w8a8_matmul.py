@@ -9,12 +9,15 @@ fabricates impossible rates) on the 7B prefill shapes measured:
     down   [3456,18944]x[18944,3584]: bf16 121, XLA s8 160-180, Pallas 170
 
 i.e. the doubled int8 MXU rate (394 peak) IS engaged by both the XLA emitter
-and this kernel, at parity within shared-tenancy noise. The TPU default is
-now `w8a8_matmul_fused` below (RADVLM_W8A8_IMPL=fused in ops/quant.py),
-which additionally folds the per-row activation quantization into the kernel
-— the XLA pre-pass pays a full HBM round-trip of x/xq/xs per matmul site.
+and this kernel, at parity within shared-tenancy noise. `w8a8_matmul_fused`
+below additionally folds the per-row activation quantization into the kernel
+— but its resident-row-tile layout re-streams the full weight from HBM
+m/bm times (bm capped by VMEM at ~64 rows for D=18944), which measured a
+37% e2e serving REGRESSION on v5e (1.24 vs 1.98 img/s/chip, 2026-08-19 A/B
+at the 7B bench). The default is therefore `xla` (the s8xs8 dot emitter);
 RADVLM_W8A8_IMPL=pallas selects the pre-quantized explicit-tiling kernel,
-=xla the s8xs8 dot emitter.
+=fused the fused kernel (opt-in; only sane for narrow-D shapes where the
+full row-tile fits VMEM at bm>=256).
 
 Structure: grid (M/bm, F/bf, D/bk), k innermost ("arbitrary") accumulating
 int32 in VMEM scratch; per-row activation scales (`quantize_rows`) and

@@ -73,3 +73,10 @@ def test_bench_continuous_executes_end_to_end(bench, monkeypatch, capsys,
     assert out["value"] > 0
     assert out["fleet"] == (2 if fleet == "2" else 1)
     assert out["requests"] == 4
+    # Kernel-path provenance: every recorded bench line must say which
+    # implementations actually ran (the r03 regression hid behind a kernel
+    # default that was never visible in the JSON).
+    assert out["w8a8_impl"] == "off"  # tiny init params are unquantized
+    assert out["decode_kernel"] == "xla"  # CPU backend: no Pallas decode
+    assert out["native_anyres"] in (True, False)
+    assert out["compile_cache_hit"] in (True, False, None)

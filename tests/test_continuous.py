@@ -220,7 +220,9 @@ def test_warmup_falls_back_when_fused_w8a8_cannot_compile(monkeypatch):
         attn_impl="xla",
     )
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.delenv("RADVLM_W8A8_IMPL", raising=False)
+    # fused is opt-in since the r04 regression A/B (default: xla emitter);
+    # the fallback protects the opt-in path.
+    monkeypatch.setenv("RADVLM_W8A8_IMPL", "fused")
     calls = []
     real = ContinuousBatcher._warmup_once
 
@@ -237,7 +239,7 @@ def test_warmup_falls_back_when_fused_w8a8_cannot_compile(monkeypatch):
 
     monkeypatch.setattr(ContinuousBatcher, "_warmup_once", fake)
     b.warmup()
-    assert calls == [None, "xla"]  # retried under the XLA emitter
+    assert calls == ["fused", "xla"]  # retried under the XLA emitter
     assert "poison" not in b._fill_fns  # stale fill graphs dropped
 
     # non-fused failures propagate
