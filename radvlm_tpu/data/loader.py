@@ -90,9 +90,11 @@ def apply_pos_skipping(
     batch: Dict[str, np.ndarray], rng: np.random.Generator, max_range: int
 ) -> Dict[str, np.ndarray]:
     """Positional-skipping augmentation (reference `llava_arch.py:546-552`):
-    per sample, add a random offset to all positions after a random split point,
-    teaching rotary embeddings to generalize across the long-context range
-    without training on long sequences."""
+    per sample, pick a random split point and add `left_add` to positions
+    before it and `right_add >= left_add` after it (both uniform in
+    [0, max_range]) — teaching rotary embeddings to generalize across the
+    long-context range without training on long sequences. Padding (segment
+    id 0) keeps position 0."""
     positions = batch["positions"].copy()
     lengths = batch["lengths"]
     b = positions.shape[0]
@@ -101,10 +103,12 @@ def apply_pos_skipping(
         if n < 2:
             continue
         split = int(rng.integers(1, n))
-        offset = int(rng.integers(0, max_range + 1))
+        left_add = int(rng.integers(0, max_range + 1))
+        right_add = int(rng.integers(left_add, max_range + 1))
         row = positions[i]
+        real = batch["segment_ids"][i] != 0
         positions[i] = np.where(
-            (row >= split) & (batch["segment_ids"][i] != 0), row + offset, row
+            real, row + np.where(row >= split, right_add, left_add), row
         )
     return {**batch, "positions": positions}
 

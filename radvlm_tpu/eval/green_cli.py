@@ -11,7 +11,7 @@ Scores saved report-generation outputs with the GREEN LLM judge
 - --judge echo: parse-only smoke mode (expects precomputed responses).
 
     python -m radvlm_tpu.eval.green_cli \
-        --outputs results/radvlm_report_generation_outputs.json \
+        --outputs results/radvlm_report_generation_output.json \
         --judge-model /models/GREEN-radllama2-7b --int8
 """
 
@@ -73,7 +73,7 @@ def make_hf_judge(model_path: str, *, max_new_tokens: int = 512):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--outputs", required=True,
-                   help="eval-harness *_outputs.json for report_generation")
+                   help="eval-harness *_output.json for report_generation")
     p.add_argument("--judge", default="jax",
                    choices=["jax", "hf", "azure", "echo"])
     p.add_argument("--judge-model", default="StanfordAIMI/GREEN-radllama2-7b")

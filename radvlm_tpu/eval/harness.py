@@ -219,6 +219,26 @@ METRIC_TASK_ALIAS = {
     "anatomical_grounding": "region_grounding",
 }
 
+def _result_cell(output: str, s: Dict, task: str) -> Dict:
+    """One per-sample results cell in the REFERENCE's serialization contract
+    (`evaluate_instructions.py:182-190`): `output` (generated text), `instr`
+    (the question STRING), `answer` (the ground-truth answer text), plus any
+    of the reference's optional keys present on the sample — so downstream
+    consumers of the reference's `*_output.json` files can read ours."""
+    instr = s.get("instr") or {}
+    cell = {
+        "output": output,
+        "instr": instr.get("question"),
+        "answer": instr.get("answer"),
+    }
+    for key in ("id", "idx", "img_path", "labels", "label", "txt", "boxes"):
+        if key in s:
+            cell[key] = s[key]
+    for f in GT_FIELDS[task]:
+        cell.setdefault(f, s.get(f))
+    return cell
+
+
 GT_FIELDS = {
     "report_generation": ("txt",),
     "abnormality_classification": ("labels",),
@@ -327,44 +347,80 @@ def _run_continuous(
             kv_quant=runner.kv_quant,
         )
         submit, drain = batcher.submit, batcher.run
-    # Pass 2 — submit in WAVES (submit() transfers batches to device
+    # Pass 2 — a FEEDER THREAD streams samples in continuously under a
+    # bounded in-flight cap (submit() transfers batches to device
     # immediately; a whole-shard upfront submission would pin the full
-    # split's collated batches in HBM). Each wave keeps the slots several
-    # refills deep, then drains before the next.
-    import itertools
+    # split's collated batches in HBM). The r03 wave loop (submit a wave,
+    # drain it fully, submit the next) measured a 1.85x fleet SLOWDOWN on
+    # the CPU-mesh rehearsal: every engine idled through each wave's tail
+    # and through the next wave's single-threaded host preprocessing.
+    # Overlapping feed with drain keeps all engines' slots full for the
+    # whole run and hides build_mm (PIL anyres) behind device time.
+    import threading
+    import time as _time
 
-    wave = max(4 * runner.batch_size * n_engines, 8)
+    cap = max(4 * runner.batch_size * n_engines, 8)
+    inflight = threading.Semaphore(cap)
+    stop_feed = threading.Event()
     meta: Dict[int, Dict] = {}
+    meta_lock = threading.Lock()
     results = []
-    it = iter(my_indices)
-    try:
-        while True:
-            chunk = list(itertools.islice(it, wave))
-            if not chunk:
-                break
-            for i in chunk:
+    feed_err: List[BaseException] = []
+
+    def feed():
+        try:
+            for i in my_indices:
+                inflight.acquire()
+                if stop_feed.is_set():  # consumer bailed: unblock + exit
+                    return
                 s, mm = build_mm(i)
                 req = submit(mm)
-                meta[req.uid] = s
+                with meta_lock:
+                    meta[req.uid] = s
+        except BaseException as e:  # surfaced in the consumer loop
+            feed_err.append(e)
+
+    feeder = threading.Thread(target=feed, name="eval-feeder", daemon=True)
+    feeder.start()
+    try:
+        while len(results) < len(my_indices):
+            if feed_err:
+                raise feed_err[0]
+            progressed = False
+            # drain() / run() returns when nothing is pending — transiently
+            # possible while the feeder preprocesses — so re-enter.
             for req in drain():
-                s = meta.pop(req.uid)
+                progressed = True
                 if req.error:
                     # an eval with silently-failed samples would report
                     # corrupt metrics — fail the run loudly
                     raise RuntimeError(f"engine failed a sample: {req.error}")
+                # submit() -> meta[uid] in the feeder races completion by
+                # microseconds; spin until the entry lands.
+                while True:
+                    with meta_lock:
+                        s = meta.pop(req.uid, None)
+                    if s is not None:
+                        break
+                    _time.sleep(0.001)
+                inflight.release()
                 text = runner.tokenizer.decode(req.emitted)
-                cell = {
-                    "output": trim_at_stop_strings(
-                        text, runner.template.stop_strings
-                    ),
-                    "instr": s["instr"],
-                }
-                for f in GT_FIELDS[task]:
-                    cell[f] = s.get(f)
+                cell = _result_cell(
+                    trim_at_stop_strings(text, runner.template.stop_strings),
+                    s, task,
+                )
                 results.append(cell)
                 if progress:
                     progress(len(results), len(my_indices))
+            if not progressed and len(results) < len(my_indices):
+                _time.sleep(0.01)
+        feeder.join()
     finally:
+        # Unblock a feeder stuck on the in-flight cap (error exits above):
+        # plain Semaphore tolerates the over-release; the stop flag makes the
+        # feeder exit without submitting.
+        stop_feed.set()
+        inflight.release()
         if runner.fleet:
             engine.shutdown()
     return results
@@ -410,10 +466,7 @@ def run_task(
             images = [[s["img"]] for s in samples]
             outputs = runner.generate_batch(prompts, images)
             for s, out in zip(samples, outputs):
-                cell = {"output": out, "instr": s["instr"]}
-                for f in GT_FIELDS[task]:
-                    cell[f] = s.get(f)
-                results.append(cell)
+                results.append(_result_cell(out, s, task))
             if progress:
                 progress(min(start + bs, len(my_indices)), len(my_indices))
 
@@ -430,9 +483,12 @@ def run_task(
 
     if output_dir and jax.process_index() == 0:
         os.makedirs(output_dir, exist_ok=True)
+        # Reference file-name contract (`evaluate_instructions.py:195-207`,
+        # save_results): `{model}_{task}_output.json` = per-sample cells,
+        # `{model}_{task}.json` = the metrics dict.
         base = os.path.join(output_dir, f"{model_name}_{task}")
-        with open(base + "_outputs.json", "w") as f:
+        with open(base + "_output.json", "w") as f:
             json.dump(results, f)
-        with open(base + "_metrics.json", "w") as f:
+        with open(base + ".json", "w") as f:
             json.dump({k: float(v) for k, v in metrics.items()}, f, indent=2)
     return results, metrics

@@ -621,6 +621,39 @@ def _block_cached(
                 q[:, 0], ck_all, cv_all, cache_segment_ids, layer_idx,
                 num_kv_heads=hkv,
             )[:, None]
+    elif (
+        per_row
+        and 1 < s <= 16
+        and attn_impl in ("auto", "flash")
+        and smax % 128 == 0
+        and cfg.head_dim % 64 == 0
+        and cfg.sliding_window == 0
+        and cfg.pos_embedding == "rope"
+        and jax.default_backend() == "tpu"
+    ):
+        # Speculative verify window: W = spec_k+1 queries per slot at cache
+        # offset `cache_index` (per row). The windowed kernel streams the
+        # cache ONCE per step like single-token decode — the XLA fallback
+        # below dequantizes the whole int8 cache per layer per step, which
+        # measured 29 s vs 3.6 s unloaded p50 at 7B on v5e (2026-08-19).
+        if quantized:
+            from radvlm_tpu.ops.decode_attention import (
+                decode_attention_stacked_window_q8,
+            )
+
+            attn = decode_attention_stacked_window_q8(
+                q, ck_all, cv_all, ks_all, vs_all, cache_segment_ids,
+                layer_idx, cache_index, num_kv_heads=hkv,
+            )
+        else:
+            from radvlm_tpu.ops.decode_attention import (
+                decode_attention_stacked_window,
+            )
+
+            attn = decode_attention_stacked_window(
+                q, ck_all, cv_all, cache_segment_ids,
+                layer_idx, cache_index, num_kv_heads=hkv,
+            )
     else:
         ck_i = jax.lax.dynamic_index_in_dim(ck_all, layer_idx, 0, keepdims=False)
         cv_i = jax.lax.dynamic_index_in_dim(cv_all, layer_idx, 0, keepdims=False)

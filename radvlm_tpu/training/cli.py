@@ -69,6 +69,11 @@ def parse_args(argv=None):
     # LoRA (reference config-5 style adapter finetune)
     p.add_argument("--lora-rank", type=int, default=0)
     p.add_argument("--lora-alpha", type=float, default=256.0)
+    p.add_argument("--use-pos-skipping", action="store_true",
+                   help="positional-skipping augmentation for long-context "
+                        "rope generalization (reference train.py:107-108, "
+                        "llava_arch.py:546-552)")
+    p.add_argument("--pos-skipping-range", type=int, default=4096)
     p.add_argument("--quantize-base", action="store_true",
                    help="QLoRA: int8-quantize the frozen base before LoRA "
                         "(reference train.py 4/8-bit bitsandbytes prep)")
@@ -147,6 +152,9 @@ def main(argv=None):
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
         quantize_base=args.quantize_base,
+        pos_skip_range=(
+            args.pos_skipping_range if args.use_pos_skipping else 0
+        ),
         **extra,
     )
     state = train(run, tok.encode, hf_checkpoint=args.hf_checkpoint)

@@ -64,6 +64,10 @@ class RunConfig:
     pp_microbatches: int = 4
     # Virtual stages per device (Megatron interleaved schedule): bubble / V.
     pp_interleave: int = 1
+    # Positional-skipping augmentation for long-context rope generalization
+    # (reference `llava_arch.py:546-552`, flags `train.py:107-108`): 0 = off;
+    # >0 = per-sample random left/right position offsets in [0, range].
+    pos_skip_range: int = 0
 
 
 def train(
@@ -191,6 +195,7 @@ def train(
         num_workers=run.loader_workers,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        pos_skip_range=run.pos_skip_range,
     )
 
     # --- loop ---

@@ -79,9 +79,9 @@ def test_run_task_end_to_end(runner, tmp_path):
         assert isinstance(r["output"], str)
         assert r["boxes"] == [[0.1, 0.2, 0.5, 0.6]]
     assert "mAP_0.5" in metrics
-    dumped = json.load(open(tmp_path / "tiny_phrase_grounding_outputs.json"))
+    dumped = json.load(open(tmp_path / "tiny_phrase_grounding_output.json"))
     assert len(dumped) == 5
-    m = json.load(open(tmp_path / "tiny_phrase_grounding_metrics.json"))
+    m = json.load(open(tmp_path / "tiny_phrase_grounding.json"))
     assert "mAP_0.5" in m
 
 

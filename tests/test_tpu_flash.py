@@ -150,3 +150,51 @@ def test_w8a8_fused_kernel_on_tpu():
            * node["__scale__"].reshape(-1)).astype(jnp.bfloat16)
     got = w8a8_matmul_fused(x, node["__q__"], node["__scale__"].reshape(1, -1))
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_window_decode_q8_kernel_on_tpu():
+    """The windowed int8-KV verify kernel compiled by Mosaic matches the
+    window-causal dequant reference on real hardware (spec-decode hot path)."""
+    import jax.numpy as jnp
+
+    from radvlm_tpu.ops.decode_attention import (
+        decode_attention_stacked_window_q8,
+    )
+    from radvlm_tpu.ops.kv_quant import dequantize_kv, quantize_kv
+
+    rng = np.random.default_rng(2)
+    L, b, w, h, hkv, d, s = 2, 4, 5, 8, 2, 128, 512
+    kv = jnp.asarray(rng.normal(size=(L, b, s, hkv * d)), jnp.float32)
+    vv = jnp.asarray(rng.normal(size=(L, b, s, hkv * d)), jnp.float32)
+    ckq, ksc = quantize_kv(kv, hkv)
+    cvq, vsc = quantize_kv(vv, hkv)
+    q = jnp.asarray(rng.normal(size=(b, w, h, d)), jnp.bfloat16)
+    widx = jnp.asarray([100, 300, 0, 507 - w], jnp.int32)
+    kseg = np.zeros((b, s), np.int32)
+    for ib in range(b):
+        kseg[ib, : int(widx[ib]) + w] = 1
+    kseg = jnp.asarray(kseg)
+
+    got = np.asarray(
+        decode_attention_stacked_window_q8(
+            q, ckq, cvq, ksc, vsc, kseg, 1, widx, num_kv_heads=hkv
+        ).astype(jnp.float32)
+    )
+    ck = dequantize_kv(ckq[1], ksc[1], hkv).reshape(b, s, hkv, d)
+    cv = dequantize_kv(cvq[1], vsc[1], hkv).reshape(b, s, hkv, d)
+    g = h // hkv
+    out = np.zeros((b, w, h, d), np.float32)
+    ckn, cvn = np.asarray(ck, np.float32), np.asarray(cv, np.float32)
+    qn, ks = np.asarray(q, np.float32), np.asarray(kseg)
+    for ib in range(b):
+        for iw in range(w):
+            for ih in range(h):
+                kvh = ih // g
+                sc = qn[ib, iw, ih] @ ckn[ib, :, kvh].T * (d ** -0.5)
+                allowed = (ks[ib] != 0) & (
+                    np.arange(s) <= int(widx[ib]) + iw
+                )
+                sc = np.where(allowed, sc, -1e30)
+                p = np.exp(sc - sc.max()); p /= p.sum()
+                out[ib, iw, ih] = p @ cvn[ib, :, kvh]
+    np.testing.assert_allclose(got, out, atol=5e-2, rtol=5e-2)

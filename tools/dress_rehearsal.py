@@ -146,7 +146,7 @@ def main():
 
     assert len(results) == args.n, (len(results), args.n)
     assert all(isinstance(r["output"], str) for r in results)
-    outputs_json = "/tmp/rehearsal_out/rehearsal_report_generation_outputs.json"
+    outputs_json = "/tmp/rehearsal_out/rehearsal_report_generation_output.json"
     assert os.path.getsize(outputs_json) > 0
 
     peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
