@@ -194,7 +194,8 @@ def test_harness_fleet_matches_single(setup):
             runner, FakeReportDataset(6), "report_generation",
             with_clinical=False, engine="continuous",
         )
-        return {r["instr"]["question"]: r["output"] for r in results}
+        # reference cell contract: "instr" is the question STRING
+        return {r["instr"]: r["output"] for r in results}
 
     assert outputs(fleet=2) == outputs(fleet=None)
 
