@@ -108,7 +108,10 @@ def run_continuous(cfg, params, gen, size):
     preprocessing + all prefills + all decodes for RADVLM_BENCH_REQS images."""
     import jax
 
-    slots = int(os.environ.get("RADVLM_BENCH_SLOTS", "24"))
+    # 32 slots: r04 on-chip sweep — 24: 1.99, 32: 2.07, 40: 2.08 img/s/chip
+    # (saturated; decode is ~13% of per-image cost, fills dominate). 32 keeps
+    # HBM headroom that 40 does not.
+    slots = int(os.environ.get("RADVLM_BENCH_SLOTS", "32"))
     # On RESOURCE_EXHAUSTED (HBM fragmentation can make the default slot count
     # borderline next to 7.5 GB of weights) retry once at fewer slots so the
     # driver always records a number. The retry runs OUTSIDE the except block:

@@ -218,3 +218,61 @@ def test_heartbeat_keeps_registration_alive(monkeypatch):
         assert registry.get_worker_address("tiny") == "http://w1"
     finally:
         w.shutdown()
+
+
+def test_engine_error_fails_queued_requests_loudly():
+    """On an engine error the worker must error EVERY waiter — including
+    requests still sitting in the batcher queue (never filled into a slot).
+    A drained-but-silent waiter would present empty text as success
+    (ADVICE r2 / VERDICT r3 item 9)."""
+    from PIL import Image
+    import requests
+
+    cfg = cfglib.tiny_test_config(vocab_size=300)
+    params = radvlm.init_params(cfg, jax.random.key(0))
+    runner = VLMRunner(
+        params=params, cfg=cfg, tokenizer=ByteTokenizer(),
+        max_new_tokens=4, batch_size=2, pad_to_multiple=8, attn_impl="xla",
+    )
+    # num_slots=1: with >1 concurrent requests at least one stays QUEUED
+    worker = BatchWorker(
+        runner, model_names=["tiny"], num_slots=1, max_len=256,
+        prompt_bucket=128,
+    )
+    # Engine loop raises on every run() entry: nothing ever decodes.
+    def boom():
+        raise RuntimeError("injected engine crash")
+        yield  # pragma: no cover  (generator shape like the real run())
+
+    worker.batcher.run = boom
+    port = worker.serve_forever(host="127.0.0.1", port=0, background=True)
+    addr = f"http://127.0.0.1:{port}"
+
+    img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = {
+        "prompt": "<|im_start|>user\n<image>\nQ<|im_end|>\n<|im_start|>assistant\n",
+        "images": [base64.b64encode(buf.getvalue()).decode()],
+        "max_new_tokens": 4,
+    }
+    results = []
+
+    def call(i):
+        r = requests.post(
+            addr + "/worker_generate",
+            json={**payload, "prompt": payload["prompt"] + "x" * i},
+            timeout=60,
+        )
+        results.append(r.json())
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 3
+    for r in results:
+        assert r["error_code"] != 0, r  # loud failure, never silent-empty
+        assert "engine" in r["text"] or "error" in r["text"].lower(), r
+    worker.shutdown()

@@ -30,7 +30,7 @@ def test_oom_retries_at_fewer_slots(bench, monkeypatch):
 
     monkeypatch.setattr(bench, "_run_continuous", fake_run)
     bench.run_continuous(None, None, None, "7b-int8")
-    assert calls == [24, 12]
+    assert calls == [32, 16]
 
 
 def test_other_errors_propagate(bench, monkeypatch):
