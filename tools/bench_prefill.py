@@ -80,7 +80,11 @@ def main():
     # 2. text prefill only (embeds precomputed)
     from radvlm_tpu.models import qwen2
 
-    embeds = jnp.zeros((b, args.pad_len, cfg.text.hidden_size), jnp.bfloat16)
+    # collate() pads tokens up to pad_to_multiple past pad_len when the
+    # spliced multimodal length overflows the requested bucket — size the
+    # text-only embeds off the ACTUAL collated length, not args.pad_len.
+    seq_len = batch["tokens"].shape[1]
+    embeds = jnp.zeros((b, seq_len, cfg.text.hidden_size), jnp.bfloat16)
 
     def text_prefill(p, e):
         hidden, (ks, vs) = qwen2.forward(

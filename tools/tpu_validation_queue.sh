@@ -33,7 +33,7 @@ task_flash() {      # 5. real-TPU flash fwd+bwd + q8 decode kernel regression
 }
 task_rehearsal() {  # 6. eval dress rehearsal on the chip (0.5B-class config
                     #    is set inside the tool when RADVLM_REHEARSAL_TPU=1)
-  run timeout 7200 env RADVLM_REHEARSAL_TPU=1 PYTHONPATH=. \
+  run timeout 7200 env RADVLM_REHEARSAL_TPU=1 PYTHONPATH=".:${PYTHONPATH:-}" \
       python tools/dress_rehearsal.py --n 3314 --max-new-tokens 16 \
       --slots 16 --out REHEARSAL_r03_tpu.json
 }
@@ -57,9 +57,9 @@ task_resume() {    # 8. multi-turn KV reuse on-chip: delta-prefill graph
 
 task_train() {     # 9. training-step throughput: 0.5B full SFT then the
                    #    7B QLoRA (int8 base + LoRA) single-chip mode
-  run timeout 1800 env RADVLM_TRAIN_BENCH_SIZE=0.5b PYTHONPATH=. \
+  run timeout 1800 env RADVLM_TRAIN_BENCH_SIZE=0.5b PYTHONPATH=".:${PYTHONPATH:-}" \
       python tools/bench_train.py
-  run timeout 3600 env RADVLM_TRAIN_BENCH_SIZE=7b-qlora PYTHONPATH=. \
+  run timeout 3600 env RADVLM_TRAIN_BENCH_SIZE=7b-qlora PYTHONPATH=".:${PYTHONPATH:-}" \
       python tools/bench_train.py
 }
 
