@@ -132,6 +132,13 @@ class Request:
     # Per-request sampling params (None -> the engine GenerationConfig's).
     temperature: Optional[float] = None
     top_p: Optional[float] = None
+    # Tokens covered by dispatched work: 1 for the prefill's tok0 + K per
+    # decode chunk whose snapshot includes this request. When planned >=
+    # max_new_tokens the slot can be EAGERLY refilled (the remaining tokens
+    # ride the in-flight chunks; emission reads the dispatch snapshot, not
+    # slot ownership) — without this, a finished slot stays stranded for
+    # (pipeline_depth+1) chunks until its final readback.
+    planned: int = 0
 
 
 class ContinuousBatcher:
@@ -799,6 +806,7 @@ class ContinuousBatcher:
         if req.max_new_tokens > allowed:
             req.max_new_tokens = allowed
         self.slot_req[slot] = req
+        req.planned = 1  # the delta prefill's tok0
         self.slot_len[slot] = end
         self.slot_real_len[slot] = real_end
         self.slot_fill_len[slot] = end
@@ -1251,6 +1259,7 @@ class ContinuousBatcher:
             if req.max_new_tokens > allowed:
                 req.max_new_tokens = allowed
             self.slot_req[slot] = req
+            req.planned = 1  # the prefill's tok0
             self.slot_len[slot] = l  # prompt occupies [0, l) (left-padded)
             self.slot_real_len[slot] = real_len
             self.slot_fill_len[slot] = l  # KVSnapshot clean-extent anchors
@@ -1260,8 +1269,12 @@ class ContinuousBatcher:
             # drain undisturbed).
             req.tok0_dev = tok0[j]
 
-    def _emit(self, slot: int, tok: int):
-        req = self.slot_req[slot]
+    def _emit(self, slot: int, tok: int, req: Optional["Request"] = None):
+        # `req` is the dispatch-snapshot owner of `slot` (eager refill can
+        # hand the slot to a NEW request while this one's tokens are still in
+        # flight); None = current owner (warmup / direct callers).
+        if req is None:
+            req = self.slot_req[slot]
         if req is None or req.done:
             return
         if req.cancelled:
@@ -1281,9 +1294,11 @@ class ContinuousBatcher:
                 # Snapshot BEFORE the slot is freed (a refill splices over the
                 # rows). Cancelled streams still snapshot: their clean extent
                 # is prompt + whatever was emitted, a valid conversation
-                # prefix for the next turn.
+                # prefix for the next turn. keep_kv requests are never
+                # eagerly refilled, so the slot still holds their cache rows.
                 self._take_snapshot(slot, req)
-            self.slot_req[slot] = None
+            if self.slot_req[slot] is req:  # eager refill may own it already
+                self.slot_req[slot] = None
             if req.stream_q is not None:
                 req.stream_q.put(None)  # end-of-stream sentinel
 
@@ -1361,11 +1376,30 @@ class ContinuousBatcher:
             )
         self.slot_len += self.steps_per_sync
         self.slot_real_len += self.steps_per_sync
-        # Snapshot (slot, req) pairs: at readback, a slot refilled since this
-        # dispatch is detected by identity mismatch and its tokens discarded.
+        # Snapshot (slot, req) pairs: readback emits to the SNAPSHOT request
+        # — device order guarantees a chunk dispatched before any later
+        # refill of the slot holds that request's valid tokens.
         snapshot = [
             (i, r) for i, r in enumerate(self.slot_req) if r is not None
         ]
+        if not self.spec_k:
+            # EAGER REFILL: once every remaining token of a request rides a
+            # dispatched chunk, free the slot NOW instead of stranding it for
+            # (pipeline_depth+1) chunk readbacks (measured: steps_per_sync 32
+            # at 1.80 vs 16 at 2.07 img/s — stranded-slot lag scales with
+            # chunk size). The in-flight tokens are emitted from the snapshot.
+            # keep_kv requests are exempt: their KV snapshot is cut from the
+            # slot's cache rows at completion, which a refill would overwrite.
+            # Spec mode is exempt: accepted counts are data-dependent, so the
+            # host cannot know when a request's tokens are covered.
+            for i, r in snapshot:
+                r.planned += self.steps_per_sync
+                if (
+                    not r.keep_kv
+                    and r.planned >= r.max_new_tokens
+                    and self.slot_req[i] is r
+                ):
+                    self.slot_req[i] = None
         inflight.append((toks, counts, snapshot))
 
     def _process_chunk(self, inflight, finished) -> None:
@@ -1377,19 +1411,19 @@ class ContinuousBatcher:
         toks = np.asarray(toks_dev)  # waits for this chunk only (async queue)
         counts = None if counts_dev is None else np.asarray(counts_dev)
         for slot, req in snapshot:
-            if req.done or self.slot_req[slot] is not req:
-                continue  # finished earlier or slot since refilled
+            if req.done:
+                continue  # finished at an earlier readback
             if req.tok0_dev is not None:
                 # Prefill token: device work long done by now (it was queued
                 # before this chunk), so this read is latency-only.
                 t0 = int(np.asarray(req.tok0_dev))
                 req.tok0_dev = None
-                self._emit(slot, t0)
+                self._emit(slot, t0, req)
             if counts is None:
                 for t in toks[slot]:
                     if req.done:
                         break
-                    self._emit(slot, int(t))
+                    self._emit(slot, int(t), req)
             else:
                 # Spec chunk: toks [B, K, spec_k+1]; step emits the first
                 # counts[slot, step] predictions (accepted prefix + 1).
@@ -1402,7 +1436,7 @@ class ContinuousBatcher:
                     for t in toks[slot, step, :n]:
                         if req.done:
                             break
-                        self._emit(slot, int(t))
+                        self._emit(slot, int(t), req)
                     # count ACTUAL emissions (eos/max_new can cut the window)
                     self.spec_stats["emitted"] += len(req.emitted) - before
             if req.done:

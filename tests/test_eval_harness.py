@@ -81,6 +81,18 @@ def test_run_task_end_to_end(runner, tmp_path):
     assert "mAP_0.5" in metrics
     dumped = json.load(open(tmp_path / "tiny_phrase_grounding_output.json"))
     assert len(dumped) == 5
+    # Results-file compatibility with the reference harness
+    # (`evaluate_instructions.py:182-207`): per-sample cells carry `output`
+    # (generated text), `instr` (the question STRING, not a dict), `answer`
+    # (ground-truth text), plus the reference's optional keys present on the
+    # sample — so consumers of the reference's `*_output.json` can read ours.
+    for cell in dumped:
+        assert isinstance(cell["output"], str)
+        assert isinstance(cell["instr"], str)
+        assert "answer" in cell
+        assert cell["img_path"].startswith("/fake/")
+        assert cell["label"] == "cardiomegaly"
+        assert cell["boxes"] == [[0.1, 0.2, 0.5, 0.6]]
     m = json.load(open(tmp_path / "tiny_phrase_grounding.json"))
     assert "mAP_0.5" in m
 
