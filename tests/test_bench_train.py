@@ -30,6 +30,7 @@ def _run(bench_train, monkeypatch, capsys, size):
     return json.loads(out)
 
 
+@pytest.mark.slow
 def test_bench_train_tiny_sft(bench_train, monkeypatch, capsys):
     rec = _run(bench_train, monkeypatch, capsys, "tiny")
     assert rec["metric"] == "train_samples_per_s_per_chip"
@@ -41,6 +42,7 @@ def test_bench_train_tiny_sft(bench_train, monkeypatch, capsys):
     assert rec["mode"] == "tiny"
 
 
+@pytest.mark.slow
 def test_bench_train_tiny_qlora(bench_train, monkeypatch, capsys):
     rec = _run(bench_train, monkeypatch, capsys, "tiny-qlora")
     assert rec["value"] > 0

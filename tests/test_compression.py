@@ -51,6 +51,7 @@ def test_quantized_psum_bf16_roundtrip_dtype():
     np.testing.assert_allclose(np.asarray(out, np.float32), 8.0, rtol=0.02)
 
 
+@pytest.mark.slow
 def test_cross_slice_dp_training_sync():
     """Mini 2-'slice' data-parallel training: per-slice grads synced with
     quantized_grad_sync keep replica params IDENTICAL (same quantized sum

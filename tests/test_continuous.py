@@ -51,6 +51,7 @@ def test_continuous_matches_static(rng):
         assert got == exp, f"req {req.uid}: {got} != {exp}"
 
 
+@pytest.mark.slow
 def test_continuous_fill_batch_matches_static(rng):
     """Grouped refills (fill_batch=2: two same-bucket prefills in one
     dispatch) must not change any request's tokens."""
@@ -190,6 +191,7 @@ def test_per_request_sampling_params(rng):
     assert done[hot_req.uid] != ref.emitted
 
 
+@pytest.mark.slow
 def test_warmup_compiles_every_group_size():
     """run() forms same-bucket groups of every size 1..fill_batch (queue
     remainders); warmup must pre-build each size's fill graph or an odd-sized
@@ -257,6 +259,7 @@ def test_warmup_falls_back_when_fused_w8a8_cannot_compile(monkeypatch):
         b.warmup()
 
 
+@pytest.mark.slow
 def test_parallel_warmup_matches_serial(rng, monkeypatch):
     """RADVLM_PARALLEL_WARMUP=1 (default) AOT-compiles the fill graphs in a
     thread pool and installs the executables; requests served through them

@@ -48,6 +48,7 @@ def _single_ref(params, cfg, samples, steps):
 
 
 @pytest.mark.parametrize("n_engines,tp_size", [(4, 1), (2, 2)])
+@pytest.mark.slow
 def test_fleet_matches_single_engine(setup, rng, n_engines, tp_size):
     cfg, params = setup
     steps = 5
@@ -200,6 +201,7 @@ def test_harness_fleet_matches_single(setup):
     assert outputs(fleet=2) == outputs(fleet=None)
 
 
+@pytest.mark.slow
 def test_batch_worker_fleet(setup):
     """BatchWorker(fleet=2): requests route through the fleet and complete
     via the on_complete event path."""

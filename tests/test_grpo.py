@@ -204,6 +204,7 @@ def test_grpo_loss_clipping(rng):
     assert float(loss) == pytest.approx(0.0, abs=1e-2)
 
 
+@pytest.mark.slow
 def test_train_grpo_e2e(tmp_path, rng):
     """Driver smoke on the 8-CPU mesh: jsonl cells -> engine rollouts ->
     rewards -> sharded updates; params move, metrics logged, engine weights
@@ -279,6 +280,7 @@ def test_train_grpo_e2e(tmp_path, rng):
     assert np.isfinite(logged[-1][1]["loss"])
 
 
+@pytest.mark.slow
 def test_train_grpo_mu2_uses_old_logp(tmp_path, rng):
     """mu=2: two inner updates per wave run against the wave's old_logp
     (ratio deviates on the second epoch without error)."""

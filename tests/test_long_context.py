@@ -19,6 +19,7 @@ def ring_cleanup():
     enable_ring_attention(None)
 
 
+@pytest.mark.slow
 def test_sp_prefill_matches_plain(rng, ring_cleanup):
     """make_sp_prefill_fn (ring attention over the seq axis) produces the same
     KV cache and last-token logits as the single-device prefill, and greedy

@@ -87,6 +87,7 @@ def test_sequence_logprob_masking(rng):
     np.testing.assert_allclose(np.asarray(lp2), 0.0)
 
 
+@pytest.mark.slow
 def test_dpo_loss_and_step(rng):
     cfg = cfglib.tiny_test_config()
     params = radvlm.init_params(cfg, jax.random.key(0))

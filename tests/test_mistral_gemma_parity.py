@@ -151,6 +151,7 @@ def test_gemma_logits_match_hf(gemma_hf):
     np.testing.assert_allclose(got, ref, atol=3e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_mistral_cached_decode_matches_full_forward(mistral_hf):
     """Windowed attention on the cached decode path (XLA fallback; the Pallas
     decode kernels have no window mask): per-step cached logits equal the

@@ -149,6 +149,7 @@ def test_config_from_hf_dir_mixtral(tmp_path):
     assert t.attention_bias is False
 
 
+@pytest.mark.slow
 def test_mixtral_init_params_no_shared():
     import jax
 

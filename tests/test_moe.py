@@ -133,6 +133,7 @@ def test_aux_loss_and_grads():
     assert float(jnp.abs(ge).sum()) > 0
 
 
+@pytest.mark.slow
 def test_expert_parallel_train_step(rng):
     """Full VLM train step on a mesh with a real expert axis: params shard
     over `expert`, loss finite (the EP row of SURVEY §2.7)."""

@@ -97,6 +97,7 @@ def test_mpt_logits_match_hf(mpt_hf):
     assert np.abs(flat - got).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_mpt_cached_decode_matches_full_forward(mpt_hf):
     """ALiBi on the cached decode path (XLA fallback; the Pallas decode
     kernels have no ALiBi bias): per-step cached logits equal the

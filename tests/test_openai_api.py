@@ -75,6 +75,7 @@ def test_sse_stream_emits_deltas():
     assert payloads[-1]["choices"][0]["finish_reason"] == "stop"
 
 
+@pytest.mark.slow
 def test_chat_completions_http_round_trip():
     import requests
     from PIL import Image

@@ -25,6 +25,7 @@ def _mk(cfg, rng, n_text, with_image=True):
     return multimodal.build_sample(ids, imgs, cfg, labels=labels)
 
 
+@pytest.mark.slow
 def test_packed_equals_unpacked(rng):
     cfg = cfglib.tiny_test_config()
     params = radvlm.init_params(cfg, jax.random.key(3))

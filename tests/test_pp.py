@@ -19,6 +19,8 @@ from radvlm_tpu.parallel import pp
 from radvlm_tpu.training import train_step as ts
 from radvlm_tpu.training.optimizer import TrainConfig
 
+pytestmark = pytest.mark.slow  # 8-dev mesh pipeline e2e: heaviest suite (~8 min)
+
 
 def pp_config(n_layers=4):
     cfg = cfglib.tiny_test_config()

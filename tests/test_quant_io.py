@@ -72,6 +72,7 @@ def test_config_dict_roundtrip_with_tower_variant():
     assert back == clip_cfg
 
 
+@pytest.mark.slow
 def test_quantize_cli_end_to_end(tmp_path):
     """HF dir -> quantize_cli -> load_quantized -> forward runs; detection
     drives the worker/eval load path."""

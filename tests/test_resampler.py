@@ -22,6 +22,7 @@ def test_spatial_pool_shapes_and_average(rng):
     np.testing.assert_allclose(np.asarray(out[:, 0]), expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_perceiver_output_and_determinism(rng):
     cfg = ResamplerConfig(kind="perceiver", depth=2, num_latents=8,
                           num_heads=2, head_dim=4, ff_mult=2)
@@ -54,6 +55,7 @@ def test_masked_drop_train_vs_infer(rng):
     np.testing.assert_array_equal(out[kept], np.asarray(feats)[kept])
 
 
+@pytest.mark.slow
 def test_masked_drop_active_in_train_step(rng):
     """The train step actually applies masked_drop (code-review finding: the
     rng was never plumbed, so training silently ran with 0% drop)."""
@@ -109,6 +111,7 @@ def test_perceiver_rejects_anyres():
         )
 
 
+@pytest.mark.slow
 def test_model_end_to_end_with_perceiver(rng):
     base = cfglib.tiny_test_config()
     cfg = cfglib.RadVLMConfig(

@@ -160,6 +160,7 @@ def test_zigzag_schedule_balanced():
 
 
 @pytest.mark.parametrize("gqa", [1, 2])
+@pytest.mark.slow
 def test_zigzag_matches_full_causal(rng, gqa):
     from radvlm_tpu.parallel.ring import (
         inverse_zigzag_indices,

@@ -22,6 +22,7 @@ def sp_cleanup():
     enable_sp_decode(None)
 
 
+@pytest.mark.slow
 def test_sp_decode_matches_plain(rng, sp_cleanup):
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -49,6 +49,7 @@ def runner():
     )
 
 
+@pytest.mark.slow
 def test_run_vqa_end_to_end(runner, tmp_path):
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
