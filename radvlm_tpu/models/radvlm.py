@@ -194,6 +194,58 @@ def forward(
     )
 
 
+def _chunked_ce(
+    params: Params,
+    cfg: RadVLMConfig,
+    hidden: jnp.ndarray,  # [B, L, D] pre-unembed hidden states
+    safe_labels: jnp.ndarray,  # [B, L] int, 0 where unsupervised
+    mask: jnp.ndarray,  # [B, L] bool
+    chunk: int = 1024,
+) -> jnp.ndarray:
+    """Summed token NLL with the unembed + log_softmax computed in sequence
+    CHUNKS under jax.checkpoint, so the full [B, L, vocab] logits tensor
+    never materializes.
+
+    At the 7B/0.5B geometry (L=4096, V=152k) whole-sequence f32 logits are
+    2.3 GB and XLA keeps fwd + remat + grad copies live simultaneously —
+    measured 18.0 GB HBM (OOM on a 16 GB v5e) for the 0.5B SFT step, of
+    which ~5.8 GB was logits temps. Chunked, the live set is one
+    [B, chunk, V] block (~311 MB at chunk=1024), recomputed in the backward
+    pass; the extra lm_head recompute is ~1 TFLOP against a ~50 TFLOP step.
+    Numerics are identical (same f32 log_softmax per position)."""
+    b, l, d = hidden.shape
+    if l <= chunk:  # tiny configs (tests) and short buckets: one block
+        logits = qwen2.unembed(params["text"], cfg.text, hidden)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * mask)
+    pad = -l % chunk
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        safe_labels = jnp.pad(safe_labels, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    n = (l + pad) // chunk
+    hidden = hidden.reshape(b, n, chunk, d).swapaxes(0, 1)
+    safe_labels = safe_labels.reshape(b, n, chunk).swapaxes(0, 1)
+    mask = mask.reshape(b, n, chunk).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def chunk_nll(h, lbl, m):
+        logits = qwen2.unembed(params["text"], cfg.text, h)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, lbl[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * m)
+
+    def body(carry, xs):
+        h, lbl, m = xs
+        return carry + chunk_nll(h, lbl, m), None
+
+    total, _ = jax.lax.scan(
+        body, jnp.float32(0.0), (hidden, safe_labels, mask)
+    )
+    return total
+
+
 def loss_fn(
     params: Params,
     cfg: RadVLMConfig,
@@ -216,28 +268,26 @@ def loss_fn(
     `load_balancing_loss_func` role)."""
     moe_aux = bool(cfg.text.num_experts) and cfg.text.router_aux_coef > 0
     if moe_aux:
-        logits, _, aux = forward(
+        hidden, _, aux = forward(
             params, cfg, batch, remat=remat, attn_impl=attn_impl,
-            return_aux=True, resampler_rng=rng,
+            return_aux=True, return_hidden=True, resampler_rng=rng,
         )
     else:
-        logits, _ = forward(
+        hidden, _ = forward(
             params, cfg, batch, remat=remat, attn_impl=attn_impl,
-            resampler_rng=rng,
+            return_hidden=True, resampler_rng=rng,
         )
     if "labels_next" in batch:
-        shift_logits = logits
+        shift_hidden = hidden
         shift_labels = batch["labels_next"]
         mask = shift_labels != IGNORE_INDEX  # segment gating pre-folded
     else:
         labels = batch["labels"]  # [B, L], IGNORE_INDEX where unsupervised
-        shift_logits = logits[:, :-1]
+        shift_hidden = hidden[:, :-1]
         shift_labels = labels[:, 1:]
         mask = (shift_labels != IGNORE_INDEX) & (batch["segment_ids"][:, 1:] != 0)
     safe_labels = jnp.where(mask, shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-    total = jnp.sum(nll * mask)
+    total = _chunked_ce(params, cfg, shift_hidden, safe_labels, mask)
     count = jnp.maximum(jnp.sum(mask), 1)
     loss = total / count
     metrics = {"loss": loss, "tokens": count}
