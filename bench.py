@@ -169,7 +169,11 @@ def _run_continuous(cfg, params, gen, size, slots):
         ids = [IMAGE_TOKEN_INDEX] + list(rng.integers(100, hi, size=40))
         return multimodal.build_sample(ids, [img], cfg)
 
-    steps_per_sync = int(os.environ.get("RADVLM_BENCH_STEPS_PER_SYNC", "16"))
+    # 32-step chunks: with eager slot refill the stranded-slot penalty of
+    # long chunks is gone and fewer dispatches win — r04 clean sweep on v5e:
+    # 16: 2.164, 32: 2.193, 64: 2.194 img/s/chip (saturated; 32 keeps the
+    # post-eos garbage window half of 64's for real eos-terminating traffic).
+    steps_per_sync = int(os.environ.get("RADVLM_BENCH_STEPS_PER_SYNC", "32"))
     pipeline_depth = int(os.environ.get("RADVLM_BENCH_PIPELINE_DEPTH", "4"))
 
     # ONE batcher for warmup + timed run (a second instance would hold a

@@ -108,6 +108,12 @@ class FleetEngine:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
+        # (engine idx, t_enter, t_exit) per PRODUCTIVE run() call — cheap
+        # telemetry the multichip dryrun uses to assert the engines' busy
+        # windows actually OVERLAP (a serialized fleet would pass
+        # token-parity checks while scaling negatively, as the r03 CPU
+        # rehearsal did). Idle spins are not recorded.
+        self.busy_log: List[tuple] = []
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
@@ -140,10 +146,13 @@ class FleetEngine:
         backoff = 0.0
         while not self._stop.is_set():
             progressed = False
+            t_enter = time.monotonic()
             try:
                 for req in b.run():
                     progressed = True
                     self._complete(req)
+                if progressed:
+                    self.busy_log.append((idx, t_enter, time.monotonic()))
                 backoff = 0.0
                 if progressed and self._errors[idx]:
                     self._errors[idx] = 0  # completed real work: healthy again
