@@ -262,6 +262,11 @@ def _run_continuous(cfg, params, gen, size, slots):
     prof_dir = os.environ.get("RADVLM_BENCH_PROFILE", "")
     prof_ctx = profiling.trace(prof_dir) if prof_dir else contextlib.nullcontext()
 
+    # Phase stats should describe the TIMED window only (warmup + unloaded
+    # probes also run the loop).
+    for e in (b.batchers if fleet > 1 else [b]):
+        e.host_stats = {k: type(v)() for k, v in e.host_stats.items()}
+
     t_start = time.perf_counter()
     done_at = []
     head = min(2 * slots, n_reqs)
@@ -331,6 +336,14 @@ def _run_continuous(cfg, params, gen, size, slots):
         "compile_cache_hit": (
             None if cache_before is None else cache_after == cache_before
         ),
+        # Run-loop host phase breakdown (cumulative s over the timed run):
+        # readback ~= device-bound wait for the oldest in-flight chunk;
+        # fill/dispatch = host dispatch cost; the remainder of `total` not in
+        # any phase is feeder starvation / loop overhead.
+        "host_phase_s": {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for e in engines for k, v in e.host_stats.items()
+        } if fleet <= 1 else None,
         **_FALLBACK_EXTRA,
     }))
 

@@ -31,6 +31,7 @@ import dataclasses
 import functools
 import itertools
 import queue
+import time
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -293,6 +294,16 @@ class ContinuousBatcher:
         self._resume_fns: Dict[Tuple[int, int], Callable] = {}
         self._snap_fns: Dict[str, Callable] = {}
         self.resume_fills = 0  # telemetry: delta prefills served
+        # Host wall-clock per run()-loop phase (cumulative seconds). The
+        # readback phase is dominated by the wait for the oldest in-flight
+        # chunk — i.e. it measures DEVICE-bound time; fill/dispatch measure
+        # host dispatch cost; a large `idle` means the engine starved (the
+        # feeder could not keep the queue non-empty). ~per-chunk perf_counter
+        # pairs: negligible against 10ms+ chunks, so always on.
+        self.host_stats = {
+            "fill": 0.0, "dispatch": 0.0, "readback": 0.0, "emit": 0.0,
+            "fills": 0, "chunks": 0,
+        }
         self._step_fns = self._build_step()
 
     # ------------------------------------------------------------------
@@ -1408,8 +1419,11 @@ class ContinuousBatcher:
         # chunks dispatched AFTER the one being read back — _take_snapshot's
         # "was the final emitted token fed" signal in spec mode
         self._chunks_in_flight = len(inflight)
+        t0 = time.perf_counter()
         toks = np.asarray(toks_dev)  # waits for this chunk only (async queue)
         counts = None if counts_dev is None else np.asarray(counts_dev)
+        t1 = time.perf_counter()
+        self.host_stats["readback"] += t1 - t0
         for slot, req in snapshot:
             if req.done:
                 continue  # finished at an earlier readback
@@ -1441,6 +1455,8 @@ class ContinuousBatcher:
                     self.spec_stats["emitted"] += len(req.emitted) - before
             if req.done:
                 finished.append(req)
+        self.host_stats["emit"] += time.perf_counter() - t1
+        self.host_stats["chunks"] += 1
 
     def run(self) -> Iterator[Request]:
         """Process the queue to completion, yielding finished requests.
@@ -1479,6 +1495,7 @@ class ContinuousBatcher:
                     continue
                 taken.append(req)
             if taken:
+                t0 = time.perf_counter()
                 by_len: Dict[Any, List[Request]] = {}
                 for req in taken:
                     if req.resume is not None:
@@ -1497,8 +1514,12 @@ class ContinuousBatcher:
                         self._fill_group(
                             [(empties.pop(0), r) for r in group]
                         )
+                self.host_stats["fill"] += time.perf_counter() - t0
+                self.host_stats["fills"] += len(taken)
             if self._active():
+                t0 = time.perf_counter()
                 self._dispatch_chunk(inflight)
+                self.host_stats["dispatch"] += time.perf_counter() - t0
             # Drain the pipeline: one chunk per iteration in steady state
             # (keeping `pipeline_depth` queued), everything once idle.
             while inflight and (
