@@ -520,6 +520,57 @@ def _flash_lse_bwd(causal, scale, block_q, block_k, interpret, res, cts):
 _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
 
 
+def _pad_target(s: int, block: int) -> int:
+    """Sequence length the kernel should see: the next multiple of the block
+    granularity (block, capped at 512) when `s` would otherwise degrade
+    `_pick_block` to tiny tiles.
+
+    The grid loop pays a fixed per-step cost (DMA issue + mask/softmax
+    bookkeeping), so block size sets the compute:overhead ratio. A bucket like
+    3456 (= 27 x 128) is only divisible by 128: the kernel silently ran
+    128 x 128 tiles — measured 24 TF/s vs ~73+ at 512-class blocks on v5e
+    (7.0 ms/layer attention = 57% of the 7B batch-1 prefill, 2026-08-19
+    profile). Padding K/V/segs to the next 512 multiple costs <4% masked
+    compute and restores full-size tiles.
+    """
+    grain = min(block, 512)
+    # Only already-128-aligned lengths opt in: collate's buckets are 128
+    # multiples, while e.g. the SigLIP tower's 729-token tiles run the
+    # single-block no-segment path, where synthesizing segment ids would
+    # trip the 128-multiple block check (and padding 729 -> 1024 wastes 40%).
+    if s <= block or s % LANES != 0 or s % grain == 0:
+        return s
+    return -(-s // grain) * grain
+
+
+def _pad_seq(x: jnp.ndarray, target: int, axis: int) -> jnp.ndarray:
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _pad_inputs(q, k, v, qseg, kseg, block_q, block_k):
+    """Right-pad sequences to block-granularity multiples (BSHD layout).
+
+    Pad tokens carry segment id 0, so the kernels mask them exactly like
+    collate()'s padding — when the caller gave no segment ids, valid=1 ids are
+    synthesized first. Returns (q, k, v, qseg, kseg, sq) with sq the original
+    query length for the caller to slice outputs back to.
+    """
+    sq, sk = q.shape[1], k.shape[1]
+    tq, tk = _pad_target(sq, block_q), _pad_target(sk, block_k)
+    if tq != sq or tk != sk:
+        if qseg is None:
+            qseg = jnp.ones((q.shape[0], sq), jnp.int32)
+            kseg = jnp.ones((k.shape[0], sk), jnp.int32)
+        q, k, v = _pad_seq(q, tq, 1), _pad_seq(k, tk, 1), _pad_seq(v, tk, 1)
+        qseg, kseg = _pad_seq(qseg, tq, 1), _pad_seq(kseg, tk, 1)
+    return q, k, v, qseg, kseg, sq
+
+
 def flash_attention_with_lse(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -545,6 +596,9 @@ def flash_attention_with_lse(
         scale = q.shape[-1] ** -0.5
     if (q_segment_ids is None) != (kv_segment_ids is None):
         raise ValueError("provide both or neither of q/kv segment ids")
+    q, k, v, q_segment_ids, kv_segment_ids, sq = _pad_inputs(
+        q, k, v, q_segment_ids, kv_segment_ids, block_q, block_k
+    )
     o, lse = _flash_lse(
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
@@ -557,7 +611,7 @@ def flash_attention_with_lse(
         int(block_k),
         bool(interpret),
     )
-    return o.transpose(0, 2, 1, 3), lse
+    return o.transpose(0, 2, 1, 3)[:, :sq], lse[:, :, :sq]
 
 
 def flash_attention(
@@ -584,10 +638,13 @@ def flash_attention(
         scale = q.shape[-1] ** -0.5
     if (q_segment_ids is None) != (kv_segment_ids is None):
         raise ValueError("provide both or neither of q/kv segment ids")
+    q, k, v, q_segment_ids, kv_segment_ids, sq = _pad_inputs(
+        q, k, v, q_segment_ids, kv_segment_ids, block_q, block_k
+    )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     o = _flash(qt, kt, vt, q_segment_ids, kv_segment_ids,
                bool(causal), float(scale), int(block_q), int(block_k),
                bool(interpret))
-    return o.transpose(0, 2, 1, 3)
+    return o.transpose(0, 2, 1, 3)[:, :sq]

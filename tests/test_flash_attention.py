@@ -212,6 +212,70 @@ def test_with_lse_grad_parity(rng):
         )
 
 
+@pytest.mark.parametrize("with_segs", [False, True])
+def test_non_divisible_seq_pads_to_blocks(rng, with_segs):
+    """Sequence lengths that don't divide the preferred block (the 3456-token
+    prompt bucket = 27 x 128) must be right-padded to block granularity
+    instead of silently degrading to 128 x 128 tiles (measured 24 TF/s vs
+    73+ on v5e — attention was 57% of the 7B batch-1 prefill). Pad tokens ride
+    segment id 0, so outputs on real rows are unchanged."""
+    b, s, h, d = 1, 384, 2, 64  # 384 > block 256, 128-aligned, -> pads to 512
+    q = _rand(rng, (b, s, h, d))
+    k = _rand(rng, (b, s, h, d))
+    v = _rand(rng, (b, s, h, d))
+    if with_segs:
+        seg = np.zeros((b, s), np.int32)
+        seg[0, :330] = 1
+        seg = jnp.asarray(seg)
+    else:
+        seg = None
+    out = flash_attention(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+        block_q=256, block_k=256, interpret=True,
+    )
+    assert out.shape == q.shape
+    ref = _ref(q, k, v, qseg=seg, kseg=seg, causal=True)
+    valid = (
+        np.asarray(seg)[:, :, None, None] != 0
+        if with_segs else np.ones((b, s, 1, 1), bool)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid, atol=2e-5, rtol=2e-5
+    )
+
+
+def test_non_divisible_seq_backward_parity(rng):
+    """Grads flow through the pad/slice wrapper unchanged on real rows."""
+    b, s, h, d = 1, 384, 2, 64
+    q = _rand(rng, (b, s, h, d))
+    k = _rand(rng, (b, s, h, d))
+    v = _rand(rng, (b, s, h, d))
+    seg = np.zeros((b, s), np.int32)
+    seg[0, :330] = 1
+    seg = jnp.asarray(seg)
+    w = jnp.cos(jnp.arange(b * s * h * d, dtype=jnp.float32)).reshape(q.shape)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+            block_q=256, block_k=256, interpret=True,
+        )
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v):
+        o = _ref(q, k, v, qseg=seg, kseg=seg, causal=True)
+        o = o * (seg != 0)[:, :, None, None]
+        return jnp.sum(o * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=3e-5, rtol=3e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
 def test_segment_ids_small_block_raises(rng):
     """Segment-id masking requires 128-multiple blocks; short sequences must
     fail loudly rather than emit a zero-width tile (VERDICT weak #6)."""
