@@ -432,7 +432,7 @@ def main():
     if int(os.environ.get("RADVLM_BENCH_TP", "0")) <= 1:
         # The TP engine shards the UNFUSED layout (fused qkv concat order
         # breaks the Megatron head partition); single-chip fuses as usual.
-        params = radvlm.fuse_for_inference(params)
+        params = radvlm.fuse_for_inference(params, cfg)
 
     rng = np.random.default_rng(0)
 

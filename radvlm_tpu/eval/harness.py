@@ -98,7 +98,7 @@ class VLMRunner:
         if self.fuse and self.mesh is None and self.fleet_tp == 1:
             from radvlm_tpu.models import radvlm
 
-            self.params = radvlm.fuse_for_inference(self.params)
+            self.params = radvlm.fuse_for_inference(self.params, self.cfg)
         self._gen_fns: Dict[Tuple[int, int], Callable] = {}
         self._rng_seed = 0
 

@@ -109,9 +109,13 @@ class Request:
     keep_kv: bool = False
     kv_snapshot: Optional[KVSnapshot] = None
     resume: Optional[KVSnapshot] = None
-    # First token (sampled from the prefill logits), kept as a DEVICE scalar
-    # until the next chunk readback so _fill_slot never blocks on the device
-    # (reading it eagerly would stall the pipelined decode queue).
+    # First token (sampled from the prefill logits), kept ON DEVICE as
+    # (group_array, row) until the next chunk readback so _fill_slot never
+    # blocks on the device (reading it eagerly would stall the pipelined
+    # decode queue). The whole fill group shares one array so the readback
+    # is ONE transfer per group, not one round-trip per request — over a
+    # network-attached device per-request scalar reads dominated the emit
+    # phase (3.6 s of a 44 s bench run, BENCH_r04 host_phase_s).
     tok0_dev: Optional[Any] = None
     # Pre-collated device batch + real (unpadded) length, built at submit()
     # time: host collate and the H2D tile transfer happen on the submitting
@@ -823,7 +827,8 @@ class ContinuousBatcher:
         self.slot_fill_len[slot] = end
         self.slot_fill_real[slot] = real_end
         self.resume_fills += 1
-        req.tok0_dev = tok0[0]
+        req.tok0_dev = (tok0, 0)
+        tok0.copy_to_host_async()
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
@@ -1277,8 +1282,10 @@ class ContinuousBatcher:
             self.slot_fill_real[slot] = real_len
             # tok0 stays on device; emitted at the next chunk readback (keeps
             # the fill path free of device syncs so in-flight decode chunks
-            # drain undisturbed).
-            req.tok0_dev = tok0[j]
+            # drain undisturbed). Stored as (group array, row): the group's
+            # rows read back in one transfer at _process_chunk.
+            req.tok0_dev = (tok0, j)
+        tok0.copy_to_host_async()  # D2H queues behind the fill compute
 
     def _emit(self, slot: int, tok: int, req: Optional["Request"] = None):
         # `req` is the dispatch-snapshot owner of `slot` (eager refill can
@@ -1411,6 +1418,12 @@ class ContinuousBatcher:
                     and self.slot_req[i] is r
                 ):
                     self.slot_req[i] = None
+        # Start the D2H transfer the moment the chunk's compute finishes
+        # instead of when the host drains it — the readback wait then covers
+        # compute only, and the emit/readback phases overlap the copy.
+        toks.copy_to_host_async()
+        if counts is not None:
+            counts.copy_to_host_async()
         inflight.append((toks, counts, snapshot))
 
     def _process_chunk(self, inflight, finished) -> None:
@@ -1422,6 +1435,15 @@ class ContinuousBatcher:
         t0 = time.perf_counter()
         toks = np.asarray(toks_dev)  # waits for this chunk only (async queue)
         counts = None if counts_dev is None else np.asarray(counts_dev)
+        # tok0 group arrays: ONE host transfer per fill group (the whole
+        # group was filled in one dispatch and copy_to_host_async'd), cached
+        # by array identity so group members share the fetch.
+        tok0_host: Dict[int, np.ndarray] = {}
+        for _, req in snapshot:
+            if req.tok0_dev is not None and not req.done:
+                arr = req.tok0_dev[0]
+                if id(arr) not in tok0_host:
+                    tok0_host[id(arr)] = np.asarray(arr)
         t1 = time.perf_counter()
         self.host_stats["readback"] += t1 - t0
         for slot, req in snapshot:
@@ -1430,7 +1452,8 @@ class ContinuousBatcher:
             if req.tok0_dev is not None:
                 # Prefill token: device work long done by now (it was queued
                 # before this chunk), so this read is latency-only.
-                t0 = int(np.asarray(req.tok0_dev))
+                arr, row = req.tok0_dev
+                t0 = int(tok0_host[id(arr)][row])
                 req.tok0_dev = None
                 self._emit(slot, t0, req)
             if counts is None:

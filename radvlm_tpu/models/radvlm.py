@@ -62,12 +62,26 @@ def init_params(cfg: RadVLMConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     return params
 
 
-def fuse_for_inference(params: Params) -> Params:
+def fuse_for_inference(params: Params, cfg: Optional[RadVLMConfig] = None) -> Params:
     """Fuse the text decoder's q/k/v and gate/up projections for generation
     (see `qwen2.fuse_projections`). Call once after loading weights; training,
-    checkpoints, and HF export keep the unfused layout."""
+    checkpoints, and HF export keep the unfused layout.
+
+    With `cfg`, the SigLIP tower's q/k/v fuse too (26 layers x 3 DxD launches
+    per image fill otherwise). The cfg gate exists because CLIP/EVA share the
+    same param tree shape but their forwards read the unfused layout."""
     out = dict(params)
     out["text"] = qwen2.fuse_projections(params["text"])
+    vt = params.get("vision_tower")
+    if (
+        vt is not None
+        and cfg is not None
+        and towers.kind(cfg.vision) == "siglip"
+        and "q" in vt.get("layers", {}).get("attn", {})
+    ):
+        from radvlm_tpu.models import siglip as _siglip
+
+        out["vision_tower"] = _siglip.fuse_projections(vt)
     return out
 
 

@@ -74,6 +74,41 @@ def init_params(cfg: SigLIPConfig, key: jax.Array, dtype=jnp.float32) -> Params:
     }
 
 
+def fuse_projections(params: Params) -> Params:
+    """Fuse the tower's per-layer q/k/v into one `qkv` projection (output-axis
+    concat; per-output-channel int8 scales concatenate the same way, so
+    quantization commutes with fusion). Inference-time transform mirroring
+    `qwen2.fuse_projections`: one quantize-activations pass + one wide MXU
+    launch instead of three D×D launches per layer (the tower runs 26 of
+    them per image fill). Training / HF import-export keep the unfused
+    layout."""
+    from radvlm_tpu.ops.quant import Q_KEY, SCALE_KEY, is_qnode
+
+    layers = params["layers"]
+    attn = layers["attn"]
+    if "qkv" in attn:  # already fused
+        return params
+
+    def cat(nodes):
+        if is_qnode(nodes[0]):
+            return {
+                Q_KEY: jnp.concatenate([n[Q_KEY] for n in nodes], axis=-1),
+                SCALE_KEY: jnp.concatenate([n[SCALE_KEY] for n in nodes], axis=-1),
+            }
+        return jnp.concatenate(nodes, axis=-1)
+
+    qkv = {
+        "kernel": cat([attn[k]["kernel"] for k in ("q", "k", "v")]),
+        "bias": jnp.concatenate(
+            [attn[k]["bias"] for k in ("q", "k", "v")], axis=-1
+        ),
+    }
+    out = dict(params)
+    out["layers"] = dict(layers)
+    out["layers"]["attn"] = {"qkv": qkv, "o": attn["o"]}
+    return out
+
+
 def patchify(pixels: jnp.ndarray, patch: int) -> jnp.ndarray:
     """[B, H, W, 3] -> [B, (H/p)*(W/p), p*p*3], row-major patch order.
 
@@ -120,9 +155,13 @@ def forward(
         y = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], eps)
         b, s, d = y.shape
         h, hd = cfg.num_heads, cfg.head_dim
-        q = (qmm(y, lp["attn"]["q"]["kernel"]) + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
-        k = (qmm(y, lp["attn"]["k"]["kernel"]) + lp["attn"]["k"]["bias"]).reshape(b, s, h, hd)
-        v = (qmm(y, lp["attn"]["v"]["kernel"]) + lp["attn"]["v"]["bias"]).reshape(b, s, h, hd)
+        if "qkv" in lp["attn"]:  # fused serving layout (fuse_projections)
+            qkv = qmm(y, lp["attn"]["qkv"]["kernel"]) + lp["attn"]["qkv"]["bias"]
+            q, k, v = (t.reshape(b, s, h, hd) for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = (qmm(y, lp["attn"]["q"]["kernel"]) + lp["attn"]["q"]["bias"]).reshape(b, s, h, hd)
+            k = (qmm(y, lp["attn"]["k"]["kernel"]) + lp["attn"]["k"]["bias"]).reshape(b, s, h, hd)
+            v = (qmm(y, lp["attn"]["v"]["kernel"]) + lp["attn"]["v"]["bias"]).reshape(b, s, h, hd)
         attn = mha(q, k, v, causal=False, impl=attn_impl).reshape(b, s, d)
         x = res + qmm(attn, lp["attn"]["o"]["kernel"]) + lp["attn"]["o"]["bias"]
         res = x

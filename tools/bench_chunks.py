@@ -51,7 +51,7 @@ def main():
         params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
     else:
         raise SystemExit(f"unknown size {size}")
-    params = radvlm.fuse_for_inference(params)
+    params = radvlm.fuse_for_inference(params, cfg)
 
     gen = GenerationConfig(max_new_tokens=128, eos_token_ids=())
     buckets = (3072, 3456, 3840, 4096)

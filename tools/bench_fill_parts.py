@@ -45,7 +45,7 @@ def main():
         params = _random_quantized_params(cfg)
     else:
         params = radvlm.init_params(cfg, jax.random.key(0), dtype=jnp.bfloat16)
-    params = radvlm.fuse_for_inference(params)
+    params = radvlm.fuse_for_inference(params, cfg)
 
     rng = np.random.default_rng(0)
     h, w = 520, 460
