@@ -106,6 +106,17 @@ def encode_tiles(
 
     mean, std = towers.mean_std(cfg.vision)
     tiles = normalize_tiles_device(tiles, mean=mean, std=std)
+    # Tower compute dtype follows the parameters: serving params are bf16
+    # (int8 qnodes keep f32 scales), training/parity params are f32. Pixels
+    # normalize in f32 for accuracy, then cast ONCE here — without this,
+    # f32 pixels silently promote every tower activation (attention
+    # included) to f32 for all 26 layers: half MXU rate, double VMEM
+    # (measured as a 16.29M scoped-vmem OOM in the fill bench).
+    if tiles.dtype == jnp.float32 and any(
+        getattr(l, "dtype", None) == jnp.bfloat16
+        for l in jax.tree_util.tree_leaves(params["vision_tower"])
+    ):
+        tiles = tiles.astype(jnp.bfloat16)
     feats = towers.forward(
         params["vision_tower"], cfg.vision, tiles, remat=remat, attn_impl=attn_impl
     )

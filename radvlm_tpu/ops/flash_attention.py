@@ -470,8 +470,93 @@ def _bwd(q, k, v, qseg, kseg, o, lse, do,
 # ---------------------------------------------------------------------------
 
 
+def _short_eligible(q, k, qseg, causal) -> bool:
+    """Single-pass kernel dispatch: small square unmasked self-attention
+    (the vision towers' 577/729-token tiles)."""
+    b, h, sq, d = q.shape
+    hkv, sk = k.shape[1], k.shape[2]
+    return (
+        not causal
+        and qseg is None
+        and h == hkv
+        and sq == sk
+        and 128 <= sq <= 1024
+        and d <= 128
+    )
+
+
+def _fwd_short(q, k, v, *, scale, interpret):
+    """Single-pass non-causal attention for short unmasked sequences.
+
+    The general kernel's online-softmax machinery (m/l scratch broadcast to
+    LANES, fp32 lse output, rescale chain) is pure overhead when the whole
+    kv sequence fits one block — which is exactly the vision-tower shape
+    (729 tokens, head_dim 72: no power-of-two block divides 729, so
+    `_pick_block` degrades to one whole-sequence block anyway). This kernel
+    does plain softmax in one pass and folds G heads into each grid cell so
+    the ~1.5 us/cell of work pipelines instead of draining between tiny
+    cells. Measured on v5e (B=6, H=16, S=729, D=72): 131 TF/s vs 45 through
+    the general kernel — right at the ceiling set by the 72->128 lane pad.
+
+    Inference-only: `_flash`'s primal. Differentiation goes through the
+    general `_fwd` (which produces the lse the FA2 backward needs).
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    # G heads per grid cell: enough work to pipeline, bounded by scoped VMEM
+    # (16M): fp32 score tile g*sqp*skp*4 plus the 4 q/k/v/o tiles at the
+    # input dtype. f32 inputs at g=4/S=729 measured 16.29M > limit (fill
+    # bench OOM); the estimate below reproduces that accounting with margin.
+    dpad = -(-d // 128) * 128
+    sqp = -(-sq // 8) * 8
+    skp = -(-sk // 128) * 128
+    g = 1
+    for cand in (4, 2):
+        est = cand * (sqp * skp * 4 + 4 * sqp * dpad * q.dtype.itemsize)
+        if h % cand == 0 and est <= 14 * 2**20:
+            g = cand
+            break
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for i in range(g):
+            qi, ki, vi = q_ref[0, i], k_ref[0, i], v_ref[0, i]
+            s = jax.lax.dot_general(
+                qi, ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(vi.dtype), vi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, i] = (o / l).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // g),
+        in_specs=[
+            pl.BlockSpec((1, g, sq, d), lambda ib, ih: (ib, ih, 0, 0))
+        ] * 3,
+        out_specs=pl.BlockSpec((1, g, sq, d), lambda ib, ih: (ib, ih, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * h * sq * sk * d),
+            bytes_accessed=int(4 * q.size * q.dtype.itemsize),
+            transcendentals=int(b * h * sq * sk),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _flash(q, k, v, qseg, kseg, causal, scale, block_q, block_k, interpret):
+    if _short_eligible(q, k, qseg, causal):
+        return _fwd_short(q, k, v, scale=scale, interpret=interpret)
     o, _ = _fwd(q, k, v, qseg, kseg, causal=causal, scale=scale,
                 block_q=block_q, block_k=block_k, interpret=interpret)
     return o

@@ -309,3 +309,37 @@ def test_fully_masked_rows_contract(rng):
     # real rows unaffected
     assert np.isfinite(np.asarray(lse)[:, :, :128]).all()
     assert np.abs(np.asarray(o[:, :128])).max() > 0
+
+
+def test_short_single_pass_kernel_tower_shape(rng):
+    """The single-pass short-sequence kernel (`_fwd_short`) at the SigLIP
+    tower's exact shape: 729 tokens (no power-of-two block divides it),
+    head_dim 72, 16 heads -> 4 heads per grid cell. Reference contract:
+    729 tokens/tile, 26 layers (siglip_encoder.py:570,582)."""
+    from radvlm_tpu.ops import flash_attention as fa
+
+    b, s, h, d = 2, 729, 16, 72
+    q = _rand(rng, (b, s, h, d))
+    k = _rand(rng, (b, s, h, d))
+    v = _rand(rng, (b, s, h, d))
+    assert fa._short_eligible(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), None, False
+    )
+    out = flash_attention(q, k, v, causal=False, interpret=True)
+    ref = _ref(q, k, v, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    # Differentiation routes through the general kernel (custom-VJP fwd rule)
+    # and must still match grad-of-reference.
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=False, interpret=True) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v, causal=False) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4)
