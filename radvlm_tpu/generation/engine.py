@@ -224,6 +224,7 @@ def make_sp_generate_fn(
     *,
     axis_name: str = "seq",
     local_impl: str = "flash",
+    kv_quant: bool = False,
 ):
     """Fully sequence-parallel generation for long multimodal contexts:
     ring-attention prefill (`make_sp_prefill_fn`) + cache-sharded decode
@@ -242,8 +243,10 @@ def make_sp_generate_fn(
 
     sp_prefill = make_sp_prefill_fn(cfg, mesh, axis_name=axis_name,
                                     local_impl=local_impl)
-    sp_step = make_sp_decode_step(cfg.text, mesh, axis_name=axis_name)
+    sp_step = make_sp_decode_step(cfg.text, mesh, axis_name=axis_name,
+                                  kv_quant=kv_quant)
     cache_spec = NamedSharding(mesh, P(None, None, axis_name, None))
+    scale_spec = NamedSharding(mesh, P(None, None, None, axis_name))
     seg_spec = NamedSharding(mesh, P(None, axis_name))
     n_seq = mesh.shape[axis_name]
 
@@ -253,7 +256,23 @@ def make_sp_generate_fn(
         if max_len % n_seq:
             max_len += n_seq - max_len % n_seq
         cache, cache_seg, logits = sp_prefill(params, batch, max_len)
-        cache = tuple(jax.device_put(c, cache_spec) for c in cache)
+        if kv_quant:
+            # Quantize the prompt K/V once (same contract as
+            # `prefill(cache_format="int8")`), then shard int8 planes over
+            # seq and scale planes over their token axis.
+            from radvlm_tpu.ops.kv_quant import quantize_kv
+
+            hkv = cfg.text.num_kv_heads
+            kq, ksc = quantize_kv(cache[0], hkv)
+            vq, vsc = quantize_kv(cache[1], hkv)
+            cache = (
+                jax.device_put(kq, cache_spec),
+                jax.device_put(vq, cache_spec),
+                jax.device_put(ksc, scale_spec),
+                jax.device_put(vsc, scale_spec),
+            )
+        else:
+            cache = tuple(jax.device_put(c, cache_spec) for c in cache)
         cache_seg = jax.device_put(cache_seg, seg_spec)
         lengths = batch["lengths"]
         rng, sub = jax.random.split(rng)

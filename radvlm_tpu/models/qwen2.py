@@ -250,6 +250,26 @@ def _alibi(cfg: Qwen2Config) -> int:
     return cfg.alibi_bias_max if cfg.pos_embedding == "alibi" else 0
 
 
+def decode_kernel_eligible(
+    cfg: Qwen2Config, cache_max_len: int, attn_impl: str
+) -> bool:
+    """Can the stacked-cache Pallas decode kernels serve this config?
+
+    Single source of truth for BOTH the `_block_cached` dispatch below and
+    the engine's `kernel_provenance` telemetry — keeping them one predicate
+    means provenance can never silently mis-report the kernel path when the
+    dispatch conditions change (the invisible-fallback failure mode the
+    telemetry exists to catch)."""
+    return (
+        attn_impl in ("auto", "flash")
+        and cache_max_len % 128 == 0
+        and cfg.head_dim % 64 == 0
+        and cfg.sliding_window == 0  # decode kernels have no window mask
+        and cfg.pos_embedding == "rope"  # ...nor ALiBi bias
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _moe_mlp(cfg: Qwen2Config, moe: Params, y: jnp.ndarray, mm, take):
     """Sparse MoE block (HF `Qwen2MoeSparseMoeBlock` / `MixtralSparseMoeBlock`
     semantics): softmax router over `num_experts`, top-k per token (optionally
@@ -472,11 +492,6 @@ def _block_cached(
 
     sp_ctx = spd.context()
     if sp_ctx is not None and s == 1:
-        if quantized:
-            raise NotImplementedError(
-                "sequence-parallel decode over an int8 KV cache is not wired; "
-                "use a bf16 cache with SP decode"
-            )
         if cfg.pos_embedding != "rope":
             raise NotImplementedError(
                 "sequence-parallel decode has no ALiBi bias support"
@@ -494,6 +509,44 @@ def _block_cached(
         local_idx = global_idx.astype(jnp.int32) - shard * s_local
         in_range = (local_idx >= 0) & (local_idx < s_local)
         rows = jnp.arange(b)
+        if quantized:
+            # int8 KV x SP decode: the capacity win of the int8 cache is
+            # exactly what long-context SP serving exists for. The new row
+            # quantizes on the owning shard; the LOCAL block (1/n of the
+            # sequence) dequantizes in-register for the partial attention —
+            # the same per-step dequant the single-device XLA fallback does,
+            # on an n-times smaller block.
+            from radvlm_tpu.ops.kv_quant import dequantize_kv, quantize_kv_row
+
+            kq, ksc = quantize_kv_row(k_flat[:, 0], hkv)
+            vq, vsc = quantize_kv_row(v_flat[:, 0], hkv)
+            ck_all = spd.local_write(
+                ck_all, layer_idx, rows, local_idx, in_range, kq
+            )
+            cv_all = spd.local_write(
+                cv_all, layer_idx, rows, local_idx, in_range, vq
+            )
+            ks_all = spd.local_write_scale(
+                ks_all, layer_idx, rows, local_idx, in_range, ksc
+            )
+            vs_all = spd.local_write_scale(
+                vs_all, layer_idx, rows, local_idx, in_range, vsc
+            )
+            ck_i = jax.lax.dynamic_index_in_dim(ck_all, layer_idx, 0, keepdims=False)
+            cv_i = jax.lax.dynamic_index_in_dim(cv_all, layer_idx, 0, keepdims=False)
+            ks_i = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
+            vs_i = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
+            attn = spd.cached_attention_merge(
+                q,
+                dequantize_kv(ck_i, ks_i, hkv),
+                dequantize_kv(cv_i, vs_i, hkv),
+                cache_segment_ids,
+                num_kv_heads=hkv, axis_name=axis_name,
+            )
+            return (
+                _finish_block(cfg, layers, res, attn, idx=layer_idx),
+                (ck_all, cv_all, ks_all, vs_all),
+            )
         ck_all = spd.local_write(
             ck_all, layer_idx, rows, local_idx, in_range, k_flat[:, 0]
         )
@@ -596,15 +649,7 @@ def _block_cached(
                 cv_all, v_flat[None], (layer_idx, 0, cache_index, 0)
             )
     smax = ck_all.shape[2]
-    if (
-        s == 1
-        and attn_impl in ("auto", "flash")
-        and smax % 128 == 0
-        and cfg.head_dim % 64 == 0
-        and cfg.sliding_window == 0  # decode kernels have no window mask
-        and cfg.pos_embedding == "rope"  # ...nor ALiBi bias
-        and jax.default_backend() == "tpu"
-    ):
+    if s == 1 and decode_kernel_eligible(cfg, smax, attn_impl):
         # Decode hot path: Pallas kernel indexes the stacked cache directly via
         # scalar-prefetched layer index — zero slice materialization.
         if quantized:
@@ -621,16 +666,7 @@ def _block_cached(
                 q[:, 0], ck_all, cv_all, cache_segment_ids, layer_idx,
                 num_kv_heads=hkv,
             )[:, None]
-    elif (
-        per_row
-        and 1 < s <= 16
-        and attn_impl in ("auto", "flash")
-        and smax % 128 == 0
-        and cfg.head_dim % 64 == 0
-        and cfg.sliding_window == 0
-        and cfg.pos_embedding == "rope"
-        and jax.default_backend() == "tpu"
-    ):
+    elif per_row and 1 < s <= 16 and decode_kernel_eligible(cfg, smax, attn_impl):
         # Speculative verify window: W = spec_k+1 queries per slot at cache
         # offset `cache_index` (per row). The windowed kernel streams the
         # cache ONCE per step like single-token decode — the XLA fallback

@@ -55,6 +55,17 @@ def local_write(cache_all, layer_idx, rows, local_idx, in_range, new_row):
     return cache_all.at[layer_idx, rows, safe].set(upd, unique_indices=True)
 
 
+def local_write_scale(scale_all, layer_idx, rows, local_idx, in_range, new_scale):
+    """int8-KV companion of `local_write` for the per-(token, kv-head) scale
+    planes [L, B, Hkv, Smax]: scatter `new_scale` [B, Hkv] at
+    (layer_idx, rows, :, local_idx) only where `in_range`."""
+    smax_local = scale_all.shape[3]
+    safe = jnp.clip(local_idx, 0, smax_local - 1)
+    old = scale_all[layer_idx, rows, :, safe]  # [B, Hkv]
+    upd = jnp.where(in_range[:, None], new_scale, old)
+    return scale_all.at[layer_idx, rows, :, safe].set(upd, unique_indices=True)
+
+
 def cached_attention_merge(
     q: jnp.ndarray,  # [B, 1, H, hd] new-token queries (replicated)
     ck_i: jnp.ndarray,  # [B, S_local, Hkv*hd] LOCAL cache block, layer i
@@ -109,7 +120,8 @@ def cached_attention_merge(
     return out.reshape(b, 1, h, hd).astype(q.dtype)
 
 
-def make_sp_decode_step(cfg, mesh, *, axis_name: str = "seq"):
+def make_sp_decode_step(cfg, mesh, *, axis_name: str = "seq",
+                        kv_quant: bool = False):
     """Build a jitted sequence-parallel decode step.
 
     step(params, cache, cache_seg, tok, positions, cache_index)
@@ -118,6 +130,10 @@ def make_sp_decode_step(cfg, mesh, *, axis_name: str = "seq"):
     cache (k, v): [L, B, Smax, Hkv*hd] sharded over axis 2 on `axis_name`;
     cache_seg: [B, Smax] sharded over axis 1; everything else replicated.
     `cache_index` is the scalar GLOBAL write position (lock-step batch).
+
+    kv_quant: the cache is the 4-tuple int8 layout (k, v int8 + per-(token,
+    kv-head) scale planes [L, B, Hkv, Smax], scales sharded over axis 3) —
+    halved sharded-cache residency, the point of SP serving capacity.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -126,11 +142,12 @@ def make_sp_decode_step(cfg, mesh, *, axis_name: str = "seq"):
     from radvlm_tpu.models import qwen2
 
     n = mesh.shape[axis_name]
+    n_cache = 4 if kv_quant else 2
 
-    def local_step(params, ck, cv, cache_seg, tok, positions, cache_index):
+    def local_step(params, cache_seg, tok, positions, cache_index, *cache):
         enable_sp_decode(mesh, axis_name=axis_name)
         try:
-            s_local = ck.shape[2]
+            s_local = cache[0].shape[2]
             shard = jax.lax.axis_index(axis_name)
             local_idx = cache_index - shard * s_local
             in_range = (local_idx >= 0) & (local_idx < s_local)
@@ -143,28 +160,33 @@ def make_sp_decode_step(cfg, mesh, *, axis_name: str = "seq"):
             )
             cache_seg = cache_seg.at[rows, safe].set(seg_new)
             embeds = qwen2.embed_tokens(params, tok[:, None], cfg)
-            logits, (ck, cv) = qwen2.forward(
+            logits, cache = qwen2.forward(
                 params, cfg,
                 input_embeds=embeds,
                 positions=positions[:, None],
                 segment_ids=jnp.ones((b, 1), jnp.int32),
-                kv_cache=(ck, cv),
+                kv_cache=cache,
                 cache_index=cache_index,
                 cache_segment_ids=cache_seg,
                 attn_impl="xla",
             )
-            return ck, cv, cache_seg, logits[:, 0]
+            return (*cache, cache_seg, logits[:, 0])
         finally:
             enable_sp_decode(None)
 
     cache_spec = P(None, None, axis_name, None)
+    scale_spec = P(None, None, None, axis_name)
+    cache_specs = (
+        (cache_spec, cache_spec, scale_spec, scale_spec)
+        if kv_quant else (cache_spec, cache_spec)
+    )
     seg_spec = P(None, axis_name)
     rep = P()
     mapped = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(rep, cache_spec, cache_spec, seg_spec, rep, rep, rep),
-        out_specs=(cache_spec, cache_spec, seg_spec, rep),
+        in_specs=(rep, seg_spec, rep, rep, rep) + cache_specs,
+        out_specs=cache_specs + (seg_spec, rep),
         check_vma=False,
     )
 
@@ -173,11 +195,14 @@ def make_sp_decode_step(cfg, mesh, *, axis_name: str = "seq"):
     # rebind (cache, cache_seg) each step (make_sp_generate_fn does).
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def step(params, cache, cache_seg, tok, positions, cache_index):
-        ck, cv = cache
-        ck, cv, cache_seg, logits = mapped(
-            params, ck, cv, cache_seg, tok, positions,
-            jnp.asarray(cache_index, jnp.int32),
+        assert len(cache) == n_cache, (
+            f"cache tuple has {len(cache)} arrays; this step was built with "
+            f"kv_quant={kv_quant} (expects {n_cache})"
         )
-        return (ck, cv), cache_seg, logits
+        *cache, cache_seg, logits = mapped(
+            params, cache_seg, tok, positions,
+            jnp.asarray(cache_index, jnp.int32), *cache,
+        )
+        return tuple(cache), cache_seg, logits
 
     return step
