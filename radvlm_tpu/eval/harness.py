@@ -225,7 +225,15 @@ def _result_cell(output: str, s: Dict, task: str) -> Dict:
     (the question STRING), `answer` (the ground-truth answer text), plus any
     of the reference's optional keys present on the sample — so downstream
     consumers of the reference's `*_output.json` files can read ours."""
-    instr = s.get("instr") or {}
+    instr = s.get("instr")
+    if not isinstance(instr, dict) or "question" not in instr:
+        # Fail loudly like the rest of the eval path (engine errors raise):
+        # a sample with no instr would silently serialize instr/answer=null
+        # and poison downstream metric joins.
+        raise ValueError(
+            f"sample for task {task!r} has no instr dict with a question: "
+            f"keys={sorted(s.keys())}"
+        )
     cell = {
         "output": output,
         "instr": instr.get("question"),

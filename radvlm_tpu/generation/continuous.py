@@ -1044,14 +1044,13 @@ class ContinuousBatcher:
         the decode-kernel predicate missing and landing on XLA attention)
         can never masquerade as an unexplained perf regression — the round-3
         1.98->1.20 img/s mystery was exactly such an invisible kernel-path
-        change. Mirrors the dispatch predicates at their sources of truth:
-        prefill W8A8 in ops/quant.w8a8_matmul, decode attention in
-        models/qwen2.py (stacked-kernel eligibility).
+        change. Delegates to the dispatch predicates at their sources of
+        truth (`quant.w8a8_impl_name`, `qwen2.decode_kernel_eligible`) so
+        the telemetry cannot drift from the actual dispatch.
         """
-        import os
-
         import jax
 
+        from radvlm_tpu.models import qwen2
         from radvlm_tpu.ops import quant
 
         has_q = any(
@@ -1060,23 +1059,13 @@ class ContinuousBatcher:
                 self.params, is_leaf=quant.is_qnode
             )
         )
-        on_tpu = jax.default_backend() == "tpu"
         if not (has_q and quant.w8a8_enabled()):
             w8a8 = "off"
-        elif not on_tpu:
-            w8a8 = "xla"
         else:
-            w8a8 = os.environ.get("RADVLM_W8A8_IMPL", "xla")
-        tcfg = self.cfg.text
-        kernel_ok = (
-            self.attn_impl in ("auto", "flash")
-            and self.max_len % 128 == 0
-            and tcfg.head_dim % 64 == 0
-            and tcfg.sliding_window == 0
-            and tcfg.pos_embedding == "rope"
-            and on_tpu
-        )
-        if not kernel_ok:
+            w8a8 = quant.w8a8_impl_name()
+        if not qwen2.decode_kernel_eligible(
+            self.cfg.text, self.max_len, self.attn_impl
+        ):
             decode = "xla"
         else:
             decode = "q8" if self.kv_quant else "bf16"

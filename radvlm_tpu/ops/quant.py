@@ -155,6 +155,19 @@ def w8a8_enabled() -> bool:
     return os.environ.get("RADVLM_W8A8", "1") != "0"
 
 
+def w8a8_impl_name() -> str:
+    """Resolved W8A8 emitter name ("xla"/"pallas"/"fused") for telemetry —
+    the same env + backend resolution `w8a8_matmul` applies, shared so
+    `kernel_provenance` cannot drift from the dispatch. (Per-site shape
+    alignment can still fall a pallas/fused site back to the XLA emitter;
+    that is a per-matmul decision, not an engine-level one.)"""
+    import os
+
+    if jax.default_backend() != "tpu":
+        return "xla"
+    return os.environ.get("RADVLM_W8A8_IMPL", "xla")
+
+
 def w8a8_matmul(x: jnp.ndarray, node: Dict[str, Any]) -> jnp.ndarray:
     """x @ dequant(node) computed as int8 x int8 on the MXU with dynamic
     per-token activation quantization.

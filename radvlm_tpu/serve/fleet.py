@@ -22,6 +22,7 @@ like an expired reference worker, it rejoins only if it completes work again.
 
 from __future__ import annotations
 
+import collections
 import logging
 import queue
 import threading
@@ -112,8 +113,12 @@ class FleetEngine:
         # telemetry the multichip dryrun uses to assert the engines' busy
         # windows actually OVERLAP (a serialized fleet would pass
         # token-parity checks while scaling negatively, as the r03 CPU
-        # rehearsal did). Idle spins are not recorded.
-        self.busy_log: List[tuple] = []
+        # rehearsal did). Idle spins are not recorded. Bounded so a
+        # long-running fleet doesn't leak memory: the dryrun only needs
+        # recent windows, and 4096 entries cover hours of productive runs.
+        self.busy_log: "collections.deque[tuple]" = collections.deque(
+            maxlen=4096
+        )
 
     # ------------------------------------------------------------------
     def warmup(self) -> None:
