@@ -223,13 +223,24 @@ def tokenize_chat_supervised(
     *,
     template: ChatTemplate = QWEN_CHATML,
     system: Optional[str] = None,
+    ref_masking: bool = False,
 ) -> Tuple[List[int], List[int]]:
     """Render + tokenize a training conversation with supervised masking.
 
     Returns (token_ids, labels): token_ids contain IMAGE_TOKEN_INDEX sentinels at
     <image> positions; labels equal token_ids on assistant-turn tokens and
-    IGNORE_INDEX elsewhere (image sentinels always IGNORE) — the `preprocess_qwen`
-    contract (`train.py:560-633`).
+    IGNORE_INDEX elsewhere (image sentinels always IGNORE).
+
+    The default masks the assistant role prefix ("<|im_start|>assistant\\n")
+    and supervises exactly content + terminator. The reference's
+    `preprocess_qwen` (`train.py:560-633`) differs in two quirks:
+    it supervises the WHOLE assistant render (prefix included), and it
+    unmasks structural tokens ("\\n" = id 198, <|im_start|>, <|im_end|>)
+    everywhere — system and user turns included. `ref_masking=True`
+    reproduces those semantics exactly (tested against an oracle
+    reimplementation in tests/test_chat_export.py); it only unmasks
+    structural strings that the tokenizer encodes as a SINGLE token,
+    matching the id-level membership test the reference does.
     """
     ids: List[int] = []
     labels: List[int] = []
@@ -247,16 +258,26 @@ def tokenize_chat_supervised(
         if role == "user":
             add(template.user_fmt.format(content=content), False)
         elif role == "assistant":
-            # The assistant prefix tokens are prompt, the content + terminator are
-            # supervised.
             fmt = template.assistant_fmt.format(content=content)
-            if fmt.startswith(template.assistant_prefix):
+            if ref_masking or not fmt.startswith(template.assistant_prefix):
+                # preprocess_qwen supervises the full assistant render.
+                add(fmt, True)
+            else:
+                # The assistant prefix tokens are prompt, the content +
+                # terminator are supervised.
                 add(template.assistant_prefix, False)
                 add(fmt[len(template.assistant_prefix):], True)
-            else:
-                add(fmt, True)
         else:
             raise ValueError(f"unknown role {role!r}")
+    if ref_masking:
+        unmask = set()
+        for text in ("\n", "<|im_start|>", "<|im_end|>"):
+            enc = tokenize_fn(text)
+            if len(enc) == 1:
+                unmask.add(enc[0])
+        labels = [
+            t if (t >= 0 and t in unmask) else l for t, l in zip(ids, labels)
+        ]
     return ids, labels
 
 

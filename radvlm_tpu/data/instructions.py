@@ -55,8 +55,16 @@ REPORT_QUESTIONS = [
 ]
 
 
-def report_generation(report: str, rng: random.Random) -> Dict[str, str]:
-    return {"question": _pick(rng, REPORT_QUESTIONS), "answer": report.strip()}
+def report_generation(
+    report: str, rng: random.Random, *, german_suffixe: bool = False
+) -> Dict[str, str]:
+    """german_suffixe appends " in German" to the question (multilingual
+    report SFT variant, reference `create_instructions.py:139-157`; the
+    answer text is expected to already be the German report)."""
+    q = _pick(rng, REPORT_QUESTIONS)
+    if german_suffixe:
+        q += " in German"
+    return {"question": q, "answer": report.strip()}
 
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,74 @@ def test_yaml_mixture(tmp_path):
     # brace glob
     cells2 = export.load_mixture(f"{tmp_path}/{{a,b}}.json")
     assert len(cells2) == 8
+
+
+def test_ref_masking_matches_preprocess_qwen_oracle():
+    """tokenize_chat_supervised(ref_masking=True) against an oracle that
+    reimplements the reference's `preprocess_qwen` (train.py:560-633)
+    verbatim-in-semantics: per-turn chat-template renders, system+user turns
+    masked, assistant turns fully supervised (role prefix included),
+    structural ids ("\\n", <|im_start|>, <|im_end|>) unmasked everywhere,
+    <image> replaced by the sentinel with label untouched (IGNORE in masked
+    turns)."""
+    SPECIALS = {"<|im_start|>": 1, "<|im_end|>": 2, "<image>": 3}
+
+    def tok(s):
+        # ChatML-style tokenizer: specials are single ids, else bytes.
+        out = []
+        i = 0
+        while i < len(s):
+            for sp, tid in SPECIALS.items():
+                if s.startswith(sp, i):
+                    out.append(tid)
+                    i += len(sp)
+                    break
+            else:
+                out.append(256 + ord(s[i]))
+                i += 1
+        return out
+
+    def oracle(source, system_message="You are a helpful assistant."):
+        # preprocess_qwen semantics on the same tokenizer.
+        im_start, im_end = SPECIALS["<|im_start|>"], SPECIALS["<|im_end|>"]
+        image_token = SPECIALS["<image>"]
+        nl = tok("\n")[0]
+        unmask = [nl, im_start, im_end]
+        render = lambda role, content: tok(
+            f"<|im_start|>{role}\n{content}<|im_end|>\n"
+        )
+        input_id, target = [], []
+        enc = render("system", system_message)
+        input_id += enc
+        target += [IGNORE_INDEX] * len(enc)
+        for role, content in source:
+            enc = render(role, content)
+            input_id += enc
+            if role in ("user", "system"):
+                target += [IGNORE_INDEX] * len(enc)
+            else:
+                target += enc
+        for idx, t in enumerate(input_id):
+            if t in unmask:
+                target[idx] = t
+            if t == image_token:
+                input_id[idx] = IMAGE_TOKEN_INDEX
+        return input_id, target
+
+    turns = [
+        ("user", "<image>\nWhat do you see?"),
+        ("assistant", "Cardiomegaly.\nNo effusion."),
+        ("user", "Where?"),
+        ("assistant", "At [0.30, 0.40, 0.70, 0.80]."),
+    ]
+    # Our tokenize_fn sees text WITHOUT <image> (tokenize_with_images splits
+    # on it), so the plain byte/special tokenizer above works for both paths.
+    ids, labels = tokenize_chat_supervised(tok, turns, ref_masking=True)
+    oids, olabels = oracle(turns)
+    assert ids == oids
+    assert labels == olabels
+    # The quirks are actually exercised: assistant prefix supervised,
+    # user-turn newlines unmasked.
+    sup_text_ids = [t for t, l in zip(ids, labels) if l != IGNORE_INDEX]
+    assert SPECIALS["<|im_start|>"] in sup_text_ids
+    assert labels[ids.index(IMAGE_TOKEN_INDEX)] == IGNORE_INDEX

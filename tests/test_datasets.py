@@ -387,3 +387,18 @@ def test_instruction_reproducibility(mimic_root):
     qs = {ds.MIMICCXRDataset(mimic_root, split="train", flag_img=False, seed=s)[0][
         "instr"]["question"] for s in range(8)}
     assert len(qs) > 1  # different seeds draw different templates
+
+
+def test_report_generation_german_suffixe():
+    """Multilingual knob parity: `german_suffixe` appends " in German" to the
+    question (reference `create_instructions.py:139-157`)."""
+    import random
+
+    from radvlm_tpu.data import instructions as instr_lib
+
+    rng = random.Random(0)
+    instr = instr_lib.report_generation("Befund ...", rng, german_suffixe=True)
+    assert instr["question"].endswith(" in German")
+    assert instr["answer"] == "Befund ..."
+    plain = instr_lib.report_generation("Report.", rng)
+    assert not plain["question"].endswith(" in German")
