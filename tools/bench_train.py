@@ -27,10 +27,14 @@ per device, Megatron interleaved schedule, default 1),
 _IMG_PX (square synthetic image override), _PROFILE (dir: jax.profiler
 xplane trace over the timed steps).
 
+_PACK (samples packed per row via multimodal.pack_samples, default 1 —
+pad seq accordingly: ~3.5k tokens per anyres sample).
+
 Prints ONE JSON line {"metric", "value", "unit", ...extras}. MFU counts
-decoder matmul FLOPs only (6 * text-params * tokens — attention-score and
-vision-tower FLOPs excluded, so it is a conservative lower bound) against the
-per-chip bf16 peak.
+decoder + vision-tower matmul FLOPs (6 * params * their processed tokens;
+attention-score and remat-recompute FLOPs excluded, so it is a conservative
+lower bound) against the per-chip bf16 peak. `text_only_tflops_per_s` keeps
+the r4 text-only accounting for comparability.
 """
 
 import json
@@ -47,15 +51,22 @@ def _env_int(name: str, default: int) -> int:
     return int(os.environ.get(name, str(default)))
 
 
-def _make_batch(cfg, *, batch: int, pad_len: int, rng) -> dict:
+def _make_batch(cfg, *, batch: int, pad_len: int, rng, pack: int = 1) -> dict:
     """Synthetic anyres CXR training batch at the reference geometry:
-    [IMAGE]<prompt ~40 tok><report ~160 tok supervised>."""
+    [IMAGE]<prompt ~40 tok><report ~160 tok supervised>.
+
+    pack > 1 routes through `multimodal.pack_samples`: each of the `batch`
+    rows holds `pack` samples separated by segment ids (the loader's
+    pack_factor path; pad_len must hold the packed row). At the reference's
+    uniform anyres geometry (~3.5k tokens/sample, image-dominated) packing
+    saves only the ~15% bucket pad — its real win is on the mixed-length
+    training mixture — but it puts the packed path itself on the clock."""
     from radvlm_tpu.config import IGNORE_INDEX, IMAGE_TOKEN_INDEX
     from radvlm_tpu.models import multimodal
 
     img_px = _env_int("RADVLM_TRAIN_BENCH_IMG_PX", 0)
     samples = []
-    for _ in range(batch):
+    for _ in range(batch * pack):
         h = img_px or int(rng.integers(480, 560))
         w = img_px or int(rng.integers(400, 520))
         img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
@@ -64,6 +75,11 @@ def _make_batch(cfg, *, batch: int, pad_len: int, rng) -> dict:
         ids = [IMAGE_TOKEN_INDEX] + prompt + report
         labels = [IGNORE_INDEX] * (1 + len(prompt)) + report
         samples.append(multimodal.build_sample(ids, [img], cfg, labels=labels))
+    if pack > 1:
+        samples = [
+            multimodal.pack_samples(samples[i * pack:(i + 1) * pack])
+            for i in range(batch)
+        ]
     pad_tiles = max(int(s.tiles.shape[0]) for s in samples)
     return multimodal.collate(
         samples, pad_len=pad_len, pad_tiles=pad_tiles, pad_to_multiple=128
@@ -79,6 +95,16 @@ def _text_param_count(cfg) -> int:
     attn = d * d + 2 * d * kv + d * d  # q, k, v, o
     mlp = 3 * d * t.intermediate_size
     return L * (attn + mlp) + 2 * v * d  # + embed + lm_head
+
+
+def _vision_param_count(cfg) -> int:
+    """Vision tower matmul parameter count (attn + mlp + patch embed)."""
+    vt = cfg.vision
+    d, L = vt.hidden_size, vt.num_layers
+    attn = 4 * d * d
+    mlp = 2 * d * vt.intermediate_size
+    patch = vt.patch_size * vt.patch_size * 3 * d
+    return L * (attn + mlp) + patch
 
 
 def main() -> None:
@@ -112,6 +138,7 @@ def main() -> None:
     size = os.environ.get("RADVLM_TRAIN_BENCH_SIZE", "7b-qlora")
     seq = _env_int("RADVLM_TRAIN_BENCH_SEQ", 4096)
     batch = _env_int("RADVLM_TRAIN_BENCH_BATCH", 1)
+    pack = _env_int("RADVLM_TRAIN_BENCH_PACK", 1)
     steps = _env_int("RADVLM_TRAIN_BENCH_STEPS", 8)
     mesh_spec = os.environ.get("RADVLM_TRAIN_BENCH_MESH", "")
 
@@ -137,7 +164,7 @@ def main() -> None:
     n_chips = int(np.prod(list(mesh.shape.values()))) or 1
 
     rng = np.random.default_rng(0)
-    host_batch = _make_batch(cfg, batch=batch, pad_len=seq, rng=rng)
+    host_batch = _make_batch(cfg, batch=batch, pad_len=seq, rng=rng, pack=pack)
 
     train_cfg = TrainConfig(
         learning_rate=1e-5, warmup_ratio=0.0, grad_accum_steps=1,
@@ -219,13 +246,24 @@ def main() -> None:
             times.append(time.perf_counter() - t)
 
     step_s = float(np.median(times))
-    samples_s = batch / step_s
+    n_samples = batch * pack
+    samples_s = n_samples / step_s
     tokens = int(host_batch["tokens"].shape[0] * host_batch["tokens"].shape[1])
     sup_tokens = int((host_batch["labels"] != -100).sum())
-    # Conservative matmul-only model FLOPs: 6 * N_text * processed tokens
-    # (fwd 2N + bwd 4N per token); remat recompute and attention scores are
-    # extra real work not counted, so true hardware utilization is higher.
-    flops = 6.0 * _text_param_count(cfg) * tokens
+    # Matmul-only model FLOPs: 6 * N * processed tokens (fwd 2N + bwd 4N)
+    # for the decoder AND the vision tower — the tower is ~45% of real
+    # compute at the reference geometry (≈3.3k image tokens of a 4096 row),
+    # so counting text alone (the r4 bench) understated utilization by ~2x.
+    # Remat recompute and attention-score FLOPs are real work still NOT
+    # counted, so MFU remains a lower bound.
+    tile_tokens = int(
+        host_batch["tiles"].shape[0] * host_batch["tiles"].shape[1]
+        * (cfg.vision.image_size // cfg.vision.patch_size) ** 2
+    )
+    flops = 6.0 * (
+        _text_param_count(cfg) * tokens + _vision_param_count(cfg) * tile_tokens
+    )
+    text_tflops_s = 6.0 * _text_param_count(cfg) * tokens / step_s / 1e12
     tflops_s = flops / step_s / 1e12
     peak_per_chip = 197.0 if jax.devices()[0].platform == "tpu" else float("nan")
     mfu = tflops_s / (peak_per_chip * n_chips) if peak_per_chip == peak_per_chip else None
@@ -246,11 +284,13 @@ def main() -> None:
         "mesh": dict(mesh.shape),
         "seq": seq,
         "batch": batch,
+        "pack": pack,
         "step_s": round(step_s, 4),
         "compile_s": round(compile_s, 1),
-        "tokens_per_s": round(tokens * samples_s / batch, 1),
+        "tokens_per_s": round(tokens / step_s, 1),
         "supervised_tokens_per_batch": sup_tokens,
         "model_tflops_per_s": round(tflops_s, 2),
+        "text_only_tflops_per_s": round(text_tflops_s, 2),
         "mfu_lower_bound": round(mfu, 4) if mfu is not None else None,
         "trainable_params": n_train_params,
         "ref_samples_per_s_per_gpu": round(ref_per_gpu, 4),
