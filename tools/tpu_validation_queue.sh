@@ -11,6 +11,37 @@ cd "$(dirname "$0")/.."
 
 run() { echo "=== $* ==="; "$@"; echo "=== rc=$? ==="; sleep 30; }
 
+task_golden() {    # 0. FIRST when egress/weights appear: the parity gate.
+                   #    Real-checkpoint golden check (the reference's
+                   #    convert_llava_onevision_weights_to_hf.py:204-250
+                   #    discipline): pixel values, last-position logits, and
+                   #    greedy generation vs the HF oracle on REAL weights.
+                   #    Every in-repo parity claim is vs random-init HF
+                   #    modules — strong for math, silent on weight-layout
+                   #    mistakes only real checkpoints expose. Expected
+                   #    artifact: GOLDEN_<ckpt>.json (the script prints
+                   #    PASS/FAIL per check).
+  run timeout 3600 env PYTHONPATH=".:${PYTHONPATH:-}" python tools/golden_check.py \
+      --checkpoint "${RADVLM_GOLDEN_CKPT:-lmms-lab/llava-onevision-qwen2-0.5b-si}"
+  run timeout 7200 env PYTHONPATH=".:${PYTHONPATH:-}" python tools/golden_check.py \
+      --checkpoint "${RADVLM_GOLDEN_CKPT_7B:-lmms-lab/llava-onevision-qwen2-7b-si}"
+}
+
+task_realeval() {  # 0b. real-data eval metrics: the reference's contract is
+                   #     metric VALUES on the actual test splits
+                   #     (evaluate_instructions.py:195-207). Dress rehearsals
+                   #     ran at the right scale (3,314) on synthetic data;
+                   #     with datasets + a real checkpoint present, run the
+                   #     harness on MIMIC-CXR/CheXpert test splits and diff
+                   #     the metric table against the paper's Table 2/3.
+                   #     Expected artifact: EVAL_REAL_<task>.json + metrics
+                   #     dump from eval/cli.py.
+  run timeout 36000 env PYTHONPATH=".:${PYTHONPATH:-}" python -m radvlm_tpu.eval.cli \
+      --checkpoint "${RADVLM_EVAL_CKPT:?set RADVLM_EVAL_CKPT to a converted checkpoint}" \
+      --task report_generation --data-dir "${RADVLM_DATA_ROOT:?set RADVLM_DATA_ROOT}" \
+      --output-dir EVAL_REAL_report_generation
+}
+
 task_smoke() {      # 1. quick 0.5B smoke — engine + fused-W8A8 fallback sanity
   run timeout 1800 env RADVLM_BENCH_SIZE=0.5b RADVLM_BENCH_REQS=8 \
       RADVLM_BENCH_NEW_TOKENS=16 RADVLM_BENCH_SLOTS=8 python bench.py
@@ -64,6 +95,8 @@ task_train() {     # 9. training-step throughput: 0.5B full SFT then the
 }
 
 if [ $# -eq 0 ]; then
-  set -- smoke bench7b warm slots32 flash rehearsal spec resume train
+  # golden + realeval lead the default order: they are the parity GATE the
+  # moment egress/weights exist (they no-op with a clear error until then).
+  set -- golden realeval smoke bench7b warm slots32 flash rehearsal spec resume train
 fi
 for t in "$@"; do "task_$t"; done
