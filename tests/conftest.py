@@ -33,3 +33,32 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Duration-based test tiering (VERDICT r4 weak-item 6): the fast tier
+    (`-m "not slow"`) must stay runnable in ~4 min on this 1-core host, or it
+    stops being run. Tests measured slower than RADVLM_SLOW_THRESHOLD_S
+    (default 5 s) in tests/test_durations.json get the `slow` marker at
+    collection time — data-driven, so re-tiering is one re-measure:
+
+        pytest tests/ -q --durations=100 > /tmp/d.txt   # then refresh json
+
+    Unmeasured tests (new ones, or below the --durations cutoff) stay fast
+    until measured. Explicit @pytest.mark.slow still applies regardless.
+    """
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "test_durations.json")
+    try:
+        with open(path) as f:
+            durations = json.load(f)
+    except OSError:
+        return
+    threshold = float(os.environ.get("RADVLM_SLOW_THRESHOLD_S", "5"))
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid.split("tests/")[-1]
+        if durations.get(nodeid, 0.0) > threshold:
+            item.add_marker(pytest.mark.slow)
