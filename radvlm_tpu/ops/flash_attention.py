@@ -95,29 +95,30 @@ def _fwd_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     run = True
+    needs_mask = False
     if causal:
         run = (ik * block_k) <= (iq * block_q + block_q - 1)
+        # Intra-block triangle needed only where the diagonal crosses the
+        # block; cells fully below it are unmasked (the common case — the
+        # mask iota/cmp/where VPU passes on [bq, bk] measured ~35% of the
+        # whole kernel at the 7B prefill shape, 2026-08-20 scan-loop bench).
+        needs_mask = (ik * block_k + block_k - 1) > (iq * block_q)
+    if qseg_ref is not None:
+        # One segment covering the whole q block and the whole k block (and
+        # the same one) makes the segment mask all-true: skip building it.
+        # Padding (seg 0) and packed-sample boundaries land in mixed blocks,
+        # which take the masked path below.
+        qs = qseg_ref[0]  # [bq, LANES]
+        ks = kseg_ref[0, :1, :]  # [1, bk]
+        q_lo, q_hi = jnp.min(qs), jnp.max(qs)
+        k_lo, k_hi = jnp.min(ks), jnp.max(ks)
+        uniform = (q_lo == q_hi) & (k_lo == k_hi) & (q_lo == k_lo) & (q_lo != 0)
+        needs_mask = needs_mask | ~uniform
 
-    @pl.when(run)
-    def _compute():
-        q = q_ref[0, 0]  # [bq, d]
-        k = k_ref[0, 0]  # [bk, d]
-        v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, bk]
-
-        mask = None
-        if causal:
-            q_pos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            k_pos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            mask = q_pos >= k_pos
-        if qseg_ref is not None:
-            seg = _seg_masks(qseg_ref[0], kseg_ref[0, :1, :], s.shape, block_k)
-            mask = seg if mask is None else (mask & seg)
+    def _accumulate(s, mask):
+        v = v_ref[0, 0]  # [bk, d]
         if mask is not None:
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
         m_prev = m_scr[:, :1]  # [bq, 1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -139,6 +140,42 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    def _scores():
+        # Scale folds into the q tile ([bq, d] VPU pass) instead of the
+        # [bq, bk] score matrix; f32 round-trip keeps the bf16 rounding of
+        # q*scale to one ulp.
+        q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        k = k_ref[0, 0]  # [bk, d]
+        return jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+
+    if not causal and qseg_ref is None:  # statically mask-free
+        _accumulate(_scores(), None)
+        _emit_output(o_ref, lse_ref, m_scr, l_scr, acc_scr, ik, nk)
+        return
+
+    @pl.when(run & jnp.logical_not(needs_mask))
+    def _compute_clean():
+        _accumulate(_scores(), None)
+
+    @pl.when(run & needs_mask)
+    def _compute_masked():
+        s = _scores()
+        mask = None
+        if causal:
+            q_pos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            k_pos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            mask = q_pos >= k_pos
+        if qseg_ref is not None:
+            seg = _seg_masks(qseg_ref[0], kseg_ref[0, :1, :], s.shape, block_k)
+            mask = seg if mask is None else (mask & seg)
+        _accumulate(s, mask if mask is not None else None)
+
+    _emit_output(o_ref, lse_ref, m_scr, l_scr, acc_scr, ik, nk)
+
+
+def _emit_output(o_ref, lse_ref, m_scr, l_scr, acc_scr, ik, nk):
     @pl.when(ik == nk - 1)
     def _finish():
         l = l_scr[:, :1]
